@@ -1,24 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract). Emits ONE JSON line:
+  * {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...}
+  * plus pipeline docs/sec fields used by BASELINE.md's scaling
+  * evidence (run at SPARK_GRAFT_CPUS=8 vs 32 on identical input).
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR (testdata dir), SPARK_GRAFT_CPUS
+  * (local[N] + shuffle partitions), SPARK_GRAFT_SYNTH_ROWS (synthetic
+  * corpus rows for the end-to-end pipeline benchmark; default 20000).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val synthRows = sys.env.getOrElse("SPARK_GRAFT_SYNTH_ROWS", "20000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      catch { case _: Throwable => -1.0 }
+    }
+
+    // end-to-end dedup pipeline on the seeded synthetic corpus
+    // (identical bytes at any parallelism — FIXTURES.md §6)
+    val docs = graft.corpus.Corpus.docs(spark, synthRows).toDF()
+      .repartition(cpus.toInt * 2).persist()
+    docs.count() // materialize generation outside the timed window
+    val pipeSec = time {
+      val r = graft.pipeline.DedupPipeline.run(docs)
+      r.clusters.write.format("noop").mode("overwrite").save()
+    }
+    results("pipeline_synth") = pipeSec
+    val docsPerSec = synthRows / pipeSec
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"synth_rows":$synthRows,"pipeline_docs_per_sec":$docsPerSec%.1f}""")
     spark.stop()
   }
 }

@@ -1,13 +1,252 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.DedupEngine
+import graft.model.DigestSpec
+import graft.pipeline.DedupPipeline
+import graft.text.TextStats
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Queries run over the shared read-only testdata
+  * (`/root/testdata/sf*`); each has a DuckDB-equivalent oracle in
+  * `oracleSql` (column names aligned, md5/sha256 digests because
+  * DuckDB 1.0 lacks sha1/xxhash64 — digest choice doesn't change
+  * grouping semantics, SURVEY §1.2.2). Non-SQL-expressible ops
+  * (MinHash, SimHash, LSH ANN) have `queries` entries only and are
+  * verified against planted ground truth in ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  /** The documents-table digest cascade used by the engine-backed
+    * queries AND their DuckDB oracles: length → md5(first 64 chars) →
+    * md5(text). Same progressive-blocking shape as the reference's
+    * filesize → initial_xxhash → sha (DigestFactory.pm:33-39).
+    */
+  private def docCascade: Seq[DigestSpec] = Seq(
+    DigestSpec("n_chars", "text length", length(col("text"))),
+    DigestSpec("initial_md5", "first-64-chars md5", md5(substring(col("text"), 1, 64).cast("binary"))),
+    DigestSpec("md5", "full-text md5", md5(col("text").cast("binary"))))
+
+  /** Flagship: the full dedup pipeline (exact cascade + MinHash/LSH +
+    * SimHash + alias identity + connected components) over the
+    * sf0.001 documents table mapped into the corpus shape.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = docs(spark, "/root/testdata/sf0.001").select(
+      concat(lit("doc://"), lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+      lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("warc_ts"),
+      col("text").cast("binary").as("html"),
+      col("text"),
+      col("lang"))
+    DedupPipeline.run(d).clusters
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- stage-1 exact dedup (A1-A4): cluster id = min doc_id of the
+    // identical-text group
+    "q_exact_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+      docs(s, dir).select(col("doc_id"), min(col("doc_id")).over(w).as("cluster_id"))
+    }),
+
+    // ---- the reference report (P2/F5/S4): duplicate groups only,
+    // tab-joined, sorted in both dimensions (CLI.t:74-78)
+    "q_dup_report" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text").cast("binary")))
+        .agg(
+          concat_ws("\t", sort_array(collect_list(col("doc_id").cast("string")))).as("line"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select("line")
+        .orderBy("line")),
+
+    // ---- summary statistics (A8, CLI.pm:313-321)
+    "q_dedup_summary" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text").cast("binary"))).agg(count(lit(1)).as("n"))
+        .agg(
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("unique_count"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("distinct_count"),
+          sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("duplicate_count"))),
+
+    // ---- engine kernel over the documents cascade: per-doc resolved
+    // key count + block size (lazy-digest semantics, SURVEY §1.2.1)
+    "q_cascade_nkeys" -> ((s, dir) => {
+      val r = DedupEngine.run(docs(s, dir), "doc_id", docCascade)
+      r.blocks
+        .select(col("nkeys"), col("size").as("block_size"), explode(col("members")).as("id"))
+        .select(col("id").cast("long").as("doc_id"), col("nkeys"), col("block_size"))
+    }),
+
+    // ---- per-level digest computations + collisions (A6/A7;
+    // reference count_keys_computed/count_collisions)
+    "q_collision_stats" -> ((s, dir) => {
+      import s.implicits._
+      val r = DedupEngine.run(docs(s, dir), "doc_id", docCascade)
+      r.digestCounts.zip(r.collisionCounts).zipWithIndex
+        .map { case ((d, c), k) => (k, d, c) }
+        .toDF("level", "digests_computed", "collisions")
+        .orderBy("level")
+    }),
+
+    // ---- normalized-text near-exact dedup (fingerprint identity)
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextStats.fingerprintMd5(col("text")).as("fp"))),
+
+    // ---- F2 analog: empty/blank docs grouped vs dropped
+    "q_empty_split" -> ((s, dir) =>
+      docs(s, dir).agg(
+        sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum(when(length(trim(col("text"))) > 0, 1L).otherwise(0L)).as("n_nonempty"))),
+
+    // ---- text analysis: token count
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))),
+
+    // ---- text analysis: quality features + composite score
+    "q_quality" -> ((s, dir) => {
+      val feats = TextStats.qualityFeatures(col("text"))
+      docs(s, dir).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // ---- text analysis: n-gram-heuristic language id
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))),
+
+    // ---- similarity search: exact brute-force cosine top-5 over
+    // embeddings for query ids < 20
+    "q_knn_bruteforce" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.sim.Ann.knnBruteForce(e, e.filter(col("vec_id") < 20), 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- stream-table dedup: first event per event_id (dropDuplicates
+    // semantics made deterministic via min ts ordering)
+    "q_events_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_id")).orderBy(col("ts"), col("user_id"), col("value"))
+      events(s, dir).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ---- relational health check: TPC-H Q1-style pricing summary
+    "q_tpch_pricing" -> ((s, dir) =>
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          // decimal accumulation: exact regardless of partition order,
+          // so the float oracle compare cannot drift
+          sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+            .cast("decimal(28,8)").cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_exact_dedup" ->
+      "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id FROM documents",
+    "q_dup_report" ->
+      ("SELECT string_agg(CAST(doc_id AS VARCHAR), chr(9) ORDER BY CAST(doc_id AS VARCHAR)) AS line " +
+        "FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY line"),
+    "q_dedup_summary" ->
+      ("WITH g AS (SELECT count(*) AS n FROM documents GROUP BY md5(text)) " +
+        "SELECT CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unique_count, " +
+        "CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS distinct_count, " +
+        "CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS duplicate_count FROM g"),
+    "q_cascade_nkeys" ->
+      ("WITH k AS (SELECT doc_id, length(text) AS k0, md5(substr(text, 1, 64)) AS k1, md5(text) AS k2 " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, " +
+        "count(*) OVER () AS s0, " +
+        "count(*) OVER (PARTITION BY k0) AS s1, " +
+        "count(*) OVER (PARTITION BY k0, k1) AS s2, " +
+        "count(*) OVER (PARTITION BY k0, k1, k2) AS s3 FROM k) " +
+        "SELECT doc_id, CASE WHEN s0 = 1 THEN 0 WHEN s1 = 1 THEN 1 WHEN s2 = 1 THEN 2 ELSE 3 END AS nkeys, " +
+        "s3 AS block_size FROM c"),
+    "q_collision_stats" ->
+      ("WITH k AS (SELECT doc_id, CAST(length(text) AS VARCHAR) AS k0, " +
+        "md5(substr(text, 1, 64)) AS k1, md5(text) AS k2 FROM documents), " +
+        "c AS (SELECT *, count(*) OVER () AS s0, count(*) OVER (PARTITION BY k0) AS s1, " +
+        "count(*) OVER (PARTITION BY k0, k1) AS s2 FROM k), " +
+        "n AS (SELECT *, CASE WHEN s0 = 1 THEN 0 WHEN s1 = 1 THEN 1 WHEN s2 = 1 THEN 2 ELSE 3 END AS nkeys, " +
+        "k0 || '|' || k1 || '|' || k2 AS blk FROM c) " +
+        "SELECT 0 AS level, count(*) FILTER (WHERE nkeys > 0) AS digests_computed, " +
+        "count(DISTINCT blk) FILTER (WHERE nkeys > 0) - count(DISTINCT k0) FILTER (WHERE nkeys > 0) AS collisions FROM n " +
+        "UNION ALL SELECT 1, count(*) FILTER (WHERE nkeys > 1), " +
+        "count(DISTINCT blk) FILTER (WHERE nkeys > 1) - count(DISTINCT k0 || '|' || k1) FILTER (WHERE nkeys > 1) FROM n " +
+        "UNION ALL SELECT 2, count(*) FILTER (WHERE nkeys > 2), " +
+        "count(DISTINCT blk) FILTER (WHERE nkeys > 2) - count(DISTINCT blk) FILTER (WHERE nkeys > 2) FROM n " +
+        "ORDER BY level"),
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+    "q_empty_split" ->
+      ("SELECT CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty, " +
+        "CAST(sum(CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty FROM documents"),
+    "q_token_count" ->
+      ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) " +
+        "AS n_tokens FROM documents"),
+    "q_quality" ->
+      ("WITH b AS (SELECT doc_id, coalesce(trim(text), '') AS t, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks0 FROM documents), " +
+        "f AS (SELECT doc_id, CAST(length(t) AS DOUBLE) AS chars, CAST(toks0 AS DOUBLE) AS toks, " +
+        "CAST(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha, " +
+        "CAST(length(regexp_replace(t, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct FROM b), " +
+        "m AS (SELECT doc_id, CAST(toks AS BIGINT) AS n_tokens, " +
+        "CASE WHEN toks > 0 THEN (chars - (toks - 1)) / toks ELSE 0.0 END AS mw, " +
+        "CASE WHEN chars > 0 THEN alpha / chars ELSE 0.0 END AS ar, " +
+        "CASE WHEN chars > 0 THEN punct / chars ELSE 0.0 END AS pr, " +
+        "least(toks / 100.0, 1.0) AS ls FROM f) " +
+        "SELECT doc_id, n_tokens, round(mw, 6) AS mean_word_len, round(ar, 6) AS alpha_ratio, " +
+        "round(pr, 6) AS punct_ratio, " +
+        "round(ls * 0.4 + (CASE WHEN mw >= 2.5 AND mw <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2 + " +
+        "ar * 0.3 + (1.0 - least(pr * 5.0, 1.0)) * 0.1, 6) AS quality_score FROM m"),
+    "q_lang_id" -> {
+      val hitsSql = TextStats.stopwords.map { case (l, ws) =>
+        val pat = ws.mkString("\\b(", "|", ")\\b")
+        s"len(string_split_regex(lower(coalesce(text, '')), '$pat')) - 1 AS $l"
+      }.mkString(", ")
+      val langs = TextStats.stopwords.map(_._1)
+      val g = langs.mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN $l = $g THEN '$l'").mkString(" ")
+      s"WITH h AS (SELECT doc_id, $hitsSql FROM documents) " +
+        s"SELECT doc_id, CASE WHEN $g <= 0 THEN 'und' $cases END AS lang_guess FROM h"
+    },
+    "q_knn_bruteforce" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20), " +
+        "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+        "list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) / " +
+        "sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) * " +
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS score " +
+        "FROM q, embeddings e WHERE e.vec_id <> q.query_id), " +
+        "r AS (SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
+    "q_events_dedup" ->
+      ("WITH d AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id, value) AS rn FROM events) " +
+        "SELECT event_type, count(*) AS n FROM d WHERE rn = 1 GROUP BY event_type ORDER BY event_type"),
+    "q_tpch_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,8)) AS DOUBLE) AS sum_disc_price, " +
+        "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus")
+  )
 }

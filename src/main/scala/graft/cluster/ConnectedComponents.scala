@@ -1,0 +1,86 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via the alternating
+  * large-star / small-star algorithm [EXT] (north rule; the
+  * Catalyst-planned-self-join formulation — Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14).
+  *
+  * Node ids are STRINGS (urls): 64-bit surrogate ids would collide at
+  * 10^12 nodes (birthday bound), so ordering is lexicographic and the
+  * component id is the minimum member — which also mirrors the
+  * reference CLI's alphabetical-min canonical rule (CLI.pm:282).
+  *
+  * Each iteration is two shuffled group-by/join rounds over the
+  * (shrinking, star-ifying) edge list; `localCheckpoint` cuts lineage
+  * so the loop's plan doesn't grow (SURVEY §4.2).
+  */
+object ConnectedComponents {
+
+  /** edges: DataFrame(src, dst) string columns, undirected.
+    * Returns (id, component) covering every endpoint; callers union
+    * isolated nodes themselves (component = own id).
+    */
+  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      // canonical orientation matches the star outputs (src = greater,
+      // dst = smaller) so the fixpoint compare sees stable sets
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val ls = largeStar(e)
+      val ss = smallStar(ls).localCheckpoint()
+      // fixpoint: the edge set is stable (a forest of depth-1 stars)
+      val diff = ss.exceptAll(e).limit(1).count() + e.exceptAll(ss).limit(1).count()
+      converged = diff == 0
+      e = ss
+      iter += 1
+    }
+    // stars: dst is the root; every node maps to its root, roots to themselves
+    val members = e.select(col("src").as("id"), col("dst").as("component"))
+    val roots = e.select(col("dst").as("id"), col("dst").as("component")).distinct()
+    members.unionByName(roots)
+      .groupBy("id").agg(min(col("component")).as("component"))
+  }
+
+  /** large-star: each node u connects its larger neighbors to its
+    * current minimum m(u) = min(Γ(u) ∪ {u}).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val m = sym.groupBy("src").agg(least(min(col("dst")), first(col("src"))).as("m"))
+    sym.join(m, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .unionByName(m.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("dst0"), greatest(col("src"), col("dst")).as("src0"))
+      .select(col("src0").as("src"), col("dst0").as("dst"))
+      .distinct()
+  }
+
+  /** small-star: orient edges large→small; each node connects its
+    * smaller-or-equal neighbors to its minimum.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    val m = dir.groupBy("src").agg(min(col("dst")).as("m"))
+    dir.join(m, "src")
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .unionByName(m.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("dst0"), greatest(col("src"), col("dst")).as("src0"))
+      .select(col("src0").as("src"), col("dst0").as("dst"))
+      .distinct()
+  }
+}

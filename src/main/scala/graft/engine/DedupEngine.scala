@@ -1,0 +1,210 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+import graft.model.DigestSpec
+
+/** Result of a dedup-engine run.
+  *
+  * `blocks` reproduces the reference's Block semantics
+  * (`/root/reference/lib/Data/Dedup/Engine.pm:228-328`): one row per
+  * group of objects indistinguishable by every computed digest, with
+  * `keys` possibly SHORTER than the cascade — exactly the digests that
+  * were needed (lazy-digest invariant, Engine.pm:246-252).
+  *
+  * `assignments` is the normalized at-scale output `(id, block_id)` —
+  * `collect_list` member arrays are kept for reference-parity reporting
+  * but a 10^12-row pipeline consumes the normalized form
+  * (SURVEY.md §7.3).
+  *
+  * `digestCounts(k)` = number of objects whose level-k digest was
+  * computed (reference `count_keys_computed`, Engine.pm:569-578).
+  * `collisionCounts(k)` = (#blocks reachable through level-k keys) −
+  * (#distinct level-k key paths) (reference `count_collisions`,
+  * Engine.pm:500-532; oracle fixture [6,3,3,0], Engine.t:235-271).
+  */
+final class DedupResult(val blocks: DataFrame, val numLevels: Int, val totalObjects: Long) {
+
+  /** Normalized (id, block_id); block_id = lexicographic min member —
+    * mirrors the reference CLI's alphabetical-min canonical rule
+    * (CLI.pm:282).
+    */
+  lazy val assignments: DataFrame =
+    blocks.select(explode(col("members")).as("id"), element_at(col("members"), 1).as("block_id"))
+
+  /** Duplicate groups only (≥2 members) — reference `duplicates`
+    * (Files.pm:298-319) + report filter (CLI.pm:306).
+    */
+  lazy val duplicates: DataFrame = blocks.filter(size(col("members")) > 1)
+
+  lazy val (digestCounts, collisionCounts): (Seq[Long], Seq[Long]) = {
+    if (numLevels == 0) (Seq.empty, Seq.empty)
+    else {
+      val nk = col("nkeys")
+      val dcs = (0 until numLevels).map(k =>
+        sum(when(nk > k, col("size")).otherwise(lit(0L))).as(s"dc$k"))
+      val reached = (0 until numLevels).map(k =>
+        sum(when(nk > k, lit(1L)).otherwise(lit(0L))).as(s"r$k"))
+      val paths = (0 until numLevels).map { k =>
+        val prefix = struct((0 to k).map(i => element_at(col("keys"), i + 1)): _*)
+        count_distinct(when(nk > k, prefix)).as(s"p$k")
+      }
+      val row = blocks.agg((dcs ++ reached ++ paths).head, (dcs ++ reached ++ paths).tail: _*).head()
+      val d = (0 until numLevels).map(k => row.getLong(k))
+      val c = (0 until numLevels).map(k =>
+        row.getLong(numLevels + k) - row.getLong(2 * numLevels + k))
+      (d, c)
+    }
+  }
+}
+
+/** The dedup kernel: progressive multi-level blocking
+  * (reference `Data::Dedup::Engine`, Engine.pm:70-607), re-expressed as
+  * Spark dataflow instead of the reference's in-memory key-trie.
+  *
+  * Two physically different plans, identical results (both are tested
+  * against the ported collision oracle and against each other):
+  *
+  *  - **Eager** (default, the 100 TB path): all digests are computed
+  *    map-side in ONE scan of the content column, then only the narrow
+  *    `(id, k0..kn)` tuples are shuffled — a single wide group-by plus
+  *    windows over an aggregated (tiny) frame. The reference's lazy
+  *    per-level digest computation saved disk seeks on a filesystem;
+  *    on columnar storage a second pass over `html` for survivors
+  *    costs more than hashing it once, and crucially the SHUFFLE never
+  *    carries page bytes. Lazy *semantics* (short key arrays, per-level
+  *    digest/collision counts) are recovered algebraically: a block's
+  *    key count = the shortest key prefix that isolates it
+  *    (SURVEY.md §1.2.1).
+  *
+  *  - **Staged** (reference-shaped): one level at a time over a
+  *    shrinking survivor set; digest k is genuinely only computed for
+  *    rows still ambiguous after k-1 — the plan to choose when a later
+  *    digest is drastically more expensive than a scan (e.g. a remote
+  *    fetch). One repartition by k0 up front; every later per-level
+  *    window reuses that partitioning (HashPartitioning(k0) satisfies
+  *    ClusteredDistribution(k0..kk)), so the survivor loop adds sorts
+  *    but NO further shuffles.
+  */
+object DedupEngine {
+
+  sealed trait Mode
+  case object Eager extends Mode
+  case object Staged extends Mode
+
+  /** Stringify a digest column the way the reference stringifies keys
+    * for hashing (Engine.pm:340) — but collision-safely: raw binary
+    * digests go through hex() (a binary→string CAST would UTF-8-mangle
+    * distinct byte strings into identical replacement-char strings =
+    * false merges).
+    */
+  private def stringify(df: DataFrame, cascade: Seq[DigestSpec]): DataFrame = {
+    val tmp = df.select(cascade.zipWithIndex.map { case (d, i) => d.expr.as(s"__k$i") }: _*)
+    val types = tmp.schema.fields.map(_.dataType)
+    val keyCols = cascade.zipWithIndex.map { case (d, i) =>
+      val c = d.expr
+      val s = if (types(i) == BinaryType) hex(c) else c.cast("string")
+      s.as(s"__k$i")
+    }
+    df.select(col("__id") +: keyCols: _*)
+  }
+
+  /** Run the cascade over `df`; `idCol` identifies the object (the
+    * reference's opaque scalar — a url for the corpus, a path for
+    * files). Degenerate empty cascade ⇒ one block of everything with
+    * keys=[] (Engine.pm:138-139, Engine.t:65-84).
+    */
+  def run(df: DataFrame, idCol: String, cascade: Seq[DigestSpec], mode: Mode = Eager): DedupResult = {
+    val withId = df.withColumn("__id", col(idCol).cast("string"))
+    val n = cascade.length
+    if (n == 0) {
+      val blocks = withId
+        .agg(sort_array(collect_list(col("__id"))).as("members"))
+        .select(
+          lit(Array.empty[String]).cast("array<string>").as("keys"),
+          col("members"),
+          size(col("members")).cast("long").as("size"),
+          lit(0).as("nkeys"))
+        .filter(size(col("members")) > 0)
+      return new DedupResult(blocks, 0, blocks.select(sum(col("size"))).head().getLong(0))
+    }
+    mode match {
+      case Eager  => runEager(withId, cascade)
+      case Staged => runStaged(withId, cascade)
+    }
+  }
+
+  private def keyCols(n: Int): Seq[Column] = (0 until n).map(i => col(s"__k$i"))
+
+  private def runEager(withId: DataFrame, cascade: Seq[DigestSpec]): DedupResult = {
+    val n = cascade.length
+    val narrow = stringify(withId, cascade)
+    val total = narrow.count()
+    val grouped = narrow
+      .groupBy(keyCols(n): _*)
+      .agg(sort_array(collect_list(col("__id"))).as("members"), count(lit(1)).as("size"))
+      // one extra exchange on k0 buys exchange-free windows for EVERY
+      // key prefix below (subset-of-clustering-keys rule)
+      .repartition(col("__k0"))
+    var g = grouped
+    for (k <- 1 until n) {
+      val w = Window.partitionBy(keyCols(k): _*)
+      g = g.withColumn(s"__s$k", sum(col("size")).over(w))
+    }
+    // nkeys = min k in [0..n] with (#rows under the k-prefix) == 1, else n.
+    // s_0 = corpus total, s_n = the block's own size.
+    var nkeysExpr: Column = when(lit(total) === 1L, 0)
+    for (k <- 1 until n) nkeysExpr = nkeysExpr.when(col(s"__s$k") === 1L, k)
+    nkeysExpr = nkeysExpr.otherwise(n)
+    val blocks = g
+      .withColumn("nkeys", nkeysExpr)
+      .select(
+        slice(array(keyCols(n): _*), lit(1), col("nkeys")).as("keys"),
+        col("members"), col("size"), col("nkeys"))
+    new DedupResult(blocks, n, total)
+  }
+
+  private def runStaged(withId: DataFrame, cascade: Seq[DigestSpec]): DedupResult = {
+    val n = cascade.length
+    val types = withId
+      .select(cascade.zipWithIndex.map { case (d, i) => d.expr.as(s"__k$i") }: _*)
+      .schema.fields.map(_.dataType)
+    def keyed(d: DigestSpec, i: Int): Column = {
+      val c = if (types(i) == BinaryType) hex(d.expr) else d.expr.cast("string")
+      c.as(s"__k$i")
+    }
+    var cur = withId.withColumn("__k0", keyed(cascade.head, 0)).repartition(col("__k0"))
+    val total = cur.count()
+    var resolved = Vector.empty[DataFrame]
+    for (k <- 0 until n) {
+      if (k > 0) cur = cur.withColumn(s"__k$k", keyed(cascade(k), k))
+      val cnt = count(lit(1)).over(Window.partitionBy(keyCols(k + 1): _*))
+      cur = cur.withColumn("__cnt", cnt)
+      val singletons = cur
+        .filter(col("__cnt") === 1L)
+        .select(
+          array(keyCols(k + 1): _*).as("keys"),
+          array(col("__id")).as("members"),
+          lit(1L).as("size"),
+          lit(k + 1).as("nkeys"))
+      resolved = resolved :+ singletons
+      cur = cur.filter(col("__cnt") > 1L).drop("__cnt")
+    }
+    val finalBlocks = cur
+      .groupBy(keyCols(n): _*)
+      .agg(sort_array(collect_list(col("__id"))).as("members"), count(lit(1)).as("size"))
+      .select(array(keyCols(n): _*).as("keys"), col("members"), col("size"), lit(n).as("nkeys"))
+    // single-object corpus: the reference never computes any key
+    // (lazy — no collider ever arrives); mirror it post-hoc.
+    val allBlocks = (resolved :+ finalBlocks).reduce(_ unionByName _)
+    val blocks =
+      if (total == 1L)
+        allBlocks.select(
+          lit(Array.empty[String]).cast("array<string>").as("keys"),
+          col("members"), col("size"), lit(0).as("nkeys"))
+      else allBlocks
+    new DedupResult(blocks, n, total)
+  }
+}

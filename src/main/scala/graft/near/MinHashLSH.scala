@@ -1,0 +1,193 @@
+package graft.near
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hashing primitives shared by the near-dup stack.
+  * Pure functions of (seed, input) — reproducible across runs and
+  * cluster sizes, as the north rule's "same shingle/signature config"
+  * requires.
+  */
+object Hashing {
+  /** splitmix64 finalizer — strong 64-bit mix. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def tokenize(text: String): Array[String] =
+    if (text == null) Array.empty
+    else {
+      val t = text.trim
+      if (t.isEmpty) Array.empty else t.split("\\s+")
+    }
+
+  /** Distinct k-shingle hashes of a token stream: 64-bit hash of each
+    * k-token window (k-gram), the universe MinHash permutes over.
+    * Docs shorter than k tokens get a single whole-doc shingle so they
+    * still participate.
+    */
+  def shingleHashes(tokens: Array[String], k: Int): Array[Long] = {
+    if (tokens.isEmpty) return Array.empty
+    val n = math.max(1, tokens.length - k + 1)
+    val set = new java.util.HashSet[Long](n * 2)
+    var i = 0
+    while (i < n) {
+      var h = 0x2545f4914f6cdd1dL
+      var j = 0
+      while (j < k && i + j < tokens.length) {
+        val s = tokens(i + j)
+        var sh = 0xcbf29ce484222325L
+        var p = 0
+        while (p < s.length) { sh = (sh ^ s.charAt(p)) * 0x100000001b3L; p += 1 }
+        h = mix64(h ^ sh ^ (j * 0x9e3779b97f4a7c15L))
+        j += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var q = 0
+    while (it.hasNext) { out(q) = it.next(); q += 1 }
+    out
+  }
+
+  /** Batched MinHash: all `perms` minima in ONE pass over the shingle
+    * set (SURVEY §2.5 — the one place a typed batch operator pays).
+    * Permutation p is x → a_p * x + b_p with odd a_p (a bijection of
+    * the 64-bit ring); min taken under unsigned order.
+    */
+  def minhash(shingles: Array[Long], perms: Int, seed: Long): Array[Long] = {
+    if (shingles.isEmpty) return null
+    val a = new Array[Long](perms); val b = new Array[Long](perms)
+    var p = 0
+    while (p < perms) {
+      a(p) = mix64(seed ^ (2L * p)) | 1L; b(p) = mix64(seed ^ (2L * p + 1)); p += 1
+    }
+    val sig = Array.fill(perms)(-1L) // unsigned max
+    var i = 0
+    while (i < shingles.length) {
+      val x = shingles(i)
+      p = 0
+      while (p < perms) {
+        val v = a(p) * x + b(p)
+        if (java.lang.Long.compareUnsigned(v, sig(p)) < 0) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Exact Jaccard of two distinct-hash sets. */
+  def jaccard(x: Array[Long], y: Array[Long]): Double = {
+    if (x == null || y == null || x.isEmpty || y.isEmpty) return 0.0
+    val s = new java.util.HashSet[Long](x.length * 2)
+    x.foreach(s.add)
+    var inter = 0
+    y.foreach(v => if (s.contains(v)) inter += 1)
+    inter.toDouble / (x.length + y.length - inter)
+  }
+}
+
+/** MinHash + LSH near-duplicate detection [EXT] (SURVEY §7.1 module 7):
+  * k-shingles → batched 128-perm MinHash → banded LSH self-join →
+  * exact-Jaccard verification.
+  *
+  * Scale design: signatures are computed map-side in one pass per row;
+  * the only shuffled payloads are (url, band_id, band_hash) triples for
+  * candidate generation and (url, shingles) for verification of the
+  * (small) candidate set. Hot bands — boilerplate pages all landing in
+  * one (band_id, band_hash) bucket, a quadratic blowup — are capped at
+  * `maxBucket` rows and routed to a skipped-buckets metric instead of
+  * silently exploding (SURVEY §7.3); AQE skew-join handles the
+  * residual moderate skew.
+  */
+object MinHashLSH {
+
+  case class Config(
+      shingleK: Int = 5,
+      numPerms: Int = 128,
+      bands: Int = 32,
+      seed: Long = 42L,
+      jaccardThreshold: Double = 0.7,
+      maxBucket: Int = 200) {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    def rowsPerBand: Int = numPerms / bands
+  }
+
+  private val shinglesUdf = udf((text: String, k: Int) =>
+    Hashing.shingleHashes(Hashing.tokenize(text), k))
+  private val minhashUdf = udf((sh: Array[Long], perms: Int, seed: Long) =>
+    Hashing.minhash(sh, perms, seed))
+  private val bandsUdf = udf((sig: Array[Long], bands: Int, r: Int) =>
+    if (sig == null) null
+    else Array.tabulate(bands) { b =>
+      var h = 0x9e3779b97f4a7c15L ^ b
+      var i = 0
+      while (i < r) { h = Hashing.mix64(h ^ sig(b * r + i)); i += 1 }
+      h
+    })
+  private val jaccardUdf = udf((x: Array[Long], y: Array[Long]) => Hashing.jaccard(x, y))
+
+  /** (url, shingles, sig) — one scan, all map-side. */
+  def signatures(docs: DataFrame, cfg: Config = Config(), textCol: String = "text",
+      idCol: String = "url"): DataFrame =
+    docs.select(
+        col(idCol).as("id"),
+        shinglesUdf(col(textCol), lit(cfg.shingleK)).as("shingles"))
+      .withColumn("sig", minhashUdf(col("shingles"), lit(cfg.numPerms), lit(cfg.seed)))
+
+  /** Candidate pairs from banded LSH: explode 32 band hashes per doc,
+    * self-join each bucket, keep each unordered pair once (id < id2).
+    */
+  def candidates(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val banded = sigs
+      .filter(col("sig").isNotNull)
+      .select(col("id"),
+        posexplode(bandsUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)))
+          .as(Seq("band_id", "band_hash")))
+    // hot-band guard: cap bucket size, surface what was dropped
+    val sized = banded.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band_id"), col("band_hash"))))
+    val kept = sized.filter(col("bucket_n") <= cfg.maxBucket)
+      .select("id", "band_id", "band_hash")
+    val l = kept.select(col("band_id"), col("band_hash"), col("id").as("src"))
+    val r = kept.select(col("band_id"), col("band_hash"), col("id").as("dst"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  /** Count of rows in over-capacity LSH buckets (skipped-candidate
+    * metric — no silent truncation).
+    */
+  def skippedBucketRows(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
+    sigs.filter(col("sig").isNotNull)
+      .select(col("id"),
+        posexplode(bandsUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)))
+          .as(Seq("band_id", "band_hash")))
+      .groupBy("band_id", "band_hash").count()
+      .filter(col("count") > cfg.maxBucket)
+  }
+
+  /** Verified near-dup edges: exact Jaccard on the shingle sets of the
+    * candidate pairs (the small side), threshold from cfg.
+    */
+  def edges(docs: DataFrame, cfg: Config = Config(), textCol: String = "text",
+      idCol: String = "url"): DataFrame = {
+    val sigs = signatures(docs, cfg, textCol, idCol).persist()
+    val cand = candidates(sigs, cfg)
+    val sh = sigs.select(col("id"), col("shingles"))
+    val verified = cand
+      .join(sh.withColumnRenamed("id", "src").withColumnRenamed("shingles", "sh_src"), "src")
+      .join(sh.withColumnRenamed("id", "dst").withColumnRenamed("shingles", "sh_dst"), "dst")
+      .withColumn("jaccard", jaccardUdf(col("sh_src"), col("sh_dst")))
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .select("src", "dst", "jaccard")
+    verified
+  }
+}

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.cluster.ConnectedComponents
+import graft.engine.{DedupEngine, DedupResult}
+import graft.functions.Digests
+import graft.near.{MinHashLSH, SimHash}
+import graft.report.{Report, Urls}
+
+/** The flagship end-to-end pipeline (north rule): exact content-hash
+  * grouping (reference semantics, stage 1) + MinHash/LSH and SimHash
+  * near-dup edges + alias (identity) edges → large-star/small-star
+  * connected components → cluster assignments.
+  *
+  * Dataflow (every arrow a narrow, declarative DataFrame transform —
+  * Catalyst plans the physical side):
+  *
+  *   docs ─ quarantine(F4) ─ identity pre-pass(F3) ─┬─ exact cascade (A1) ─ star edges
+  *                                                  ├─ MinHash/LSH [EXT] ─ verified edges
+  *                                                  └─ SimHash [EXT] ───── verified edges
+  *   all edges ∪ alias edges → connected components → (url, cluster_id)
+  */
+object DedupPipeline {
+
+  case class Config(
+      algs: Seq[String] = Seq("filesize", "initial_xxhash", "sha"),
+      ignoreEmpty: Boolean = false,
+      useMinHash: Boolean = true,
+      useSimHash: Boolean = true,
+      minhash: MinHashLSH.Config = MinHashLSH.Config(),
+      simhash: SimHash.Config = SimHash.Config())
+
+  final class Result(
+      val clusters: DataFrame, // (url, cluster_id) — every input url
+      val exact: DedupResult,
+      val edges: DataFrame, // (src, dst, kind)
+      val quarantined: DataFrame,
+      val docsIn: Long,
+      val quarantinedCount: Long) {
+    /** duplicates-only tab report over final clusters (reference P2). */
+    lazy val report: DataFrame = Report.duplicateReport(
+      clusters.groupBy("cluster_id").agg(sort_array(collect_list(col("url"))).as("members")))
+    lazy val summary: DataFrame = Report.summary(
+      clusters.groupBy("cluster_id").agg(collect_list(col("url")).as("members")))
+  }
+
+  def run(docsRaw: DataFrame, cfg: Config = Config()): Result = {
+    val docsIn = docsRaw.count()
+
+    // F4 quarantine: undecodable rows (text null) are counted and routed
+    // out, never silently dropped (Files.pm:229-233, Files.t:290-299)
+    val quarantined = docsRaw.filter(col("text").isNull)
+    val valid0 = docsRaw.filter(col("text").isNotNull)
+    val valid = if (cfg.ignoreEmpty) valid0.filter(octet_length(col("html")) > 0) else valid0
+
+    // F3 identity pre-pass: one canonical row per normalized url;
+    // alias edges keep the dropped members clustered with the canonical
+    val canon = Report.dedupIdentity(valid).persist()
+    val aliasEdges = valid
+      .select(Urls.normalize(col("url")).as("identity"), col("url"))
+      .withColumn("canonical", min(col("url")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("identity"))))
+      .filter(col("url") =!= col("canonical"))
+      .select(col("url").as("src"), col("canonical").as("dst"), lit("alias").as("kind"))
+
+    // stage 1: exact content-hash cascade (reference semantics)
+    val exact = DedupEngine.run(canon, "url", Digests.cascade(col("html"), cfg.algs))
+    val exactEdges = exact.assignments
+      .filter(col("id") =!= col("block_id"))
+      .select(col("id").as("src"), col("block_id").as("dst"), lit("exact").as("kind"))
+
+    // [EXT] near-dup stages over non-empty canonical text
+    val textDocs = canon.filter(trim(col("text")) =!= "")
+    val mh =
+      if (cfg.useMinHash)
+        MinHashLSH.edges(textDocs, cfg.minhash).withColumn("kind", lit("minhash")).drop("jaccard")
+      else null
+    val sh =
+      if (cfg.useSimHash)
+        SimHash.edges(textDocs, cfg.simhash).withColumn("kind", lit("simhash")).drop("hamming")
+      else null
+
+    val allEdges = Seq(Option(aliasEdges), Option(exactEdges), Option(mh), Option(sh))
+      .flatten.map(_.select("src", "dst", "kind")).reduce(_ unionByName _)
+
+    // [EXT] connected components; singletons keep their own id
+    val cc = ConnectedComponents.run(allEdges.select("src", "dst"))
+    val clusters = valid.select(col("url"))
+      .join(cc, valid("url") === cc("id"), "left")
+      .select(col("url"), coalesce(col("component"), col("url")).as("cluster_id"))
+
+    new Result(clusters, exact, allEdges, quarantined, docsIn, quarantined.count())
+  }
+}

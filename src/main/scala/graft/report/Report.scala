@@ -1,0 +1,72 @@
+package graft.report
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Url identity normalization — the web-corpus analog of the
+  * reference's inode identity (hardlinks, Files.pm:225, SURVEY §2.3
+  * F3): strips fragment, utm_* query junk, a then-empty '?', and a
+  * trailing slash. Two urls with equal normalized form are aliases of
+  * one stored page.
+  */
+object Urls {
+  def normalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "([?&])utm_[^&#]*", "$1")
+    val noDangling = regexp_replace(noUtm, "[?&]+$", "")
+    regexp_replace(noDangling, "/$", "")
+  }
+}
+
+/** Report + statistics operators (reference CLI layer, SURVEY §2.6).
+  */
+object Report {
+
+  /** Identity groups — all urls per normalized url (reference
+    * `hardlinks`, Files.pm:341, op A5).
+    */
+  def identityGroups(docs: DataFrame, idCol: String = "url"): DataFrame =
+    docs.groupBy(Urls.normalize(col(idCol)).as("identity"))
+      .agg(sort_array(collect_list(col(idCol))).as("aliases"))
+
+  /** Identity pre-pass (F3): keep one canonical row per normalized
+    * url — canonical = alphabetical min, the reference CLI's
+    * resolve_hardlinks rule (CLI.pm:282). Pure recompute, no mutation
+    * (vs Files.pm:309-315).
+    */
+  def dedupIdentity(docs: DataFrame, idCol: String = "url"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Urls.normalize(col(idCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The reference report (P2, CLI.pm:296-310): duplicate groups only,
+    * members tab-joined, sorted within the line and across lines —
+    * golden fixture CLI.t:74-78. Input: blocks with a `members`
+    * array<string> column.
+    */
+  def duplicateReport(blocks: DataFrame): DataFrame =
+    blocks.filter(size(col("members")) > 1)
+      .select(concat_ws("\t", sort_array(col("members"))).as("line"))
+      .orderBy(col("line"))
+
+  /** Summary counts (A8, CLI.pm:313-321): unique = 1-member groups,
+    * distinct = multi-member groups, duplicate = Σ (size − 1).
+    */
+  def summary(blocks: DataFrame): DataFrame =
+    blocks.agg(
+      sum(when(size(col("members")) === 1, 1L).otherwise(0L)).as("unique_count"),
+      sum(when(size(col("members")) > 1, 1L).otherwise(0L)).as("distinct_count"),
+      sum(when(size(col("members")) > 1, size(col("members")).cast("long") - 1L)
+        .otherwise(0L)).as("duplicate_count"))
+
+  /** Human-readable byte counts (CLI.pm:42-67) — driver-side helper. */
+  def humanBytes(n: Long): String = {
+    val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")
+    var v = n.toDouble; var u = 0
+    while (v >= 1024 && u < units.length - 1) { v /= 1024; u += 1 }
+    if (u == 0) s"$n B" else f"$v%.1f ${units(u)}"
+  }
+}

@@ -1,0 +1,105 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.{DigestSpec, KV}
+
+/** Ported engine-kernel suite (reference t/unit/Data/Dedup/Engine.t;
+  * fixture FIXTURES.md §2). Blocks are compared as (keys, members)
+  * sets — order-insensitive like the reference's bag() matching.
+  */
+class DedupEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    KV("A", 1), KV("B", 2), KV("C", 3),
+    KV("A", 4), KV("B", 5), KV("C", 6),
+    KV("A", 7), KV("B", 8), KV("C", 9))
+
+  private def fixture: DataFrame =
+    rows.toDF().withColumn("id", concat(col("letter"), col("n")))
+
+  private val cascade = Seq(
+    DigestSpec("letter", "letter", col("letter")),
+    DigestSpec("mod2", "n%2", col("n") % 2),
+    DigestSpec("mod3", "n%3", col("n") % 3),
+    DigestSpec("mod5", "n%5", col("n") % 5))
+
+  private def blockSet(r: DedupResult): Set[(Seq[String], Seq[String])] =
+    r.blocks.select("keys", "members").collect()
+      .map(row => (row.getSeq[String](0), row.getSeq[String](1))).toSet
+
+  // expected per Engine.t:250-264 (bag of blocks incl. short key arrays)
+  private val expected = Set(
+    (Seq("A", "1", "1", "1"), Seq("A1")),
+    (Seq("A", "0"), Seq("A4")),
+    (Seq("A", "1", "1", "2"), Seq("A7")),
+    (Seq("B", "0", "2", "2"), Seq("B2")),
+    (Seq("B", "1"), Seq("B5")),
+    (Seq("B", "0", "2", "3"), Seq("B8")),
+    (Seq("C", "1", "0", "3"), Seq("C3")),
+    (Seq("C", "0"), Seq("C6")),
+    (Seq("C", "1", "0", "4"), Seq("C9")))
+
+  for (mode <- Seq(DedupEngine.Eager, DedupEngine.Staged)) {
+    val m = mode.toString
+
+    test(s"$m: multi-level blocking reproduces reference blocks incl. short key arrays") {
+      val r = DedupEngine.run(fixture, "id", cascade, mode)
+      assert(blockSet(r) == expected)
+    }
+
+    test(s"$m: collision counts match the [6,3,3,0] oracle (Engine.t:267-271)") {
+      val r = DedupEngine.run(fixture, "id", cascade, mode)
+      assert(r.collisionCounts == Seq(6L, 3L, 3L, 0L))
+    }
+
+    test(s"$m: digest counts are monotonic non-increasing and lazy (Engine.pm:558-578)") {
+      val r = DedupEngine.run(fixture, "id", cascade, mode)
+      assert(r.digestCounts == Seq(9L, 9L, 6L, 6L))
+    }
+
+    test(s"$m: empty cascade puts everything in one keyless block (Engine.t:65-84)") {
+      val r = DedupEngine.run(fixture, "id", Nil, mode)
+      assert(blockSet(r) == Set((Seq.empty[String],
+        Seq("A1", "A4", "A7", "B2", "B5", "B8", "C3", "C9", "C6").sorted)))
+    }
+
+    test(s"$m: single object never computes a key (lazy, Engine.pm:351-364)") {
+      val r = DedupEngine.run(fixture.limit(1), "id", cascade, mode)
+      assert(blockSet(r).head._1.isEmpty)
+    }
+
+    test(s"$m: single-level grouping (Engine.t:86-124)") {
+      val r = DedupEngine.run(fixture, "id", cascade.take(1), mode)
+      assert(blockSet(r) == Set(
+        (Seq("A"), Seq("A1", "A4", "A7")),
+        (Seq("B"), Seq("B2", "B5", "B8")),
+        (Seq("C"), Seq("C3", "C6", "C9"))))
+    }
+  }
+
+  test("eager and staged agree on a corpus slice") {
+    val docs = graft.corpus.Corpus.docs(spark, 300).toDF()
+    val casc = graft.functions.Digests.defaultCascade(col("html"))
+    val a = DedupEngine.run(docs, "url", casc, DedupEngine.Eager)
+    val b = DedupEngine.run(docs, "url", casc, DedupEngine.Staged)
+    assert(blockSet(a) == blockSet(b))
+    assert(a.digestCounts == b.digestCounts)
+    assert(a.collisionCounts == b.collisionCounts)
+  }
+
+  test("construction fails fast on unknown digest id (Engine.t:210-232)") {
+    intercept[IllegalArgumentException] {
+      graft.functions.Digests.cascade(col("html"), Seq("filesize", "nope"))
+    }
+  }
+
+  test("last-level collisions are zero by construction on exact grouping") {
+    val docs = graft.corpus.Corpus.docs(spark, 500).toDF()
+    val casc = graft.functions.Digests.defaultCascade(col("html"))
+    val r = DedupEngine.run(docs, "url", casc)
+    assert(r.collisionCounts.last == 0L)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.near
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.corpus.Corpus
+
+/** MinHash/LSH + SimHash recall vs planted near-duplicates
+  * (SURVEY §5 port: recall ≥0.99 on the 0.95/0.8 tiers).
+  */
+class NearDupSpec extends SparkSpec {
+
+  private val N = 1000L
+  private lazy val docs = Corpus.docs(spark, N).toDF().filter(col("text").isNotNull)
+  private lazy val truth = Corpus.truth(spark, N).toDF()
+
+  private def truthPairs(kinds: String*) = {
+    val pos = truth.filter(col("truth_kind").isin(kinds: _*))
+    pos.select(col("url").as("src"), col("truth_group").as("g"))
+      .join(pos.select(col("url").as("dst"), col("truth_group").as("g")), "g")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
+  }
+
+  test("MinHash estimates track exact Jaccard (property over planted tiers)") {
+    val sigs = MinHashLSH.signatures(docs).persist()
+    val pairs = truthPairs("near_dup_95", "near_dup_80")
+      .join(sigs.select(col("id").as("src"), col("sig").as("sig1"), col("shingles").as("sh1")), "src")
+      .join(sigs.select(col("id").as("dst"), col("sig").as("sig2"), col("shingles").as("sh2")), "dst")
+    val est = udf((a: Seq[Long], b: Seq[Long]) =>
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length)
+    val jac = udf((a: Seq[Long], b: Seq[Long]) => Hashing.jaccard(a.toArray, b.toArray))
+    val rows = pairs.select(est(col("sig1"), col("sig2")).as("est"),
+      jac(col("sh1"), col("sh2")).as("exact")).collect()
+    assert(rows.nonEmpty)
+    val maxErr = rows.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).max
+    info(f"max |minhash-est − exact-jaccard| = $maxErr%.3f over ${rows.length} pairs")
+    assert(maxErr <= 0.20) // 128 perms → σ ≈ 0.044; 4.5σ bound
+  }
+
+  test("MinHash/LSH recall >= 0.99 on near-dup tiers above the threshold") {
+    val edges = MinHashLSH.edges(docs).select("src", "dst")
+      .withColumn("hit", lit(1))
+    val tp = truthPairs("near_dup_95", "near_dup_80")
+    val found = tp.join(edges, Seq("src", "dst"), "left")
+    val total = tp.count().toDouble
+    val recall = found.filter(col("hit").isNotNull).count() / total
+    info(f"LSH recall = $recall%.4f over ${total.toLong} planted near-dup pairs")
+    assert(recall >= 0.99)
+  }
+
+  test("exact duplicates are trivially found by MinHash too (sanity)") {
+    val edges = MinHashLSH.edges(docs).select("src", "dst").withColumn("hit", lit(1))
+    val tp = truthPairs("exact_dup")
+    val recall = tp.join(edges, Seq("src", "dst"), "left")
+      .filter(col("hit").isNotNull).count().toDouble / tp.count()
+    assert(recall >= 0.99)
+  }
+
+  test("near_dup_50 tier (J≈0.5) is rejected by verification at θ=0.7") {
+    val edges = MinHashLSH.edges(docs).select("src", "dst").withColumn("hit", lit(1))
+    // near_dup_50 truth groups are singletons (intended negatives);
+    // build all low-tier pairs directly — only same-century ones share
+    // content, the rest are unrelated and must also stay unflagged
+    val low = truth.filter(col("truth_kind") === "near_dup_50").select("url")
+    val lowPairs = low.withColumnRenamed("url", "src")
+      .crossJoin(low.withColumnRenamed("url", "dst"))
+      .filter(col("src") < col("dst"))
+    val hits = lowPairs.join(edges, Seq("src", "dst")).count()
+    info(s"low-tier pairs flagged: $hits of ${lowPairs.count()}")
+    assert(hits == 0)
+  }
+
+  test("SimHash finds the 0.95 tier within the Hamming ball") {
+    val edges = SimHash.edges(docs).select("src", "dst").withColumn("hit", lit(1))
+    val tp = truthPairs("near_dup_95")
+    val recall = tp.join(edges, Seq("src", "dst"), "left")
+      .filter(col("hit").isNotNull).count().toDouble / tp.count()
+    info(f"SimHash recall on 0.95 tier = $recall%.3f")
+    assert(recall >= 0.9)
+  }
+
+  test("SimHash does not link unrelated docs (precision on uniques)") {
+    val edges = SimHash.edges(docs)
+    val uniq = truth.filter(col("truth_kind") === "unique").select(col("url"))
+    val false_ = edges
+      .join(uniq.withColumnRenamed("url", "src"), "src")
+      .join(uniq.withColumnRenamed("url", "dst"), "dst")
+    assert(false_.count() == 0)
+  }
+
+  test("LSH hot-band cap drops oversized buckets and reports them") {
+    // construct a pathological corpus: 300 identical docs → one hot bucket
+    import spark.implicits._
+    val hot = (0 until 300).map(i => (s"u$i", "same tokens " * 30)).toDF("url", "text")
+    val cfg = MinHashLSH.Config(maxBucket = 100)
+    val sigs = MinHashLSH.signatures(hot, cfg)
+    val skipped = MinHashLSH.skippedBucketRows(sigs, cfg)
+    assert(skipped.count() > 0)
+    assert(MinHashLSH.candidates(sigs, cfg).count() == 0)
+  }
+}

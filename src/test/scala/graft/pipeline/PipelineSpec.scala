@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.corpus.Corpus
+
+/** End-to-end pipeline: dup-pair recall ≥ 0.99 vs planted ground truth
+  * (BASELINE.json north_rule), intended negatives stay separate,
+  * quarantine counts (FIXTURES.md §1).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val N = 1000L
+  private lazy val result = DedupPipeline.run(Corpus.docs(spark, N).toDF())
+  private lazy val truth = Corpus.truth(spark, N).toDF()
+
+  test("dup-pair recall >= 0.99 against planted truth") {
+    // truth pairs: all same-truth_group pairs among positive kinds
+    val pos = truth.filter(col("truth_kind").isin(
+      "exact_dup", "alias", "empty", "near_dup_95", "near_dup_80"))
+    val t1 = pos.select(col("url").as("u1"), col("truth_group").as("g"))
+    val t2 = pos.select(col("url").as("u2"), col("truth_group").as("g"))
+    val truthPairs = t1.join(t2, "g").filter(col("u1") < col("u2"))
+      .select("u1", "u2")
+    val c = result.clusters
+    val found = truthPairs
+      .join(c.withColumnRenamed("url", "u1").withColumnRenamed("cluster_id", "c1"), "u1")
+      .join(c.withColumnRenamed("url", "u2").withColumnRenamed("cluster_id", "c2"), "u2")
+      .filter(col("c1") === col("c2"))
+    val total = truthPairs.count().toDouble
+    val recall = found.count() / total
+    info(f"dup-pair recall = $recall%.4f over ${total.toLong} planted pairs")
+    assert(recall >= 0.99, f"recall $recall%.4f < 0.99")
+  }
+
+  test("intended negatives (near_dup_50 tier, uniques) are not merged") {
+    val neg = truth.filter(col("truth_kind").isin("unique", "near_dup_50"))
+      .select("url")
+    val c = result.clusters.join(neg, "url")
+    // negatives must be singletons in their clusters w.r.t. other negatives
+    val merged = c.groupBy("cluster_id").count().filter(col("count") > 1)
+    val mergedCount = merged.agg(coalesce(sum(col("count")), lit(0L))).head().getLong(0)
+    val negTotal = neg.count()
+    val falseMergeRate = mergedCount.toDouble / negTotal
+    info(f"false-merge rate on negatives = $falseMergeRate%.4f")
+    assert(falseMergeRate <= 0.01, f"false-merge rate $falseMergeRate%.4f > 0.01")
+  }
+
+  test("undecodable docs are quarantined, counted, excluded from clusters") {
+    assert(result.quarantinedCount == N * 5 / 100)
+    assert(result.clusters.count() == N - result.quarantinedCount)
+  }
+
+  test("empty docs form one cluster (default keep-empties, Files.t:253-258)") {
+    val empties = truth.filter(col("truth_kind") === "empty").select("url")
+    val nClusters = result.clusters.join(empties, "url")
+      .select("cluster_id").distinct().count()
+    assert(nClusters == 1)
+  }
+
+  test("exact stage digest counts are lazy: sha computed only for collided rows") {
+    val dc = result.exact.digestCounts
+    assert(dc.length == 3)
+    assert(dc(0) >= dc(1) && dc(1) >= dc(2), s"non-monotonic: $dc")
+    // most uniques resolve by level 2 (filesize+initial_xxhash), so the
+    // authoritative sha level must see strictly fewer rows
+    assert(dc(2) < dc(0), s"sha level saw everything: $dc")
+  }
+}
