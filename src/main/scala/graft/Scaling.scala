@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-efficiency evidence (BASELINE.md): the same end-to-end
+  * dedup pipeline over IDENTICAL input bytes (seeded synthetic corpus,
+  * fixed partition count) at two parallelism levels — local[8] vs
+  * local[32] as the sandbox proxy for N vs 4N executors. Prints one
+  * JSON line per level plus the efficiency (T8/T32)/4.
+  *
+  * Env: SPARK_GRAFT_SYNTH_ROWS (default 120000),
+  * SPARK_GRAFT_SCALE_LEVELS (default "8,32").
+  */
+object Scaling {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SYNTH_ROWS", "120000").toLong
+    val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "8,32")
+      .split(",").map(_.trim.toInt).toSeq
+    val times = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+
+    for (cpus <- levels) {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+
+      // identical bytes + identical partitioning at every level: the
+      // generator is a pure function of (seed, index) and the input
+      // partition count is fixed at 64 regardless of cores
+      val docs = graft.corpus.Corpus.docs(spark, rows).toDF()
+        .repartition(64).persist()
+      docs.count()
+
+      // JIT/codegen warm-up outside the timed window
+      graft.pipeline.DedupPipeline.run(docs.limit(2000))
+        .clusters.write.format("noop").mode("overwrite").save()
+
+      val t0 = System.nanoTime()
+      graft.pipeline.DedupPipeline.run(docs)
+        .clusters.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      times(cpus) = sec
+      println(f"""{"metric":"scaling","cpus":$cpus,"rows":$rows,"sec":$sec%.2f,"docs_per_sec":${rows / sec}%.1f}""")
+      spark.stop()
+    }
+
+    if (times.size == 2) {
+      val lo = times(levels.head); val hi = times(levels.last)
+      val factor = levels.last.toDouble / levels.head
+      val eff = (lo / hi) / factor
+      println(f"""{"metric":"scaling_efficiency","n_to_4n":$eff%.3f,"t_low":$lo%.2f,"t_high":$hi%.2f,"factor":$factor%.0f}""")
+    }
+  }
+}

@@ -102,6 +102,28 @@ object SparkEntry {
         .orderBy("level")
     }),
 
+    // ---- the 13 digest projections (SURVEY §2.3) over the documents
+    // text-as-bytes: md5 over the reference's exact byte slices
+    // (cluster=4096 arithmetic incl. borrow-back rules); hash-function
+    // choice is role-equivalent (SURVEY §1.2.2), the OFFSET arithmetic
+    // is what's under test
+    "q_digests" -> ((s, dir) => {
+      val content = col("text").cast("binary")
+      val sl = graft.functions.Digests.slices(content)
+      docs(s, dir).select(
+        col("doc_id"),
+        octet_length(content).cast("long").as("d_filesize"),
+        md5(sl("sample")).as("d_sample"),
+        md5(sl("end_sample")).as("d_end_sample"),
+        md5(sl("mid_sample")).as("d_mid_sample"),
+        md5(sl("file_head")).as("d_file_head"),
+        md5(sl("file_tail")).as("d_file_tail"),
+        md5(sl("first_half_cluster")).as("d_fast_initial"),
+        md5(sl("first_cluster")).as("d_initial"),
+        md5(sl("final_cluster")).as("d_final"),
+        sha2(content, 256).as("d_sha"))
+    }),
+
     // ---- normalized-text near-exact dedup (fingerprint identity)
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextStats.fingerprintMd5(col("text")).as("fp"))),
@@ -145,7 +167,139 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // ---- relational health check: TPC-H Q1-style pricing summary
+    // ---- identity pre-group (F3/A4/A5 analog): canonical = min doc_id
+    // per (lang, n_chars) identity key
+    "q_identity_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"), col("n_chars"))
+      docs(s, dir).select(col("doc_id"), min(col("doc_id")).over(w).as("canonical"))
+    }),
+
+    // ---- exact word-bigram Jaccard [EXT]: candidate pairs blocked on
+    // (lang, n_chars), verified with exact set Jaccard
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val bigrams = array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - 1, lit(0))),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      val d = docs(s, dir).filter(trim(col("text")) =!= "")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          when(size(toks) < 2, array().cast("array<string>")).otherwise(bigrams).as("bg"))
+      val l = d.select(col("lang"), col("n_chars"), col("doc_id").as("src"), col("bg").as("bg1"))
+      val r = d.select(col("lang"), col("n_chars"), col("doc_id").as("dst"), col("bg").as("bg2"))
+      l.join(r, Seq("lang", "n_chars"))
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"),
+          round(size(array_intersect(col("bg1"), col("bg2"))).cast("double") /
+            (size(col("bg1")) + size(col("bg2")) - size(array_intersect(col("bg1"), col("bg2")))), 6)
+            .as("jaccard"))
+        .orderBy("src", "dst")
+    }),
+
+    // ---- connected components [EXT] over two star-edge sets (same
+    // normalized fingerprint ∪ same (lang, n_chars)) — multi-hop
+    // clusters; oracle is a recursive min-label CTE
+    "q_cc" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        lpad(col("doc_id").cast("string"), 12, "0").as("id"),
+        TextStats.fingerprintMd5(col("text")).as("fp"),
+        concat_ws("|", col("lang"), col("n_chars")).as("ident"))
+      def starEdges(key: Column) = {
+        val w = Window.partitionBy(key)
+        d.select(col("id"), min(col("id")).over(w).as("m"))
+          .filter(col("id") =!= col("m"))
+          .select(col("id").as("src"), col("m").as("dst"))
+      }
+      val edges = starEdges(col("fp")).unionByName(starEdges(col("ident")))
+      val cc = graft.cluster.ConnectedComponents.run(edges)
+      d.select(col("id")).join(cc, Seq("id"), "left")
+        .select(col("id").cast("long").as("doc_id"),
+          coalesce(col("component"), col("id")).cast("long").as("component"))
+    }),
+
+    // ---- embedding near-dup pairs [EXT]: exact cosine ≥ 0.99,
+    // brute-force within vec_id < 1000 (the oracle-comparable form;
+    // the LSH-bucketed scale path is q_ann_lsh)
+    "q_embedding_dup" -> ((s, dir) => {
+      val e = embeddings(s, dir).filter(col("vec_id") < 1000)
+      val l = e.select(col("vec_id").as("src"), col("embedding").as("sv"))
+      val r = e.select(col("vec_id").as("dst"), col("embedding").as("dv"))
+      l.crossJoin(r).filter(col("src") < col("dst"))
+        .withColumn("score", round(graft.sim.Ann.cosine(col("sv"), col("dv")), 6))
+        .filter(col("score") >= 0.99)
+        .select("src", "dst", "score")
+        .orderBy("src", "dst")
+    }),
+
+    // ---- duplicated-substring windows [EXT]: md5 of each 20-token
+    // window (stride 10); per-doc window count + how many of its
+    // windows also occur in ≥1 other doc
+    "q_substring" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val nWin = when(size(toks) < 20, 0)
+        .otherwise(floor((size(toks) - 20).cast("double") / 10).cast("int") + 1)
+      val winHashes = transform(
+        sequence(lit(0), nWin - 1),
+        i => md5(concat_ws(" ",
+          slice(toks, i * lit(10) + 1, lit(20))).cast("binary")))
+      val d = docs(s, dir)
+        .select(col("doc_id"), when(size(toks) < 20, array().cast("array<string>"))
+          .otherwise(winHashes).as("whs"))
+      val exploded = d.select(col("doc_id"), explode(col("whs")).as("wh"))
+      val dupWin = exploded.groupBy("wh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+      val dupPerDoc = exploded.join(dupWin, "wh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      d.select(col("doc_id"), size(col("whs")).cast("long").as("n_windows"))
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"))
+    }),
+
+    // ---- no-oracle [EXT] entries (hash functions not reproducible in
+    // DuckDB; verified against planted truth in ScalaTest instead) ----
+
+    // MinHash/LSH end-to-end dedup clusters over documents
+    "q_minhash_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(lpad(col("doc_id").cast("string"), 12, "0").as("url"), col("text"))
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val edges = graft.near.MinHashLSH.edges(d)
+      val cc = graft.cluster.ConnectedComponents.run(edges.select("src", "dst"))
+      d.select(col("url").as("id")).join(cc, Seq("id"), "left")
+        .select(col("id").cast("long").as("doc_id"),
+          coalesce(col("component"), col("id")).cast("long").as("cluster_id"))
+    }),
+
+    // SimHash 64-bit fingerprints
+    "q_simhash" -> ((s, dir) =>
+      graft.near.SimHash.fingerprints(
+        docs(s, dir).withColumn("url", col("doc_id").cast("string")))
+        .select(col("id").cast("long").as("doc_id"), col("simhash"))),
+
+    // MinHash signatures (128 perms)
+    "q_minhash_sigs" -> ((s, dir) =>
+      graft.near.MinHashLSH.signatures(
+        docs(s, dir).withColumn("url", col("doc_id").cast("string")))
+        .select(col("id").cast("long").as("doc_id"), col("sig"))),
+
+    // LSH-bucketed approximate kNN (the at-scale ANN path)
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.sim.Ann.knnLsh(e, e.filter(col("vec_id") < 20), 5)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
+    // multimodal binary plumbing (stub decode — deterministic fake)
+    "q_media_meta" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("bin", col("text").cast("binary"))
+      val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
+      graft.multimodal.Media.decode(s, media).toDF()
+        .select(col("media_id").cast("long").as("doc_id"),
+          col("n_bytes"), col("width"), col("height"), col("n_frames"))
+    }),
+
+    // relational health check: TPC-H Q1-style pricing summary
     "q_tpch_pricing" -> ((s, dir) =>
       lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -195,6 +349,32 @@ object SparkEntry {
         "UNION ALL SELECT 2, count(*) FILTER (WHERE nkeys > 2), " +
         "count(DISTINCT blk) FILTER (WHERE nkeys > 2) - count(DISTINCT blk) FILTER (WHERE nkeys > 2) FROM n " +
         "ORDER BY level"),
+    "q_digests" ->
+      ("WITH b AS (SELECT doc_id, text AS t, length(text) AS sz, " +
+        "least(length(text), 4096) AS cl FROM documents), " +
+        // last/mid cluster offsets + borrow-back rules (ASCII text:
+        // char arithmetic == byte arithmetic)
+        "o AS (SELECT *, " +
+        "CAST(trunc((sz - 1) / cl) AS BIGINT) * cl AS lco0, " +
+        "CAST(trunc((sz / 2.0 - 1) / cl) AS BIGINT) * cl AS mco FROM b WHERE cl > 0), " +
+        "p AS (SELECT *, sz - lco0 AS lcs0 FROM o), " +
+        "q AS (SELECT *, " +
+        "CASE WHEN lcs0 < 128 THEN lco0 - cl ELSE lco0 END AS es_lco, " +
+        "CASE WHEN lcs0 < 128 THEN cl ELSE lcs0 END AS es_lcs, " +
+        "CASE WHEN lcs0 < CAST(trunc(cl / 2.0) AS BIGINT) THEN lco0 - cl ELSE lco0 END AS fc_lco FROM p) " +
+        "SELECT doc_id, CAST(sz AS BIGINT) AS d_filesize, " +
+        "md5(substr(t, CAST(greatest(0, trunc(cl / 2.0 - 128)) AS BIGINT) + 1, 128)) AS d_sample, " +
+        "md5(substr(t, CAST(greatest(0, es_lco + trunc(es_lcs / 2.0) - 128) AS BIGINT) + 1, 128)) AS d_end_sample, " +
+        "md5(substr(t, CAST(greatest(0, mco + trunc(cl / 2.0) - 128) AS BIGINT) + 1, 128)) AS d_mid_sample, " +
+        "md5(substr(t, 1, CAST(least(sz, 1024) AS BIGINT))) AS d_file_head, " +
+        "md5(substr(t, CAST(sz - least(sz, 1024) AS BIGINT) + 1, CAST(least(sz, 1024) AS BIGINT))) AS d_file_tail, " +
+        "md5(substr(t, 1, CAST(least(sz, 2048) AS BIGINT))) AS d_fast_initial, " +
+        "md5(substr(t, 1, CAST(least(sz, 4096) AS BIGINT))) AS d_initial, " +
+        "md5(substr(t, CAST(greatest(0, fc_lco) AS BIGINT) + 1, CAST(cl AS BIGINT))) AS d_final, " +
+        "sha256(t) AS d_sha FROM q " +
+        "UNION ALL " +
+        "SELECT doc_id, 0, md5(''), md5(''), md5(''), md5(''), md5(''), md5(''), md5(''), md5(''), sha256('') " +
+        "FROM b WHERE cl = 0"),
     "q_fingerprint" ->
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
     "q_empty_split" ->
@@ -239,6 +419,48 @@ object SparkEntry {
         "r AS (SELECT query_id, neighbor_id, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s) " +
         "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
+    "q_identity_dedup" ->
+      "SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, n_chars) AS canonical FROM documents",
+    "q_ngram_jaccard" ->
+      ("WITH t AS (SELECT doc_id, lang, n_chars, string_split_regex(trim(text), '\\s+') AS ts " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "d AS (SELECT doc_id, lang, n_chars, " +
+        "CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_distinct(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) END AS bg FROM t) " +
+        "SELECT l.doc_id AS src, r.doc_id AS dst, " +
+        "round(CAST(len(list_intersect(l.bg, r.bg)) AS DOUBLE) / " +
+        "(len(l.bg) + len(r.bg) - len(list_intersect(l.bg, r.bg))), 6) AS jaccard " +
+        "FROM d l JOIN d r ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id " +
+        "ORDER BY src, dst"),
+    "q_cc" ->
+      ("WITH RECURSIVE d AS (SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS id, " +
+        "md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp, " +
+        "lang || '|' || CAST(n_chars AS VARCHAR) AS ident FROM documents), " +
+        "e1 AS (SELECT id AS src, min(id) OVER (PARTITION BY fp) AS dst FROM d), " +
+        "e2 AS (SELECT id AS src, min(id) OVER (PARTITION BY ident) AS dst FROM d), " +
+        "edges AS (SELECT src, dst FROM e1 WHERE src <> dst UNION SELECT src, dst FROM e2 WHERE src <> dst), " +
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges), " +
+        "lbl(id, comp) AS (SELECT id, id FROM d " +
+        "UNION SELECT s.dst, l.comp FROM lbl l JOIN sym s ON s.src = l.id AND l.comp < s.dst) " +
+        "SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS component FROM lbl GROUP BY id"),
+    "q_embedding_dup" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000), " +
+        "s AS (SELECT l.vec_id AS src, r.vec_id AS dst, " +
+        "list_dot_product(l.v, l.v) AS na, list_dot_product(r.v, r.v) AS nb, " +
+        "list_dot_product(l.v, r.v) AS dot FROM e l JOIN e r ON l.vec_id < r.vec_id), " +
+        "sc AS (SELECT src, dst, round(CASE WHEN na > 0 AND nb > 0 THEN dot / sqrt(na * nb) ELSE 0.0 END, 6) AS score FROM s) " +
+        "SELECT src, dst, score FROM sc WHERE score >= 0.99 ORDER BY src, dst"),
+    "q_substring" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents), " +
+        "w AS (SELECT doc_id, CASE WHEN len(ts) < 20 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(0, (len(ts) - 20) // 10 + 1), " +
+        "i -> md5(array_to_string(ts[(i * 10 + 1):(i * 10 + 20)], ' '))) END AS whs FROM t), " +
+        "ex AS (SELECT doc_id, unnest(whs) AS wh FROM w), " +
+        "dw AS (SELECT wh FROM ex GROUP BY wh HAVING count(DISTINCT doc_id) >= 2), " +
+        "dp AS (SELECT doc_id, count(*) AS n_dup FROM ex JOIN dw USING (wh) GROUP BY doc_id) " +
+        "SELECT w.doc_id, CAST(len(whs) AS BIGINT) AS n_windows, " +
+        "CAST(coalesce(dp.n_dup, 0) AS BIGINT) AS n_dup_windows " +
+        "FROM w LEFT JOIN dp ON w.doc_id = dp.doc_id"),
     "q_events_dedup" ->
       ("WITH d AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id, value) AS rn FROM events) " +
         "SELECT event_type, count(*) AS n FROM d WHERE rn = 1 GROUP BY event_type ORDER BY event_type"),

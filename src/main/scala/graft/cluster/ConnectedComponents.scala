@@ -33,14 +33,24 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
+    // convergence check: (count, order-independent xor-of-hashes)
+    // signature of the canonical edge set — one cheap aggregate per
+    // iteration instead of two full exceptAll shuffles
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val ls = largeStar(e)
       val ss = smallStar(ls).localCheckpoint()
-      // fixpoint: the edge set is stable (a forest of depth-1 stars)
-      val diff = ss.exceptAll(e).limit(1).count() + e.exceptAll(ss).limit(1).count()
-      converged = diff == 0
+      val s2 = signature(ss)
+      converged = s2 == sig
+      sig = s2
       e = ss
       iter += 1
     }

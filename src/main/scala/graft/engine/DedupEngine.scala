@@ -25,7 +25,13 @@ import graft.model.DigestSpec
   * (#distinct level-k key paths) (reference `count_collisions`,
   * Engine.pm:500-532; oracle fixture [6,3,3,0], Engine.t:235-271).
   */
-final class DedupResult(val blocks: DataFrame, val numLevels: Int, val totalObjects: Long) {
+final class DedupResult(val blocks: DataFrame, val numLevels: Int) {
+
+  /** Total objects = Σ block sizes (computed from the aggregated
+    * blocks frame — never a second scan of the corpus).
+    */
+  lazy val totalObjects: Long =
+    blocks.agg(coalesce(sum(col("size")), lit(0L))).head().getLong(0)
 
   /** Normalized (id, block_id); block_id = lexicographic min member —
     * mirrors the reference CLI's alphabetical-min canonical rule
@@ -128,7 +134,7 @@ object DedupEngine {
           size(col("members")).cast("long").as("size"),
           lit(0).as("nkeys"))
         .filter(size(col("members")) > 0)
-      return new DedupResult(blocks, 0, blocks.select(sum(col("size"))).head().getLong(0))
+      return new DedupResult(blocks, 0)
     }
     mode match {
       case Eager  => runEager(withId, cascade)
@@ -141,7 +147,10 @@ object DedupEngine {
   private def runEager(withId: DataFrame, cascade: Seq[DigestSpec]): DedupResult = {
     val n = cascade.length
     val narrow = stringify(withId, cascade)
-    val total = narrow.count()
+    // the single-object degenerate (keys=[], Engine.pm:351-364) only
+    // needs to know whether ≥2 rows exist — a limit(2) probe, not a
+    // full count scan of the corpus
+    val single = narrow.limit(2).count() < 2
     val grouped = narrow
       .groupBy(keyCols(n): _*)
       .agg(sort_array(collect_list(col("__id"))).as("members"), count(lit(1)).as("size"))
@@ -154,8 +163,8 @@ object DedupEngine {
       g = g.withColumn(s"__s$k", sum(col("size")).over(w))
     }
     // nkeys = min k in [0..n] with (#rows under the k-prefix) == 1, else n.
-    // s_0 = corpus total, s_n = the block's own size.
-    var nkeysExpr: Column = when(lit(total) === 1L, 0)
+    // s_0 = corpus total (degenerate single-row case), s_n = block size.
+    var nkeysExpr: Column = when(lit(single), 0)
     for (k <- 1 until n) nkeysExpr = nkeysExpr.when(col(s"__s$k") === 1L, k)
     nkeysExpr = nkeysExpr.otherwise(n)
     val blocks = g
@@ -163,7 +172,7 @@ object DedupEngine {
       .select(
         slice(array(keyCols(n): _*), lit(1), col("nkeys")).as("keys"),
         col("members"), col("size"), col("nkeys"))
-    new DedupResult(blocks, n, total)
+    new DedupResult(blocks, n)
   }
 
   private def runStaged(withId: DataFrame, cascade: Seq[DigestSpec]): DedupResult = {
@@ -176,7 +185,7 @@ object DedupEngine {
       c.as(s"__k$i")
     }
     var cur = withId.withColumn("__k0", keyed(cascade.head, 0)).repartition(col("__k0"))
-    val total = cur.count()
+    val single = cur.limit(2).count() < 2
     var resolved = Vector.empty[DataFrame]
     for (k <- 0 until n) {
       if (k > 0) cur = cur.withColumn(s"__k$k", keyed(cascade(k), k))
@@ -200,11 +209,11 @@ object DedupEngine {
     // (lazy — no collider ever arrives); mirror it post-hoc.
     val allBlocks = (resolved :+ finalBlocks).reduce(_ unionByName _)
     val blocks =
-      if (total == 1L)
+      if (single)
         allBlocks.select(
           lit(Array.empty[String]).cast("array<string>").as("keys"),
           col("members"), col("size"), lit(0).as("nkeys"))
       else allBlocks
-    new DedupResult(blocks, n, total)
+    new DedupResult(blocks, n)
   }
 }

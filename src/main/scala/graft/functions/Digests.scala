@@ -111,6 +111,20 @@ object Digests {
     when(n <= 0, lit(Array.emptyByteArray)).otherwise(bsub(content, lit(0L), n))
   }
 
+  /** The raw byte-slice expressions underlying the digests — exposed
+    * so alternate hash functions (e.g. md5 for the DuckDB oracle) can
+    * be applied to identical slices.
+    */
+  def slices(content: Column): Map[String, Column] = Map(
+    "sample" -> sampleExpr(content),
+    "end_sample" -> endSampleExpr(content),
+    "mid_sample" -> midSampleExpr(content),
+    "file_head" -> headExpr(content),
+    "file_tail" -> tailExpr(content),
+    "first_half_cluster" -> firstBytes(content, ClusterSize / 2),
+    "first_cluster" -> firstBytes(content, ClusterSize),
+    "final_cluster" -> finalClusterExpr(content))
+
   /** All 13 digests keyed by reference id (enumerated in
     * `/root/reference/bin/dedup_files:56-109`). `content` must be a
     * BINARY column.

@@ -140,8 +140,18 @@ object MinHashLSH {
         shinglesUdf(col(textCol), lit(cfg.shingleK)).as("shingles"))
       .withColumn("sig", minhashUdf(col("shingles"), lit(cfg.numPerms), lit(cfg.seed)))
 
-  /** Candidate pairs from banded LSH: explode 32 band hashes per doc,
-    * self-join each bucket, keep each unordered pair once (id < id2).
+  /** All unordered pairs of a (bounded) bucket member list. */
+  private val pairsUdf = udf { (ids: Seq[String]) =>
+    val s = ids.sorted
+    for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+  }
+
+  /** Candidate pairs from banded LSH: explode band hashes per doc, ONE
+    * shuffle groups each (band_id, band_hash) bucket, pairs are
+    * generated inside the (cap-bounded) bucket — no second self-join
+    * shuffle, no window sort. Over-capacity buckets (boilerplate hot
+    * bands) are dropped here and surfaced by skippedBucketRows —
+    * the quadratic-blowup guard of SURVEY §7.3.
     */
   def candidates(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
     val banded = sigs
@@ -149,17 +159,13 @@ object MinHashLSH {
       .select(col("id"),
         posexplode(bandsUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)))
           .as(Seq("band_id", "band_hash")))
-    // hot-band guard: cap bucket size, surface what was dropped
-    val sized = banded.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band_id"), col("band_hash"))))
-    val kept = sized.filter(col("bucket_n") <= cfg.maxBucket)
-      .select("id", "band_id", "band_hash")
-    val l = kept.select(col("band_id"), col("band_hash"), col("id").as("src"))
-    val r = kept.select(col("band_id"), col("band_hash"), col("id").as("dst"))
-    l.join(r, Seq("band_id", "band_hash"))
-      .filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
+    banded
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, cfg.maxBucket))
+      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("src"), col("p._2").as("dst"))
+      .distinct()
   }
 
   /** Count of rows in over-capacity LSH buckets (skipped-candidate

@@ -69,20 +69,29 @@ object SimHash {
       posexplode(array((0 until cfg.chunks).map(c =>
         shiftright(col("simhash"), c * w).bitwiseAND(lit((1L << w) - 1))): _*))
         .as(Seq("chunk_id", "chunk_val")))
-    val sized = chunked.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("chunk_id"), col("chunk_val"))))
-    val kept = sized.filter(col("bucket_n") <= cfg.maxBucket)
-      .select("id", "simhash", "chunk_id", "chunk_val")
-    val l = kept.select(col("chunk_id"), col("chunk_val"),
-      col("id").as("src"), col("simhash").as("h_src"))
-    val r = kept.select(col("chunk_id"), col("chunk_val"),
-      col("id").as("dst"), col("simhash").as("h_dst"))
-    l.join(r, Seq("chunk_id", "chunk_val"))
-      .filter(col("src") < col("dst"))
-      .select(col("src"), col("dst"),
-        bit_count(col("h_src").bitwiseXOR(col("h_dst"))).as("hamming"))
-      .filter(col("hamming") <= cfg.maxHamming)
+    // ONE shuffle: group the (chunk_id, chunk_val) bucket, pair inside
+    // the (cap-bounded) bucket, verify Hamming on the carried
+    // fingerprints — no window sort, no self-join (same shape as
+    // MinHashLSH.candidates)
+    chunked
+      .groupBy(col("chunk_id"), col("chunk_val"))
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("ms"))
+      .filter(size(col("ms")).between(2, cfg.maxBucket))
+      .select(explode(hamPairsUdf(col("ms"), lit(cfg.maxHamming))).as("p"))
+      .select(col("p._1").as("src"), col("p._2").as("dst"), col("p._3").as("hamming"))
       .distinct()
+  }
+
+  /** Within-bucket pairs with Hamming(simhash) ≤ max — verification
+    * fused into pair generation.
+    */
+  private val hamPairsUdf = udf { (ms: Seq[org.apache.spark.sql.Row], maxHam: Int) =>
+    val s = ms.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    for {
+      i <- s.indices
+      j <- (i + 1) until s.length
+      h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
+      if h <= maxHam
+    } yield (s(i)._1, s(j)._1, h)
   }
 }

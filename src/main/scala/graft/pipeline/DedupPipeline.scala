@@ -36,8 +36,9 @@ object DedupPipeline {
       val exact: DedupResult,
       val edges: DataFrame, // (src, dst, kind)
       val quarantined: DataFrame,
-      val docsIn: Long,
-      val quarantinedCount: Long) {
+      docsInThunk: () => Long) {
+    lazy val docsIn: Long = docsInThunk()
+    lazy val quarantinedCount: Long = quarantined.count()
     /** duplicates-only tab report over final clusters (reference P2). */
     lazy val report: DataFrame = Report.duplicateReport(
       clusters.groupBy("cluster_id").agg(sort_array(collect_list(col("url"))).as("members")))
@@ -46,8 +47,6 @@ object DedupPipeline {
   }
 
   def run(docsRaw: DataFrame, cfg: Config = Config()): Result = {
-    val docsIn = docsRaw.count()
-
     // F4 quarantine: undecodable rows (text null) are counted and routed
     // out, never silently dropped (Files.pm:229-233, Files.t:290-299)
     val quarantined = docsRaw.filter(col("text").isNull)
@@ -90,6 +89,6 @@ object DedupPipeline {
       .join(cc, valid("url") === cc("id"), "left")
       .select(col("url"), coalesce(col("component"), col("url")).as("cluster_id"))
 
-    new Result(clusters, exact, allEdges, quarantined, docsIn, quarantined.count())
+    new Result(clusters, exact, allEdges, quarantined, () => docsRaw.count())
   }
 }
