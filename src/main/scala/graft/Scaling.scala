@@ -23,6 +23,7 @@ object Scaling {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.buffer.pageSize", sys.env.getOrElse("SPARK_GRAFT_PAGESIZE", "4m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
@@ -36,8 +37,12 @@ object Scaling {
         .repartition(64).persist()
       docs.count()
 
-      // JIT/codegen warm-up outside the timed window
-      graft.pipeline.DedupPipeline.run(docs.limit(2000))
+      // JIT/codegen warm-up OUTSIDE the timed window: a full-size
+      // untimed iteration — the first pipeline in a fresh JVM runs ~2×
+      // slower on C2-cold UDF loops, which would bias whichever level
+      // runs first. For fair numbers run ONE level per JVM
+      // (SPARK_GRAFT_SCALE_LEVELS=8, then =32).
+      graft.pipeline.DedupPipeline.run(docs)
         .clusters.write.format("noop").mode("overwrite").save()
 
       val t0 = System.nanoTime()

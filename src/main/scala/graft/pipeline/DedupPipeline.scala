@@ -54,8 +54,10 @@ object DedupPipeline {
     val valid = if (cfg.ignoreEmpty) valid0.filter(octet_length(col("html")) > 0) else valid0
 
     // F3 identity pre-pass: one canonical row per normalized url;
-    // alias edges keep the dropped members clustered with the canonical
-    val canon = Report.dedupIdentity(valid).persist()
+    // alias edges keep the dropped members clustered with the canonical.
+    // Not persisted: canon is a cheap broadcast-anti-join over the
+    // source scan — caching full pages would not survive 100 TB.
+    val canon = Report.dedupIdentity(valid)
     val aliasEdges = valid
       .select(Urls.normalize(col("url")).as("identity"), col("url"))
       .withColumn("canonical", min(col("url")).over(

@@ -33,13 +33,21 @@ object Report {
     * url — canonical = alphabetical min, the reference CLI's
     * resolve_hardlinks rule (CLI.pm:282). Pure recompute, no mutation
     * (vs Files.pm:309-315).
+    *
+    * Scale shape: the window runs over a NARROW (identity, url)
+    * projection only, producing the (rare) alias losers; full rows are
+    * then anti-joined against that small set — AQE turns it into a
+    * broadcast anti-join, so page bytes never enter a shuffle.
     */
   def dedupIdentity(docs: DataFrame, idCol: String = "url"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(Urls.normalize(col(idCol)))
-      .orderBy(col(idCol))
-    docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .partitionBy(col("__identity"))
+    val losers = docs
+      .select(col(idCol), Urls.normalize(col(idCol)).as("__identity"))
+      .withColumn("__min", min(col(idCol)).over(w))
+      .filter(col(idCol) =!= col("__min"))
+      .select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** The reference report (P2, CLI.pm:296-310): duplicate groups only,
