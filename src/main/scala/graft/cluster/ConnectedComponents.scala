@@ -42,14 +42,18 @@ object ConnectedComponents {
         coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var sig = signature(e)
+    // lazy localCheckpoint: the signature aggregate materializes the
+    // iteration's edges — ONE job per iteration, not two. Iteration 1
+    // always changes (orientation/star-ification), so its convergence
+    // probe is skipped outright.
+    var sig = (-1L, 0L)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val ls = largeStar(e)
-      val ss = smallStar(ls).localCheckpoint()
+      val ss = smallStar(ls).localCheckpoint(false)
       val s2 = signature(ss)
-      converged = s2 == sig
+      converged = iter > 0 && s2 == sig
       sig = s2
       e = ss
       iter += 1

@@ -93,4 +93,58 @@ object DedupPipeline {
 
     new Result(clusters, exact, allEdges, quarantined, () => docsRaw.count())
   }
+
+  /** Checkpointed variant (north rule: every stage materializes with
+    * lineage so the pipeline resumes mid-run without recompute). The
+    * edge set and the final clusters are staged through the Catalog;
+    * a re-run with the same config + input lineage reads the tables
+    * back instead of recomputing, and per-stage row/partition metrics
+    * land in the catalog's metrics table (S5/S6).
+    */
+  def runCheckpointed(docsRaw: DataFrame, catalog: graft.checkpoint.Catalog,
+      cfg: Config = Config(), inputLineage: String = ""): Result = {
+    val base = s"$inputLineage|algs=${cfg.algs.mkString(",")}|ie=${cfg.ignoreEmpty}" +
+      s"|mh=${cfg.useMinHash}:${cfg.minhash}|sh=${cfg.useSimHash}:${cfg.simhash}"
+
+    val quarantined = docsRaw.filter(col("text").isNull)
+    val valid0 = docsRaw.filter(col("text").isNotNull)
+    val valid = if (cfg.ignoreEmpty) valid0.filter(octet_length(col("html")) > 0) else valid0
+    val canon = Report.dedupIdentity(valid)
+    lazy val exact = DedupEngine.run(canon, "url", Digests.cascade(col("html"), cfg.algs))
+
+    // stage 1: the full edge set (alias + exact + near-dup edges);
+    // resume skips digesting/shingling the corpus entirely
+    val edges = catalog.stage("edges", base) {
+      val aliasEdges = valid
+        .select(Urls.normalize(col("url")).as("identity"), col("url"))
+        .withColumn("canonical", min(col("url")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("identity"))))
+        .filter(col("url") =!= col("canonical"))
+        .select(col("url").as("src"), col("canonical").as("dst"), lit("alias").as("kind"))
+      val exactEdges = exact.assignments
+        .filter(col("id") =!= col("block_id"))
+        .select(col("id").as("src"), col("block_id").as("dst"), lit("exact").as("kind"))
+      val textDocs = canon.filter(trim(col("text")) =!= "")
+      val mh = if (cfg.useMinHash)
+        Some(MinHashLSH.edges(textDocs, cfg.minhash)
+          .withColumn("kind", lit("minhash")).drop("jaccard")) else None
+      val sh = if (cfg.useSimHash)
+        Some(SimHash.edges(textDocs, cfg.simhash)
+          .withColumn("kind", lit("simhash")).drop("hamming")) else None
+      (Seq(Some(aliasEdges), Some(exactEdges), mh, sh).flatten
+        .map(_.select("src", "dst", "kind"))).reduce(_ unionByName _)
+    }
+
+    // stage 2: connected components over the staged edges
+    val clusters = catalog.stage("clusters", base + "|edges") {
+      val cc = ConnectedComponents.run(edges.select("src", "dst"))
+      valid.select(col("url"))
+        .join(cc, valid("url") === cc("id"), "left")
+        .select(col("url"), coalesce(col("component"), col("url")).as("cluster_id"))
+    }
+    catalog.recordMetrics("clusters", Map(
+      "clusters" -> clusters.select(col("cluster_id")).distinct().count(),
+      "edges" -> edges.count()))
+    new Result(clusters, exact, edges, quarantined, () => docsRaw.count())
+  }
 }
