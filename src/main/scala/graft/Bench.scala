@@ -41,10 +41,14 @@ object Bench {
     }
 
     // end-to-end dedup pipeline on the seeded synthetic corpus
-    // (identical bytes at any parallelism — FIXTURES.md §6)
+    // (identical bytes at any parallelism — FIXTURES.md §6). One
+    // untimed warm-up first: a C2-cold first pipeline run measures the
+    // JIT, not the engine (BASELINE.md protocol).
     val docs = graft.corpus.Corpus.docs(spark, synthRows).toDF()
       .repartition(cpus.toInt * 2).persist()
     docs.count() // materialize generation outside the timed window
+    graft.pipeline.DedupPipeline.run(docs.limit(synthRows.toInt / 4))
+      .clusters.write.format("noop").mode("overwrite").save()
     val pipeSec = time {
       val r = graft.pipeline.DedupPipeline.run(docs)
       r.clusters.write.format("noop").mode("overwrite").save()

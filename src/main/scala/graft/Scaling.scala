@@ -29,6 +29,18 @@ object Scaling {
         .config("spark.driver.host", "127.0.0.1")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
+      if (sys.env.contains("SPARK_GRAFT_JOBLOG")) {
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = s.stageInfo
+            val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1000.0
+            val cpu = i.taskMetrics.executorRunTime / 1000.0
+            if (wall > 0.3)
+              println(f"JOBLOG[$cpus] stage ${i.stageId}%4d ${i.numTasks}%4d tasks wall $wall%6.2f s taskSum $cpu%7.2f s  ${i.name.take(60)}")
+          }
+        })
+      }
 
       // identical bytes + identical partitioning at every level: the
       // generator is a pure function of (seed, index) and the input

@@ -134,6 +134,14 @@ object SparkEntry {
         sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("n_empty"),
         sum(when(length(trim(col("text"))) > 0, 1L).otherwise(0L)).as("n_nonempty"))),
 
+    // ---- A9 byte totals (CLI.pm:116-137): docs scanned, bytes
+    // scanned, unreadable-analog counts
+    "q_scan_totals" -> ((s, dir) =>
+      docs(s, dir).agg(
+        count(lit(1)).as("docs_count"),
+        sum(octet_length(col("text").cast("binary"))).cast("long").as("bytes_count"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("unreadable_count"))),
+
     // ---- text analysis: token count
     "q_token_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))),
@@ -188,10 +196,10 @@ object SparkEntry {
       val r = d.select(col("lang"), col("n_chars"), col("doc_id").as("dst"), col("bg").as("bg2"))
       l.join(r, Seq("lang", "n_chars"))
         .filter(col("src") < col("dst"))
+        .withColumn("inter", size(array_intersect(col("bg1"), col("bg2"))))
         .select(col("src"), col("dst"),
-          round(size(array_intersect(col("bg1"), col("bg2"))).cast("double") /
-            (size(col("bg1")) + size(col("bg2")) - size(array_intersect(col("bg1"), col("bg2")))), 6)
-            .as("jaccard"))
+          round(col("inter").cast("double") /
+            (size(col("bg1")) + size(col("bg2")) - col("inter")), 6).as("jaccard"))
         .orderBy("src", "dst")
     }),
 
@@ -220,11 +228,15 @@ object SparkEntry {
     // brute-force within vec_id < 1000 (the oracle-comparable form;
     // the LSH-bucketed scale path is q_ann_lsh)
     "q_embedding_dup" -> ((s, dir) => {
-      val e = embeddings(s, dir).filter(col("vec_id") < 1000)
-      val l = e.select(col("vec_id").as("src"), col("embedding").as("sv"))
-      val r = e.select(col("vec_id").as("dst"), col("embedding").as("dv"))
+      val e = graft.sim.Ann.prenorm(
+        embeddings(s, dir).filter(col("vec_id") < 1000)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", col("embedding"), "v", "n")
+      val l = e.select(col("vec_id").as("src"), col("v").as("sv"), col("n").as("sn"))
+      val r = e.select(col("vec_id").as("dst"), col("v").as("dv"), col("n").as("dn"))
       l.crossJoin(r).filter(col("src") < col("dst"))
-        .withColumn("score", round(graft.sim.Ann.cosine(col("sv"), col("dv")), 6))
+        .withColumn("score",
+          round(graft.sim.Ann.cosineFromParts(col("sv"), col("sn"), col("dv"), col("dn")), 6))
         .filter(col("score") >= 0.99)
         .select("src", "dst", "score")
         .orderBy("src", "dst")
@@ -380,6 +392,9 @@ object SparkEntry {
     "q_empty_split" ->
       ("SELECT CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty, " +
         "CAST(sum(CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty FROM documents"),
+    "q_scan_totals" ->
+      ("SELECT count(*) AS docs_count, CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes_count, " +
+        "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unreadable_count FROM documents"),
     "q_token_count" ->
       ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) " +
         "AS n_tokens FROM documents"),

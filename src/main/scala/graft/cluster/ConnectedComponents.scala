@@ -67,18 +67,21 @@ object ConnectedComponents {
 
   /** large-star: each node u connects its larger neighbors to its
     * current minimum m(u) = min(Γ(u) ∪ {u}).
+    *
+    * m(u) is a window min over the symmetrized edges — ONE shuffle,
+    * no groupBy+join round trip. Output may contain duplicate edges;
+    * smallStar's terminal distinct dedups once per iteration (stage
+    * count per iteration is the serial critical path, SCALE.md).
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-    val m = sym.groupBy("src").agg(least(min(col("dst")), first(col("src"))).as("m"))
-    sym.join(m, "src")
-      .filter(col("dst") > col("src"))
-      .select(col("dst").as("src"), col("m").as("dst"))
-      .unionByName(m.select(col("src"), col("m").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("dst0"), greatest(col("src"), col("dst")).as("src0"))
-      .select(col("src0").as("src"), col("dst0").as("dst"))
-      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val withM = sym.withColumn("m", least(min(col("dst")).over(w), col("src")))
+    withM.filter(col("dst") > col("src"))
+      .select(col("dst").as("a"), col("m").as("b"))
+      .unionByName(withM.select(col("src").as("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
   }
 
   /** small-star: orient edges large→small; each node connects its
@@ -87,14 +90,13 @@ object ConnectedComponents {
   private def smallStar(e: DataFrame): DataFrame = {
     val dir = e.select(greatest(col("src"), col("dst")).as("src"),
       least(col("src"), col("dst")).as("dst"))
-    val m = dir.groupBy("src").agg(min(col("dst")).as("m"))
-    dir.join(m, "src")
-      .filter(col("dst") =!= col("m"))
-      .select(col("dst").as("src"), col("m").as("dst"))
-      .unionByName(m.select(col("src"), col("m").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("dst0"), greatest(col("src"), col("dst")).as("src0"))
-      .select(col("src0").as("src"), col("dst0").as("dst"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val withM = dir.withColumn("m", min(col("dst")).over(w))
+    withM.filter(col("dst") =!= col("m"))
+      .select(col("dst").as("a"), col("m").as("b"))
+      .unionByName(withM.select(col("src").as("a"), col("m").as("b")))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
       .distinct()
   }
 }

@@ -35,10 +35,14 @@ object Ann {
     */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(prenorm(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q0")),
+      "query_id", col("q0"), "qv", "qn").drop("q0"))
+    val c = prenorm(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c0")),
+      "neighbor_id", col("c0"), "cv", "cn").drop("c0")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score", cosineFromParts(col("qv"), col("qn"), col("cv"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -48,17 +52,24 @@ object Ann {
   }
 
   /** Random-hyperplane LSH bucket code: `bits` sign bits of dot
-    * products with seeded deterministic hyperplanes.
+    * products with seeded deterministic hyperplanes. Planes are
+    * memoized per (bits, dim, seed) — they were being regenerated per
+    * ROW inside the udf otherwise.
     */
+  private val hpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+
   private def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] =
-    Array.tabulate(bits) { b =>
-      Array.tabulate(dim) { d =>
-        // deterministic ~N(0,1) via sum of uniforms
-        val u1 = (Hashing.mix64(seed ^ (b * 1009L + d)) >>> 11).toDouble / (1L << 53).toDouble
-        val u2 = (Hashing.mix64(seed ^ (b * 2003L + d) ^ 0x5bf03635L) >>> 11).toDouble / (1L << 53).toDouble
-        math.sqrt(-2 * math.log(u1 + 1e-300)) * math.cos(2 * math.Pi * u2)
+    hpCache.computeIfAbsent((bits, dim, seed), { key: (Int, Int, Long) =>
+      Array.tabulate(bits) { b =>
+        Array.tabulate(dim) { d =>
+          // deterministic ~N(0,1) via Box-Muller over seeded uniforms
+          val u1 = (Hashing.mix64(seed ^ (b * 1009L + d)) >>> 11).toDouble / (1L << 53).toDouble
+          val u2 = (Hashing.mix64(seed ^ (b * 2003L + d) ^ 0x5bf03635L) >>> 11).toDouble / (1L << 53).toDouble
+          math.sqrt(-2 * math.log(u1 + 1e-300)) * math.cos(2 * math.Pi * u2)
+        }
       }
-    }
+    })
 
   def bucketCode(bits: Int, seed: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((v: Seq[Float]) =>
@@ -111,20 +122,40 @@ object Ann {
     * LSH-bucketed candidate generation (multi-probe radius 1, exact
     * verify within bucket).
     */
+  /** Per-row precomputation for pairwise cosine: double-cast vector +
+    * its self-dot, so each PAIR only pays one dot product (norms were
+    * being recomputed per pair otherwise). Values are bit-identical to
+    * the naive form — same na/nb/dot inputs to the same expression.
+    */
+  def prenorm(df: DataFrame, idAs: String, vecCol: Column,
+      vAs: String, nAs: String): DataFrame = {
+    val vd = transform(vecCol, x => x.cast("double"))
+    df.select(col("*")).select(
+      df.columns.map(col) :+ vd.as(vAs): _*)
+      .withColumn(nAs, aggregate(transform(col(vAs), x => x * x), lit(0.0), (s, v) => s + v))
+  }
+
+  /** cosine from prenormalized parts (dot / sqrt(na·nb)), zero-guarded. */
+  def cosineFromParts(av: Column, an: Column, bv: Column, bn: Column): Column = {
+    val dot = aggregate(zip_with(av, bv, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    when(an > 0 && bn > 0, dot / sqrt(an * bn)).otherwise(lit(0.0))
+  }
+
   def embeddingDupEdges(corpus: DataFrame, threshold: Double, bits: Int = 6,
       seed: Long = 42L, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val codeUdf = bucketCode(bits, seed)
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      codeUdf(col(vecCol)).as("code"))
+    val c = prenorm(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v0"), codeUdf(col(vecCol)).as("code")),
+      "id", col("v0"), "v", "n").drop("v0")
     val probes = probeMasks(bits, 1).map(m => col("code").bitwiseXOR(lit(m)))
     val l = c.withColumn("bucket", explode(array(probes: _*)))
-      .select(col("bucket"), col("id").as("src"), col("v").as("sv"))
-    val r = c.select(col("code").as("bucket"), col("id").as("dst"), col("v").as("dv"))
+      .select(col("bucket"), col("id").as("src"), col("v").as("sv"), col("n").as("sn"))
+    val r = c.select(col("code").as("bucket"), col("id").as("dst"), col("v").as("dv"), col("n").as("dn"))
     l.join(r, Seq("bucket"))
       .filter(col("src") < col("dst"))
-      .withColumn("score", cosine(col("sv"), col("dv")))
+      .withColumn("score", round(cosineFromParts(col("sv"), col("sn"), col("dv"), col("dn")), 6))
       .filter(col("score") >= threshold)
-      .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
+      .select(col("src"), col("dst"), col("score"))
       .distinct()
   }
 }
