@@ -317,11 +317,12 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          // decimal accumulation: exact regardless of partition order,
-          // so the float oracle compare cannot drift
-          sum(col("l_extendedprice").cast("decimal(18,4)") *
+          // decimal accumulation: exact regardless of partition order;
+          // exported as integer CENTS — decimal→double casts disagree
+          // between engines in the last ulp
+          (round(sum(col("l_extendedprice").cast("decimal(18,4)") *
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-            .cast("decimal(28,8)").cast("double").as("sum_disc_price"),
+            .cast("decimal(28,8)"), 2) * 100).cast("long").as("sum_disc_price_cents"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"))
   )
@@ -481,8 +482,9 @@ object SparkEntry {
         "SELECT event_type, count(*) AS n FROM d WHERE rn = 1 GROUP BY event_type ORDER BY event_type"),
     "q_tpch_pricing" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
-        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
-        "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,8)) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,8)), 2) * 100 AS BIGINT) " +
+        "AS sum_disc_price_cents, " +
         "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus " +
         "ORDER BY l_returnflag, l_linestatus")
   )
