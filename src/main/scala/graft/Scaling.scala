@@ -13,8 +13,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Scaling {
   def main(args: Array[String]): Unit = {
-    val rows = sys.env.getOrElse("SPARK_GRAFT_SYNTH_ROWS", "120000").toLong
-    val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "8,32")
+    // defaults match the measured BASELINE.md protocol: 4 vs 16 cores
+    // (N vs 4N inside the host's linear hardware-scaling range)
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SYNTH_ROWS", "600000").toLong
+    val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "4,16,4,16")
       .split(",").map(_.trim.toInt).toSeq
     val times = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
 
