@@ -19,6 +19,14 @@ import graft.report.Report
   *   --outfile PATH|-        tab report destination (default stdout)
   *   --format report|clusters  output shape (P2 report vs normalized)
   *   --checkpoint DIR        materialize + resume stages via Catalog
+  *   --byte-verify           append a full byte-compare level to the
+  *                           cascade (Theory.pod:113-118 — closes the
+  *                           hash-collision caveat; off by default)
+  *   --progress              live progress stream (CLI.pm:125-156):
+  *                           df.observe taps + QueryExecutionListener
+  *                           echo per completed action
+  *   --debug                 INFO logging + formatted physical plan of
+  *                           the output (CLI.pm:30-39 --debug)
   *   --verbose               print summary statistics (S6)
   *   --quiet                 suppress non-output logging
   */
@@ -32,12 +40,15 @@ object Main {
       outfile: String = "-",
       format: String = "report",
       checkpoint: Option[String] = None,
+      byteVerify: Boolean = false,
+      progress: Boolean = false,
+      debug: Boolean = false,
       verbose: Boolean = false,
       quiet: Boolean = false)
 
   def parse(args: List[String], c: Conf = Conf(), algsSet: Boolean = false): Conf = args match {
     case Nil => c
-    case "--input" :: v :: rest => parse(rest, c.copy(inputs = c.inputs :+ v))
+    case "--input" :: v :: rest => parse(rest, c.copy(inputs = c.inputs :+ v), algsSet)
     case "--alg" :: v :: rest =>
       val base = if (algsSet) c.algs else Nil
       parse(rest, c.copy(algs = base :+ v), algsSet = true)
@@ -46,6 +57,9 @@ object Main {
     case "--outfile" :: v :: rest => parse(rest, c.copy(outfile = v), algsSet)
     case "--format" :: v :: rest => parse(rest, c.copy(format = v), algsSet)
     case "--checkpoint" :: v :: rest => parse(rest, c.copy(checkpoint = Some(v)), algsSet)
+    case "--byte-verify" :: rest => parse(rest, c.copy(byteVerify = true), algsSet)
+    case "--progress" :: rest => parse(rest, c.copy(progress = true), algsSet)
+    case "--debug" :: rest => parse(rest, c.copy(debug = true), algsSet)
     case "--verbose" :: rest => parse(rest, c.copy(verbose = true), algsSet)
     case "--quiet" :: rest => parse(rest, c.copy(quiet = true), algsSet)
     case other :: _ => throw new IllegalArgumentException(s"unknown option: $other")
@@ -64,14 +78,21 @@ object Main {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
-    spark.sparkContext.setLogLevel(if (conf.quiet) "ERROR" else "WARN")
+    spark.sparkContext.setLogLevel(
+      if (conf.debug) "INFO" else if (conf.quiet) "ERROR" else "WARN")
+
+    val listener = new graft.progress.Progress.ProgressListener(echo = !conf.quiet)
+    if (conf.progress) spark.listenerManager.register(listener)
 
     // repeated-input skip (F6, CLI.pm:179-183) + accumulation across
     // inputs (Files.pm:36-44): union of source reads
-    val docs = conf.inputs.distinct.map(load(spark, _)).reduce(_ unionByName _)
+    val docs0 = conf.inputs.distinct.map(load(spark, _)).reduce(_ unionByName _)
+    val docs =
+      if (conf.progress) graft.progress.Progress.tap(docs0, "scan_docs", Some("html"))
+      else docs0
 
     val cfg = DedupPipeline.Config(
-      algs = conf.algs,
+      algs = if (conf.byteVerify) conf.algs :+ "bytes" else conf.algs,
       ignoreEmpty = conf.ignoreEmpty,
       useMinHash = !conf.exactOnly,
       useSimHash = !conf.exactOnly)
@@ -81,16 +102,30 @@ object Main {
       case None => DedupPipeline.run(docs, cfg)
     }
 
-    val out: DataFrame = conf.format match {
+    val out0: DataFrame = conf.format match {
       case "clusters" => result.clusters
       case _          => result.report
     }
+    val out =
+      if (conf.progress) graft.progress.Progress.tap(out0, "report_out") else out0
+    if (conf.debug) System.err.println(out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
     conf.outfile match {
       case "-" =>
         out.collect().foreach(r => println(r.mkString("\t")))
       case path =>
         out.coalesce(1).write.mode("overwrite")
           .option("sep", "\t").csv(path)
+    }
+
+    // observed progress metrics land in the checkpoint catalog's
+    // metrics table (S5: metrics stream → metrics sink)
+    if (conf.progress) conf.checkpoint.foreach { dir =>
+      val cat = new graft.checkpoint.Catalog(dir, spark)
+      listener.observations.foreach { o =>
+        cat.recordMetrics(s"observe:${o.name}",
+          o.metrics.collect { case (k, v: Long) => k -> v })
+      }
     }
 
     if (conf.verbose) {

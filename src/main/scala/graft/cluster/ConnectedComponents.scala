@@ -65,18 +65,27 @@ object ConnectedComponents {
       .groupBy("id").agg(min(col("component")).as("component"))
   }
 
+  /** Attach m(src) = min(dst) per src. SKEW-SAFE: a partial-aggregating
+    * groupBy (map-side combine — a 10M-edge hub reduces to one row per
+    * input partition before the shuffle) followed by a join back on
+    * src, which AQE's skew-join splits when a hub key dominates. The
+    * previous Window.partitionBy(src) min sorted ALL of a hub's edges
+    * in ONE task — the 100×-scale stall this replaces.
+    */
+  private def withMin(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    edges.join(mins, "src")
+  }
+
   /** large-star: each node u connects its larger neighbors to its
-    * current minimum m(u) = min(Γ(u) ∪ {u}).
-    *
-    * m(u) is a window min over the symmetrized edges — ONE shuffle,
-    * no groupBy+join round trip. Output may contain duplicate edges;
-    * smallStar's terminal distinct dedups once per iteration (stage
-    * count per iteration is the serial critical path, SCALE.md).
+    * current minimum m(u) = min(Γ(u) ∪ {u}). Output may contain
+    * duplicate edges; smallStar's terminal distinct dedups once per
+    * iteration (stage count per iteration is the serial critical
+    * path, SCALE.md).
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
-    val withM = sym.withColumn("m", least(min(col("dst")).over(w), col("src")))
+    val withM = withMin(sym).withColumn("m", least(col("m"), col("src")))
     withM.filter(col("dst") > col("src"))
       .select(col("dst").as("a"), col("m").as("b"))
       .unionByName(withM.select(col("src").as("a"), col("m").as("b")))
@@ -90,8 +99,7 @@ object ConnectedComponents {
   private def smallStar(e: DataFrame): DataFrame = {
     val dir = e.select(greatest(col("src"), col("dst")).as("src"),
       least(col("src"), col("dst")).as("dst"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
-    val withM = dir.withColumn("m", min(col("dst")).over(w))
+    val withM = withMin(dir)
     withM.filter(col("dst") =!= col("m"))
       .select(col("dst").as("a"), col("m").as("b"))
       .unionByName(withM.select(col("src").as("a"), col("m").as("b")))

@@ -184,6 +184,26 @@ object Corpus {
     DocTruth(urlOf(i), g, kind)
   }
 
+  /** TRUTH-derived expected exact-duplicate report lines for the first
+    * n rows: groups of urls that share byte-identical html BY
+    * CONSTRUCTION of the generator geometry (classify), independent of
+    * any pipeline code — exact_dup/alias members render their leader's
+    * content, all empty docs share the zero-byte page, everything else
+    * is distinct. Used as the VALUES oracle of q_synth_dup_report.
+    */
+  def expectedDupReportLines(n: Long): Seq[String] = {
+    val groups = (0L until n).groupBy { i =>
+      val (leader, kind) = classify(i)
+      kind match {
+        case "empty"               => "EMPTY"
+        case "exact_dup" | "alias" => s"L$leader"
+        case _                     => s"I$i"
+      }
+    }
+    groups.values.filter(_.size > 1)
+      .map(_.map(urlOf).sorted.mkString("\t")).toSeq.sorted
+  }
+
   // --- public API ------------------------------------------------------
 
   def docs(spark: SparkSession, n: Long, seed: Long = Seed): Dataset[Doc] = {

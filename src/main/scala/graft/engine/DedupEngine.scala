@@ -8,16 +8,20 @@ import graft.model.DigestSpec
 
 /** Result of a dedup-engine run.
   *
+  * The at-scale core is ARRAY-FREE (SURVEY §7.3): `blockMeta` is one
+  * narrow row per block — (keys, size, nkeys, block_id) with NO member
+  * list — and `assignments` is the normalized `(id, block_id)` frame a
+  * 10^12-row pipeline consumes. A 10M-member duplicate cluster is just
+  * 10M assignment rows and one meta row; no aggregation buffer ever
+  * holds a member array.
+  *
   * `blocks` reproduces the reference's Block semantics
   * (`/root/reference/lib/Data/Dedup/Engine.pm:228-328`): one row per
-  * group of objects indistinguishable by every computed digest, with
-  * `keys` possibly SHORTER than the cascade — exactly the digests that
-  * were needed (lazy-digest invariant, Engine.pm:246-252).
-  *
-  * `assignments` is the normalized at-scale output `(id, block_id)` —
-  * `collect_list` member arrays are kept for reference-parity reporting
-  * but a 10^12-row pipeline consumes the normalized form
-  * (SURVEY.md §7.3).
+  * group with a sorted `members` array and `keys` possibly SHORTER
+  * than the cascade — exactly the digests that were needed
+  * (lazy-digest invariant, Engine.pm:246-252). It is derived LAZILY
+  * from `assignments` and only materializes member arrays on the
+  * reference-parity report path — never in the scale path.
   *
   * `digestCounts(k)` = number of objects whose level-k digest was
   * computed (reference `count_keys_computed`, Engine.pm:569-578).
@@ -25,20 +29,28 @@ import graft.model.DigestSpec
   * (#distinct level-k key paths) (reference `count_collisions`,
   * Engine.pm:500-532; oracle fixture [6,3,3,0], Engine.t:235-271).
   */
-final class DedupResult(val blocks: DataFrame, val numLevels: Int) {
+final class DedupResult(
+    val blockMeta: DataFrame,
+    val assignments: DataFrame,
+    val numLevels: Int) {
 
   /** Total objects = Σ block sizes (computed from the aggregated
-    * blocks frame — never a second scan of the corpus).
+    * meta frame — never a second scan of the corpus).
     */
   lazy val totalObjects: Long =
-    blocks.agg(coalesce(sum(col("size")), lit(0L))).head().getLong(0)
+    blockMeta.agg(coalesce(sum(col("size")), lit(0L))).head().getLong(0)
 
-  /** Normalized (id, block_id); block_id = lexicographic min member —
-    * mirrors the reference CLI's alphabetical-min canonical rule
-    * (CLI.pm:282).
+  /** Reference-parity blocks WITH member arrays — report path only.
+    * block_id = lexicographic min member mirrors the reference CLI's
+    * alphabetical-min canonical rule (CLI.pm:282), so grouping the
+    * normalized assignments by block_id reconstructs the member sets.
     */
-  lazy val assignments: DataFrame =
-    blocks.select(explode(col("members")).as("id"), element_at(col("members"), 1).as("block_id"))
+  lazy val blocks: DataFrame =
+    assignments
+      .groupBy(col("block_id"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .join(blockMeta, "block_id")
+      .select(col("keys"), col("members"), col("size"), col("nkeys"))
 
   /** Duplicate groups only (≥2 members) — reference `duplicates`
     * (Files.pm:298-319) + report filter (CLI.pm:306).
@@ -57,7 +69,8 @@ final class DedupResult(val blocks: DataFrame, val numLevels: Int) {
         val prefix = struct((0 to k).map(i => element_at(col("keys"), i + 1)): _*)
         count_distinct(when(nk > k, prefix)).as(s"p$k")
       }
-      val row = blocks.agg((dcs ++ reached ++ paths).head, (dcs ++ reached ++ paths).tail: _*).head()
+      val row = blockMeta
+        .agg((dcs ++ reached ++ paths).head, (dcs ++ reached ++ paths).tail: _*).head()
       val d = (0 until numLevels).map(k => row.getLong(k))
       val c = (0 until numLevels).map(k =>
         row.getLong(numLevels + k) - row.getLong(2 * numLevels + k))
@@ -93,6 +106,11 @@ final class DedupResult(val blocks: DataFrame, val numLevels: Int) {
   *    window reuses that partitioning (HashPartitioning(k0) satisfies
   *    ClusteredDistribution(k0..kk)), so the survivor loop adds sorts
   *    but NO further shuffles.
+  *
+  * Block aggregation is a map-side-combining groupBy (count + min),
+  * never a collect_list, so a hot block (all-empty pages sharing one
+  * full key) partial-aggregates safely; the assignments join back on
+  * the full key is the one skewed join, handled by AQE skew-join.
   */
 object DedupEngine {
 
@@ -126,15 +144,15 @@ object DedupEngine {
     val withId = df.withColumn("__id", col(idCol).cast("string"))
     val n = cascade.length
     if (n == 0) {
-      val blocks = withId
-        .agg(sort_array(collect_list(col("__id"))).as("members"))
+      val blockMeta = withId
+        .agg(count(lit(1)).as("size"), min(col("__id")).as("block_id"))
         .select(
           lit(Array.empty[String]).cast("array<string>").as("keys"),
-          col("members"),
-          size(col("members")).cast("long").as("size"),
-          lit(0).as("nkeys"))
-        .filter(size(col("members")) > 0)
-      return new DedupResult(blocks, 0)
+          col("size"), lit(0).as("nkeys"), col("block_id"))
+        .filter(col("size") > 0)
+      val assignments = withId.select(col("__id").as("id"))
+        .crossJoin(broadcast(blockMeta.select(col("block_id"))))
+      return new DedupResult(blockMeta, assignments, 0)
     }
     mode match {
       case Eager  => runEager(withId, cascade)
@@ -143,6 +161,7 @@ object DedupEngine {
   }
 
   private def keyCols(n: Int): Seq[Column] = (0 until n).map(i => col(s"__k$i"))
+  private def keyNames(n: Int): Seq[String] = (0 until n).map(i => s"__k$i")
 
   private def runEager(withId: DataFrame, cascade: Seq[DigestSpec]): DedupResult = {
     val n = cascade.length
@@ -151,11 +170,14 @@ object DedupEngine {
     // needs to know whether ≥2 rows exist — a limit(2) probe, not a
     // full count scan of the corpus
     val single = narrow.limit(2).count() < 2
+    // map-side combining aggregate: hot blocks never materialize arrays
     val grouped = narrow
       .groupBy(keyCols(n): _*)
-      .agg(sort_array(collect_list(col("__id"))).as("members"), count(lit(1)).as("size"))
+      .agg(count(lit(1)).as("size"), min(col("__id")).as("block_id"))
       // one extra exchange on k0 buys exchange-free windows for EVERY
-      // key prefix below (subset-of-clustering-keys rule)
+      // key prefix below (subset-of-clustering-keys rule); the windows
+      // run over the BLOCK-level frame (one row per block), so a hot
+      // block contributes one row, not its members
       .repartition(col("__k0"))
     var g = grouped
     for (k <- 1 until n) {
@@ -167,12 +189,14 @@ object DedupEngine {
     var nkeysExpr: Column = when(lit(single), 0)
     for (k <- 1 until n) nkeysExpr = nkeysExpr.when(col(s"__s$k") === 1L, k)
     nkeysExpr = nkeysExpr.otherwise(n)
-    val blocks = g
-      .withColumn("nkeys", nkeysExpr)
-      .select(
-        slice(array(keyCols(n): _*), lit(1), col("nkeys")).as("keys"),
-        col("members"), col("size"), col("nkeys"))
-    new DedupResult(blocks, n)
+    val meta = g.withColumn("nkeys", nkeysExpr)
+    val blockMeta = meta.select(
+      slice(array(keyCols(n): _*), lit(1), col("nkeys")).as("keys"),
+      col("size"), col("nkeys"), col("block_id"))
+    val assignments = narrow
+      .join(meta.select(keyCols(n) :+ col("block_id"): _*), keyNames(n))
+      .select(col("__id").as("id"), col("block_id"))
+    new DedupResult(blockMeta, assignments, n)
   }
 
   private def runStaged(withId: DataFrame, cascade: Seq[DigestSpec]): DedupResult = {
@@ -186,34 +210,39 @@ object DedupEngine {
     }
     var cur = withId.withColumn("__k0", keyed(cascade.head, 0)).repartition(col("__k0"))
     val single = cur.limit(2).count() < 2
-    var resolved = Vector.empty[DataFrame]
+    var metaParts = Vector.empty[DataFrame]
+    var assignParts = Vector.empty[DataFrame]
     for (k <- 0 until n) {
       if (k > 0) cur = cur.withColumn(s"__k$k", keyed(cascade(k), k))
       val cnt = count(lit(1)).over(Window.partitionBy(keyCols(k + 1): _*))
       cur = cur.withColumn("__cnt", cnt)
-      val singletons = cur
-        .filter(col("__cnt") === 1L)
-        .select(
-          array(keyCols(k + 1): _*).as("keys"),
-          array(col("__id")).as("members"),
-          lit(1L).as("size"),
-          lit(k + 1).as("nkeys"))
-      resolved = resolved :+ singletons
+      val singletons = cur.filter(col("__cnt") === 1L)
+      metaParts = metaParts :+ singletons.select(
+        array(keyCols(k + 1): _*).as("keys"),
+        lit(1L).as("size"),
+        lit(k + 1).as("nkeys"),
+        col("__id").as("block_id"))
+      assignParts = assignParts :+ singletons
+        .select(col("__id").as("id"), col("__id").as("block_id"))
       cur = cur.filter(col("__cnt") > 1L).drop("__cnt")
     }
-    val finalBlocks = cur
+    val finalGrouped = cur
       .groupBy(keyCols(n): _*)
-      .agg(sort_array(collect_list(col("__id"))).as("members"), count(lit(1)).as("size"))
-      .select(array(keyCols(n): _*).as("keys"), col("members"), col("size"), lit(n).as("nkeys"))
+      .agg(count(lit(1)).as("size"), min(col("__id")).as("block_id"))
+    metaParts = metaParts :+ finalGrouped.select(
+      array(keyCols(n): _*).as("keys"), col("size"), lit(n).as("nkeys"), col("block_id"))
+    assignParts = assignParts :+ cur
+      .join(finalGrouped.select(keyCols(n) :+ col("block_id"): _*), keyNames(n))
+      .select(col("__id").as("id"), col("block_id"))
     // single-object corpus: the reference never computes any key
     // (lazy — no collider ever arrives); mirror it post-hoc.
-    val allBlocks = (resolved :+ finalBlocks).reduce(_ unionByName _)
-    val blocks =
+    val allMeta = metaParts.reduce(_ unionByName _)
+    val blockMeta =
       if (single)
-        allBlocks.select(
+        allMeta.select(
           lit(Array.empty[String]).cast("array<string>").as("keys"),
-          col("members"), col("size"), lit(0).as("nkeys"))
-      else allBlocks
-    new DedupResult(blocks, n)
+          col("size"), lit(0).as("nkeys"), col("block_id"))
+      else allMeta
+    new DedupResult(blockMeta, assignParts.reduce(_ unionByName _), n)
   }
 }

@@ -151,7 +151,13 @@ object Digests {
       "initial_sha", "first-cluster SHA-1", sha1(firstBytes(content, ClusterSize))),
     "final_sha" -> DigestSpec(
       "final_sha", "last-cluster SHA-1", sha1(finalClusterExpr(content))),
-    "sha" -> DigestSpec("sha", "SHA-1", sha1(content))
+    "sha" -> DigestSpec("sha", "SHA-1", sha1(content)),
+    // [EXT] optional final byte-compare stage (Theory.pod:113-118
+    // describes it; the reference never implemented it): group on the
+    // raw content bytes themselves, closing the documented
+    // "hash collision is undetectable" caveat. Off by default — enable
+    // with `--alg ... --alg bytes` or Main's --byte-verify.
+    "bytes" -> DigestSpec("bytes", "full content bytes", content)
   )
 
   /** The default cascade: filesize → initial_xxhash → sha

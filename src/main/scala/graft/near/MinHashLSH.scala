@@ -150,8 +150,15 @@ object MinHashLSH {
     * shuffle groups each (band_id, band_hash) bucket, pairs are
     * generated inside the (cap-bounded) bucket — no second self-join
     * shuffle, no window sort. Over-capacity buckets (boilerplate hot
-    * bands) are dropped here and surfaced by skippedBucketRows —
-    * the quadratic-blowup guard of SURVEY §7.3.
+    * bands) are dropped and surfaced by skippedBucketRows — the
+    * quadratic-blowup guard of SURVEY §7.3.
+    *
+    * The cap is enforced in TWO PHASES so an over-cap bucket never
+    * materializes: a map-side-combining count per (band_id, band_hash)
+    * first, then a semi-join keeps only rows of in-cap buckets, and
+    * only THOSE are collect_list'd (bounded ≤ maxBucket by
+    * construction). A 10M-row boilerplate band costs one counted row,
+    * never a 10M-element aggregation buffer.
     */
   def candidates(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
     val banded = sigs
@@ -159,10 +166,14 @@ object MinHashLSH {
       .select(col("id"),
         posexplode(bandsUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)))
           .as(Seq("band_id", "band_hash")))
+    val inCap = banded
+      .groupBy(col("band_id"), col("band_hash")).count()
+      .filter(col("count").between(2, cfg.maxBucket))
+      .select(col("band_id"), col("band_hash"))
     banded
+      .join(inCap, Seq("band_id", "band_hash"), "left_semi")
       .groupBy(col("band_id"), col("band_hash"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, cfg.maxBucket))
       .select(explode(pairsUdf(col("ids"))).as("p"))
       .select(col("p._1").as("src"), col("p._2").as("dst"))
       .distinct()

@@ -1,40 +1,66 @@
 package graft.near
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SimHash fingerprints with Hamming-ball candidate probing [EXT]
   * (north rule; SURVEY §7.1 module 7).
   *
-  * 64-bit SimHash over token-frequency features; candidates found by
-  * chunking the fingerprint into `chunks` pieces — by pigeonhole, two
-  * fingerprints within Hamming distance (chunks − 1) share at least
-  * one exact chunk, so an equi-self-join per chunk finds every pair in
-  * the ball (this is the join-friendly form of Hamming-ball probing:
-  * no similarity join operator needed, plain shuffled equi-joins that
-  * Catalyst plans and AQE skew-handles).
+  * 64-bit SimHash over the doc's DISTINCT k-shingle features (the same
+  * shingle universe MinHash permutes over — unigram token-frequency
+  * features collapse on small-vocabulary web text, where unrelated
+  * pages share most words and land within trivial Hamming distance).
+  *
+  * Candidate probing is the generalized block-permutation scheme of
+  * Manku/Jain/Sarma, "Detecting Near-Duplicates for Web Crawling"
+  * (WWW'07): split the 64 bits into `blocks` near-equal blocks; by
+  * pigeonhole, two fingerprints within Hamming distance `maxHamming`
+  * agree on at least (blocks − maxHamming) blocks, so they share at
+  * least one of the C(blocks, blocks − maxHamming) block-combination
+  * keys. Each combination is a probe table; the key packs the selected
+  * block values into one long. With the web-scale default (blocks=6,
+  * maxHamming=3) that is 20 tables keyed on ~32 bits — at 10^12 docs a
+  * key space of 4·10^9, i.e. ~250 rows per bucket, vs the N/256
+  * blowup of single-8-bit-chunk probing. All plain shuffled equi-joins
+  * that Catalyst plans and AQE skew-handles; verification (popcount of
+  * xor) is fused into in-bucket pair generation.
   */
 object SimHash {
 
-  /** Defaults tuned on the planted corpus: the J≈0.95 tier sits at
-    * Hamming 2-7 (median 4), so the ball is 7 with 8×8-bit chunks
-    * (pigeonhole: ham ≤ 7 ⇒ ≥1 of 8 chunks equal). Unrelated docs sit
-    * near Hamming 32 — P(≤7) ≈ 0, so the wider ball stays precise.
+  /** `blocks`/`maxHamming` trade probe fan-out (C(blocks, blocks−h)
+    * tables) against key width: keys carry (blocks−h)·(64/blocks)
+    * bits, and must keep the expected bucket N/2^bits under
+    * `maxBucket`. Defaults are the Manku web-scale point (20 tables,
+    * 32-bit keys, ham ≤ 3). Small-corpus verification configs may
+    * widen the ball instead (e.g. blocks=13, maxHamming=12 → 13
+    * tables on ~5-bit keys — only sane when N is tiny).
     */
-  case class Config(chunks: Int = 8, maxHamming: Int = 7, seed: Long = 42L, maxBucket: Int = 200) {
-    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+  case class Config(
+      blocks: Int = 6,
+      maxHamming: Int = 3,
+      shingleK: Int = 5,
+      seed: Long = 42L,
+      maxBucket: Int = 200) {
+    require(maxHamming < blocks && blocks <= 64, "pigeonhole needs maxHamming < blocks <= 64")
+    /** blocks that must agree = key blocks per table */
+    def keyBlocks: Int = blocks - maxHamming
+    /** (offset, width) of each block, widths differing by ≤1 */
+    def blockBounds: Seq[(Int, Int)] = {
+      val base = 64 / blocks; val extra = 64 % blocks
+      val widths = Seq.tabulate(blocks)(i => if (i < extra) base + 1 else base)
+      widths.scanLeft(0)(_ + _).zip(widths)
+    }
+    /** all C(blocks, keyBlocks) block-index combinations (probe tables) */
+    def tables: Seq[Seq[Int]] = (0 until blocks).combinations(keyBlocks).toSeq
   }
 
-  def simhash64(tokens: Array[String], seed: Long): Long = {
-    if (tokens.isEmpty) return 0L
+  /** SimHash over pre-hashed distinct features. */
+  def simhash64(features: Array[Long], seed: Long): Long = {
+    if (features == null || features.isEmpty) return 0L
     val acc = new Array[Int](64)
     var i = 0
-    while (i < tokens.length) {
-      val s = tokens(i)
-      var sh = 0xcbf29ce484222325L
-      var p = 0
-      while (p < s.length) { sh = (sh ^ s.charAt(p)) * 0x100000001b3L; p += 1 }
-      val h = Hashing.mix64(sh ^ seed)
+    while (i < features.length) {
+      val h = Hashing.mix64(features(i) ^ seed)
       var b = 0
       while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
       i += 1
@@ -45,8 +71,8 @@ object SimHash {
     out
   }
 
-  private val simhashUdf = udf((text: String, seed: Long) =>
-    SimHash.simhash64(Hashing.tokenize(text), seed))
+  private val simhashUdf = udf((text: String, k: Int, seed: Long) =>
+    simhash64(Hashing.shingleHashes(Hashing.tokenize(text), k), seed))
 
   /** (id, simhash) — map-side only. Empty/null text → null fingerprint
     * (excluded from probing; empties are the exact stage's job).
@@ -55,32 +81,62 @@ object SimHash {
       idCol: String = "url"): DataFrame =
     docs.select(col(idCol).as("id"),
       when(col(textCol).isNull || trim(col(textCol)) === "", lit(null))
-        .otherwise(simhashUdf(col(textCol), lit(cfg.seed))).as("simhash"))
+        .otherwise(simhashUdf(col(textCol), lit(cfg.shingleK), lit(cfg.seed))).as("simhash"))
+
+  /** Pack the table's selected block values into one long — pure
+    * codegen'd bit arithmetic, no UDF.
+    */
+  private def tableKey(sh: Column, table: Seq[Int], cfg: Config): Column = {
+    val bounds = cfg.blockBounds
+    var shift = 0
+    var key: Column = lit(0L)
+    table.foreach { b =>
+      val (off, w) = bounds(b)
+      val block = shiftright(sh, off).bitwiseAND(lit((1L << w) - 1L))
+      key = key.bitwiseOR(shiftleft(block, shift))
+      shift += w
+    }
+    key
+  }
+
+  /** (id, simhash, table_id, key) — one row per probe table. */
+  private def probed(fp: DataFrame, cfg: Config): DataFrame =
+    fp.select(col("id"), col("simhash"),
+      posexplode(array(cfg.tables.map(t => tableKey(col("simhash"), t, cfg)): _*))
+        .as(Seq("table_id", "key")))
 
   /** Near-dup edges: pairs with Hamming(simhash) ≤ maxHamming.
-    * Chunk-probing self-join; verification = popcount of xor, a
-    * codegen'd built-in (bit_count).
+    *
+    * Two-phase hot-bucket cap (SURVEY §7.3): count per (table_id, key)
+    * first — map-side combining, so a boilerplate mega-bucket reduces
+    * before the shuffle — then semi-join keeps only in-cap bucket rows
+    * and only those are collect_list'd (bounded ≤ maxBucket by
+    * construction). Over-cap buckets are surfaced by
+    * skippedBucketRows, never silently materialized.
     */
   def edges(docs: DataFrame, cfg: Config = Config(), textCol: String = "text",
       idCol: String = "url"): DataFrame = {
     val fp = fingerprints(docs, cfg, textCol, idCol).filter(col("simhash").isNotNull)
-    val w = 64 / cfg.chunks
-    val chunked = fp.select(col("id"), col("simhash"),
-      posexplode(array((0 until cfg.chunks).map(c =>
-        shiftright(col("simhash"), c * w).bitwiseAND(lit((1L << w) - 1))): _*))
-        .as(Seq("chunk_id", "chunk_val")))
-    // ONE shuffle: group the (chunk_id, chunk_val) bucket, pair inside
-    // the (cap-bounded) bucket, verify Hamming on the carried
-    // fingerprints — no window sort, no self-join (same shape as
-    // MinHashLSH.candidates)
-    chunked
-      .groupBy(col("chunk_id"), col("chunk_val"))
+    val pr = probed(fp, cfg)
+    val inCap = pr.groupBy(col("table_id"), col("key")).count()
+      .filter(col("count").between(2, cfg.maxBucket))
+      .select(col("table_id"), col("key"))
+    pr.join(inCap, Seq("table_id", "key"), "left_semi")
+      .groupBy(col("table_id"), col("key"))
       .agg(collect_list(struct(col("id"), col("simhash"))).as("ms"))
-      .filter(size(col("ms")).between(2, cfg.maxBucket))
       .select(explode(hamPairsUdf(col("ms"), lit(cfg.maxHamming))).as("p"))
       .select(col("p._1").as("src"), col("p._2").as("dst"), col("p._3").as("hamming"))
       .distinct()
   }
+
+  /** Count of rows in over-capacity probe buckets (skipped-candidate
+    * metric — no silent truncation; pipelines should surface this).
+    */
+  def skippedBucketRows(docs: DataFrame, cfg: Config = Config(), textCol: String = "text",
+      idCol: String = "url"): DataFrame =
+    probed(fingerprints(docs, cfg, textCol, idCol).filter(col("simhash").isNotNull), cfg)
+      .groupBy(col("table_id"), col("key")).count()
+      .filter(col("count") > cfg.maxBucket)
 
   /** Within-bucket pairs with Hamming(simhash) ≤ max — verification
     * fused into pair generation.

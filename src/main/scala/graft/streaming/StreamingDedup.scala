@@ -18,23 +18,30 @@ object StreamingDedup {
   case class Assignment(url: String, canonical: String, is_duplicate: Boolean)
 
   /** Streaming exact dedup: key = content hash (any digest column the
-    * caller computed — e.g. sha1(html)); state = canonical url per
-    * key (min url seen, mirroring the alphabetical-min rule only
-    * within arrival order: first-seen wins, like the reference's
-    * insertion-ordered blocks).
+    * caller computed — e.g. sha1(html)); state = canonical url per key:
+    * FIRST-SEEN wins, like the reference's insertion-ordered blocks
+    * (Engine.pm:426-430 appends to the block whose keys matched first).
+    *
+    * One-pass and O(1) state per key: the group's row iterator streams
+    * through flatMapGroupsWithState without materializing (r01 buffered
+    * each micro-batch group via rows.toSeq — unbounded on hot keys).
     */
   def assign(spark: SparkSession, keyed: Dataset[Keyed]): Dataset[Assignment] = {
     import spark.implicits._
     keyed
       .groupByKey(_.key)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[Keyed], state: GroupState[String]) =>
-          val batch = rows.toSeq.sortBy(_.url)
-          val canonical = state.getOption.getOrElse(batch.head.url)
-          if (!state.exists) state.update(canonical)
-          batch.map(k => Assignment(k.url, canonical, k.url != canonical))
+          // establish the canonical EAGERLY (state must not be updated
+          // from inside the lazily-consumed iterator), then stream
+          val head = if (state.exists) Iterator.empty else {
+            val first = rows.next()
+            state.update(first.url)
+            Iterator.single(first)
+          }
+          val canonical = state.get
+          (head ++ rows).map(k => Assignment(k.url, canonical, k.url != canonical))
       }
-      .flatMap(identity)
   }
 
   /** Watermarked event-stream dedup + windowed counts: first event per

@@ -69,10 +69,18 @@ object SubstringDedup {
     * window (quadratic-blowup guard, SURVEY §7.3).
     */
   def substringDupEdges(docs: DataFrame, w: Int = 20, stride: Int = 10,
-      minShared: Int = 2, idCol: String = "url", textCol: String = "text"): DataFrame = {
+      minShared: Int = 2, idCol: String = "url", textCol: String = "text",
+      maxDocsPerWindow: Int = 50): DataFrame = {
     val wh = windowHashes(docs, w, stride, idCol, textCol)
-    val grouped = wh.groupBy("win_hash").agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, 50))
+    // two-phase cap: count first (map-side combine), semi-join back,
+    // THEN collect — a hot boilerplate window never materializes its
+    // full doc set in one aggregation buffer (SURVEY §7.3)
+    val inCap = wh.groupBy("win_hash")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd").between(2, maxDocsPerWindow))
+      .select(col("win_hash"))
+    val grouped = wh.join(inCap, Seq("win_hash"), "left_semi")
+      .groupBy("win_hash").agg(collect_set(col("id")).as("ids"))
     grouped
       .select(explode(col("ids")).as("src"), col("ids"))
       .select(col("src"), explode(col("ids")).as("dst"))

@@ -28,6 +28,18 @@ class CCSpec extends SparkSpec {
     assert(cc.values.toSet == Set("a") && cc.keySet == Set("a", "b", "c"))
   }
 
+  test("100k-member hub star converges without window skew (de-skewed min aggregate)") {
+    import org.apache.spark.sql.functions._
+    // one giant hub: every edge shares src "hub" — the shape that
+    // stalled a single task under Window.partitionBy(src)
+    val e = spark.range(100000)
+      .select(concat(lit("n"), format_string("%06d", col("id"))).as("src"), lit("hub").as("dst"))
+    val cc = ConnectedComponents.run(e)
+    assert(cc.count() == 100001L)
+    assert(cc.select("component").distinct().count() == 1L)
+    assert(cc.select(min(col("component"))).head().getString(0) == "hub")
+  }
+
   test("star graph is already converged") {
     val e = Seq(("z1", "a"), ("z2", "a"), ("z3", "a")).toDF("src", "dst")
     val cc = ConnectedComponents.run(e).collect()

@@ -44,7 +44,7 @@ class AnnSpec extends SparkSpec {
 
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
-  test("LSH ANN recall vs brute force (multi-probe, 8-bit buckets)") {
+  test("LSH ANN recall vs brute force (multi-probe, scale-adaptive bits)") {
     val q = emb.filter(col("vec_id") < 20)
     val exact = Ann.knnBruteForce(emb, q, 5).select("query_id", "neighbor_id")
     val approx = Ann.knnLsh(emb, q, 5).select("query_id", "neighbor_id")
@@ -52,7 +52,14 @@ class AnnSpec extends SparkSpec {
     val recall = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
       .filter(col("hit").isNotNull).count().toDouble / exact.count()
     info(f"ANN recall@5 = $recall%.3f")
-    assert(recall >= 0.5) // approximate path; brute force is the exact baseline
+    assert(recall >= 0.9) // approximate path; brute force is the exact baseline
+  }
+
+  test("adaptive bits grow with log N (fixed buckets degenerate at scale)") {
+    assert(Ann.adaptiveBits(500) == 3)
+    assert(Ann.adaptiveBits(1000000) == 14)
+    assert(Ann.adaptiveBits(1000000000L) == 24)
+    assert(Ann.adaptiveBits(10) == 1)
   }
 
   test("embedding near-dup edges are symmetric-free and high-score") {
@@ -95,7 +102,67 @@ class SubstringSpec extends SparkSpec {
   }
 }
 
+class ProgressSpec extends SparkSpec {
+
+  test("observe taps stream rows/bytes to the listener on action completion") {
+    val listener = new graft.progress.Progress.ProgressListener(echo = false)
+    spark.listenerManager.register(listener)
+    try {
+      val docs = graft.corpus.Corpus.docs(spark, 200).toDF()
+      graft.progress.Progress.tap(docs, "scan_docs_test", Some("html"))
+        .write.format("noop").mode("overwrite").save()
+      // listener delivery is async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      def obs = listener.observations.filter(_.name == "scan_docs_test")
+      while (obs.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(obs.nonEmpty)
+      val m = obs.head.metrics
+      assert(m("rows") == 200L)
+      assert(m("bytes").asInstanceOf[Long] > 0L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("--progress/--debug/--byte-verify parse (CLI.pm:30-39 parity)") {
+    val c = graft.Main.parse(List("--input", "x", "--progress", "--debug", "--byte-verify"))
+    assert(c.progress && c.debug && c.byteVerify)
+    // byte-compare stage appends a real cascade level
+    val casc = graft.functions.Digests.cascade(col("html"), c.algs :+ "bytes")
+    assert(casc.last.id == "bytes")
+  }
+}
+
 class MediaSpec extends SparkSpec {
+
+  test("PNG/GIF/JPEG header parsers recover exact dimensions (golden round-trip)") {
+    import graft.multimodal.Media._
+    for ((w, h) <- Seq((1, 1), (16, 16), (515, 415), (4096, 2160))) {
+      assert(parseImageMeta(pngBytes(w, h)).contains(("png", w, h)))
+      if (w <= 65535 && h <= 65535) {
+        assert(parseImageMeta(gifBytes(w, h)).contains(("gif", w, h)))
+        assert(parseImageMeta(jpegBytes(w, h)).contains(("jpeg", w, h)))
+      }
+    }
+    assert(parseImageMeta("not an image at all".getBytes).isEmpty)
+    assert(parseImageMeta(Array.emptyByteArray).isEmpty)
+    // fixture byte counts are the closed form the oracle uses
+    assert(pngBytes(9, 9).length.toLong == FixtureBytes("png"))
+    assert(gifBytes(9, 9).length.toLong == FixtureBytes("gif"))
+    assert(jpegBytes(9, 9).length.toLong == FixtureBytes("jpeg"))
+  }
+
+  test("decode routes known containers to real header metadata") {
+    import spark.implicits._
+    val rows = Seq(
+      Media.MediaRow("p", "image", Media.pngBytes(100, 50)),
+      Media.MediaRow("g", "image", Media.gifBytes(20, 30)),
+      Media.MediaRow("j", "image", Media.jpegBytes(640, 480)),
+      Media.MediaRow("u", "blob", "unknown payload bytes".getBytes)).toDS()
+    val dec = Media.decode(spark, rows).collect().map(d => d.media_id -> d).toMap
+    assert(dec("p").kind == "png" && dec("p").width == 100 && dec("p").height == 50)
+    assert(dec("g").kind == "gif" && dec("g").width == 20 && dec("g").height == 30)
+    assert(dec("j").kind == "jpeg" && dec("j").width == 640 && dec("j").height == 480)
+    assert(dec("u").kind == "blob") // stub fallback keeps declared kind
+  }
 
   test("binary media plumbing: stub decode is deterministic, schema typed") {
     val docs = graft.corpus.Corpus.docs(spark, 100).toDF()
@@ -112,6 +179,22 @@ class MediaSpec extends SparkSpec {
       .exceptAll(again.select("media_id", "width", "height", "n_frames")).count() == 0)
     val frames = Media.sampleFrames(dec.toDF(), stride = 5)
     assert(frames.count() >= dec.count()) // ≥1 frame per media row
+  }
+}
+
+class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("repeatable --alg accumulates across interleaved options (CLI.pm parity)") {
+    val c = graft.Main.parse(List(
+      "--alg", "filesize", "--input", "x.parquet", "--alg", "sha", "--verbose"))
+    assert(c.algs == Seq("filesize", "sha"))
+    assert(c.inputs == Seq("x.parquet"))
+    assert(c.verbose)
+  }
+
+  test("--alg replaces the default cascade, not appends to it") {
+    assert(graft.Main.parse(List("--alg", "sha")).algs == Seq("sha"))
+    assert(graft.Main.parse(Nil).algs == Seq("filesize", "initial_xxhash", "sha"))
   }
 }
 

@@ -70,8 +70,37 @@ class NearDupSpec extends SparkSpec {
     assert(hits == 0)
   }
 
-  test("SimHash finds the 0.95 tier within the Hamming ball") {
-    val edges = SimHash.edges(docs).select("src", "dst").withColumn("hit", lit(1))
+  /** Brute-force Hamming pairs over fingerprints — the oracle for the
+    * pigeonhole-probing guarantee.
+    */
+  private def bruteHamPairs(fp: org.apache.spark.sql.DataFrame, maxHam: Int) = {
+    val l = fp.select(col("id").as("src"), col("simhash").as("h1"))
+    val r = fp.select(col("id").as("dst"), col("simhash").as("h2"))
+    l.crossJoin(r).filter(col("src") < col("dst"))
+      .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHam)
+      .select("src", "dst")
+  }
+
+  test("SimHash probing finds EVERY pair within the Hamming ball (pigeonhole guarantee)") {
+    val small = Corpus.docs(spark, 300L).toDF().filter(col("text").isNotNull)
+    for (cfg <- Seq(SimHash.Config(), // Manku web-scale: 6 blocks, ham<=3
+        SimHash.Config(blocks = 13, maxHamming = 12, maxBucket = 100000))) {
+      val fp = SimHash.fingerprints(small, cfg).filter(col("simhash").isNotNull)
+      val expect = bruteHamPairs(fp, cfg.maxHamming).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val got = SimHash.edges(small, cfg).select("src", "dst").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      info(s"cfg(blocks=${cfg.blocks}, ham<=${cfg.maxHamming}): ${expect.size} ball pairs")
+      assert(got == expect)
+    }
+  }
+
+  test("SimHash wide-ball config finds the 0.95 tier") {
+    // small-corpus verification config: 13 tables on ~5-bit keys —
+    // the ball radius the planted 0.95 tier measures at (shingle
+    // features put it at ham ≈ 2-12; unrelated docs sit near 32)
+    val cfg = SimHash.Config(blocks = 13, maxHamming = 12, maxBucket = 100000)
+    val edges = SimHash.edges(docs, cfg).select("src", "dst").withColumn("hit", lit(1))
     val tp = truthPairs("near_dup_95")
     val recall = tp.join(edges, Seq("src", "dst"), "left")
       .filter(col("hit").isNotNull).count().toDouble / tp.count()
@@ -80,7 +109,9 @@ class NearDupSpec extends SparkSpec {
   }
 
   test("SimHash does not link unrelated docs (precision on uniques)") {
-    val edges = SimHash.edges(docs)
+    // even at the wide ball radius, unrelated docs (ham ~ 32) stay out
+    val cfg = SimHash.Config(blocks = 13, maxHamming = 12, maxBucket = 100000)
+    val edges = SimHash.edges(docs, cfg)
     val uniq = truth.filter(col("truth_kind") === "unique").select(col("url"))
     val false_ = edges
       .join(uniq.withColumnRenamed("url", "src"), "src")
@@ -88,14 +119,27 @@ class NearDupSpec extends SparkSpec {
     assert(false_.count() == 0)
   }
 
-  test("LSH hot-band cap drops oversized buckets and reports them") {
-    // construct a pathological corpus: 300 identical docs → one hot bucket
+  test("LSH hot-band cap drops a 100k-row bucket in bounded memory") {
+    // pathological corpus: 100k identical docs → every band bucket is
+    // 100k rows. The two-phase cap (count → semi-join → collect) must
+    // never materialize the bucket; this completes in seconds and
+    // bounded memory or not at all.
     import spark.implicits._
-    val hot = (0 until 300).map(i => (s"u$i", "same tokens " * 30)).toDF("url", "text")
+    val hot = spark.range(100000)
+      .map(i => (s"u$i", "same tokens " * 30)).toDF("url", "text")
     val cfg = MinHashLSH.Config(maxBucket = 100)
     val sigs = MinHashLSH.signatures(hot, cfg)
     val skipped = MinHashLSH.skippedBucketRows(sigs, cfg)
-    assert(skipped.count() > 0)
+      .agg(sum(col("count"))).head().getLong(0)
+    assert(skipped == 100000L * cfg.bands)
     assert(MinHashLSH.candidates(sigs, cfg).count() == 0)
+  }
+
+  test("SimHash hot-bucket cap drops oversized buckets and reports them") {
+    import spark.implicits._
+    val hot = (0 until 500).map(i => (s"u$i", "same tokens " * 30)).toDF("url", "text")
+    val cfg = SimHash.Config(maxBucket = 100)
+    assert(SimHash.skippedBucketRows(hot, cfg).count() > 0)
+    assert(SimHash.edges(hot, cfg).count() == 0)
   }
 }
