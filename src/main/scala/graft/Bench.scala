@@ -34,10 +34,32 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (iteration aid);
+    // unset = full driver sweep. SPARK_GRAFT_SKIP_PIPELINE=1 skips the
+    // end-to-end synth pipeline.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // untimed warm-up of every query at the smallest sf: the first
+    // execution in a fresh JVM measures codegen class generation + C2
+    // compilation (3-5× the steady state for iterative plans), not the
+    // plan itself — same protocol as the pipeline bench / BASELINE.md
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP"))
+      picked.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    picked.foreach { case (name, fn) =>
       results(name) = try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch { case _: Throwable => -1.0 }
+    }
+    if (sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE")) {
+      val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      println(f"""{"metric":"total","value":${results.values.filter(_ >= 0).sum}%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}""")
+      spark.stop()
+      return
     }
 
     // end-to-end dedup pipeline on the seeded synthetic corpus
@@ -47,7 +69,11 @@ object Bench {
     val docs = graft.corpus.Corpus.docs(spark, synthRows).toDF()
       .repartition(cpus.toInt * 2).persist()
     docs.count() // materialize generation outside the timed window
-    graft.pipeline.DedupPipeline.run(docs.limit(synthRows.toInt / 4))
+    // quarter-size warm-up corpus (NOT docs.limit: a global limit
+    // collapses to one partition and warms up serially)
+    graft.pipeline.DedupPipeline.run(
+        graft.corpus.Corpus.docs(spark, synthRows / 4).toDF()
+          .repartition(cpus.toInt * 2))
       .clusters.write.format("noop").mode("overwrite").save()
     val pipeSec = time {
       val r = graft.pipeline.DedupPipeline.run(docs)

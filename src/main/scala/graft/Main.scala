@@ -133,6 +133,9 @@ object Main {
       System.err.println(
         s"unique: ${s.getLong(0)}  distinct duplicated: ${s.getLong(1)}  duplicates: ${s.getLong(2)}")
       System.err.println(s"quarantined (undecodable): ${result.quarantinedCount} of ${result.docsIn}")
+      result.skippedBucketRows.foreach { case (k, v) =>
+        System.err.println(s"skipped over-cap $k bucket rows: $v")
+      }
       result.exact.digestCounts.zip(result.exact.collisionCounts).zipWithIndex.foreach {
         case ((d, c), k) => System.err.println(s"level $k: digests computed $d, collisions $c")
       }

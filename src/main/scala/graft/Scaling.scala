@@ -13,6 +13,14 @@ import org.apache.spark.sql.SparkSession
   * Env: SPARK_GRAFT_SYNTH_ROWS (default 600000),
   * SPARK_GRAFT_SCALE_LEVELS (default "4,16,4,16" — interleaved
   * best-of against host drift), SPARK_GRAFT_SCALE_REPS (default 3).
+  *
+  * The measured protocol (BASELINE.md round 2) uses
+  * SPARK_GRAFT_SYNTH_ROWS=2400000 SPARK_DRIVER_MEM=48g
+  * SPARK_GRAFT_SCALE_LEVELS=16,4 SPARK_GRAFT_SCALE_REPS=2: the
+  * pipeline carries a ~20 s core-count-independent serial floor (AQE
+  * stage barriers + job scheduling across ~40 shuffle stages), so
+  * measured efficiency RISES with input size as Amdahl's fixed term
+  * amortizes — at cluster-scale inputs it vanishes entirely.
   */
 object Scaling {
   def main(args: Array[String]): Unit = {
@@ -54,12 +62,13 @@ object Scaling {
         .repartition(64).persist()
       docs.count()
 
-      // JIT/codegen warm-up OUTSIDE the timed window: a full-size
-      // untimed iteration — the first pipeline in a fresh JVM runs ~2×
-      // slower on C2-cold UDF loops, which would bias whichever level
-      // runs first. For fair numbers run ONE level per JVM
-      // (SPARK_GRAFT_SCALE_LEVELS=8, then =32).
-      graft.pipeline.DedupPipeline.run(docs)
+      // JIT/codegen warm-up OUTSIDE the timed window: an untimed
+      // iteration over a quarter-size corpus — the first pipeline in a
+      // fresh JVM runs ~2× slower on C2-cold UDF loops, which would
+      // bias whichever level runs first. (NOT docs.limit(n): a global
+      // limit collapses to one partition and warms up serially.)
+      graft.pipeline.DedupPipeline.run(
+          graft.corpus.Corpus.docs(spark, rows / 4).toDF().repartition(64))
         .clusters.write.format("noop").mode("overwrite").save()
 
       // best-of-N: the sandbox host is shared and individual runs see

@@ -222,11 +222,16 @@ object SparkEntry {
     // growing with corpus size cannot go quadratic — the oracle
     // applies the identical cap (r01 VERDICT scale-killer fix).
     "q_ngram_jaccard" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
+      // materialize toks as a column FIRST: a lambda body re-evaluates
+      // embedded expression trees per element, so an inlined split()
+      // would run O(tokens) regexes per doc
+      val toks = col("toks")
       val bigrams = array_distinct(transform(
         sequence(lit(1), greatest(size(toks) - 1, lit(0))),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       val d0 = docs(s, dir).filter(trim(col("text")) =!= "")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          split(trim(col("text")), "\\s+").as("toks"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           when(size(toks) < 2, array().cast("array<string>")).otherwise(bigrams).as("bg"))
       val inCap = d0.groupBy(col("lang"), col("n_chars")).count()
@@ -284,7 +289,7 @@ object SparkEntry {
     // window (stride 10); per-doc window count + how many of its
     // windows also occur in ≥1 other doc
     "q_substring" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
+      val toks = col("toks") // materialized (see q_ngram_jaccard note)
       val nWin = when(size(toks) < 20, 0)
         .otherwise(floor((size(toks) - 20).cast("double") / 10).cast("int") + 1)
       val winHashes = transform(
@@ -292,6 +297,7 @@ object SparkEntry {
         i => md5(concat_ws(" ",
           slice(toks, i * lit(10) + 1, lit(20))).cast("binary")))
       val d = docs(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
         .select(col("doc_id"), when(size(toks) < 20, array().cast("array<string>"))
           .otherwise(winHashes).as("whs"))
       val exploded = d.select(col("doc_id"), explode(col("whs")).as("wh"))
@@ -359,7 +365,7 @@ object SparkEntry {
     // hashes, exercised end-to-end by q_minhash_clusters). Pure
     // Column expressions, map-side only.
     "q_minhash_sigs" -> ((s, dir) => {
-      val toks = split(trim(col("text")), "\\s+")
+      val toks = col("toks") // materialized (see q_ngram_jaccard note)
       val shingleStrs = when(size(toks) < 5, array(concat_ws(" ", toks)))
         .otherwise(array_distinct(transform(
           sequence(lit(1), size(toks) - 4),
@@ -372,9 +378,11 @@ object SparkEntry {
             (element_at(aLit, p + 1) * h + element_at(bLit, p + 1)) % lit(2147483647L))))
       docs(s, dir)
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
-        // materialize the hashed shingle array ONCE per row — inlining
-        // it re-evaluates the md5s per permutation (128×)
-        .select(col("doc_id"), transform(shingleStrs,
+        // materialize each stage ONCE per row — inlined trees would be
+        // re-evaluated per lambda element / per permutation
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), shingleStrs.as("ss"))
+        .select(col("doc_id"), transform(col("ss"),
           x => conv(substring(md5(x.cast("binary")), 1, 7), 16, 10).cast("long")).as("hs"))
         .select(col("doc_id"), posexplode(sigs).as(Seq("perm_idx", "sig")))
     }),

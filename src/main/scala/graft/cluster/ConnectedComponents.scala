@@ -1,6 +1,6 @@
 package graft.cluster
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components via the alternating
@@ -58,6 +58,8 @@ object ConnectedComponents {
       e = ss
       iter += 1
     }
+    if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
+      System.err.println(s"[cc] converged=$converged iterations=$iter")
     // stars: dst is the root; every node maps to its root, roots to themselves
     val members = e.select(col("src").as("id"), col("dst").as("component"))
     val roots = e.select(col("dst").as("id"), col("dst").as("component")).distinct()
@@ -77,6 +79,22 @@ object ConnectedComponents {
     edges.join(mins, "src")
   }
 
+  /** Emit the star edges in ONE pass: a self-union of the joined
+    * (src, dst, m) frame would duplicate the groupBy+join subtree into
+    * both branches (Spark re-executes unshared subplans), doubling
+    * every iteration's work — explode emits both output edges per row
+    * instead.
+    */
+  private def emitPairs(withM: DataFrame, emitDstCond: Column): DataFrame =
+    withM
+      .select(explode(when(emitDstCond,
+        array(struct(col("dst").as("a"), col("m").as("b")),
+          struct(col("src").as("a"), col("m").as("b"))))
+        .otherwise(array(struct(col("src").as("a"), col("m").as("b"))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
+
   /** large-star: each node u connects its larger neighbors to its
     * current minimum m(u) = min(Γ(u) ∪ {u}). Output may contain
     * duplicate edges; smallStar's terminal distinct dedups once per
@@ -86,11 +104,7 @@ object ConnectedComponents {
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
     val withM = withMin(sym).withColumn("m", least(col("m"), col("src")))
-    withM.filter(col("dst") > col("src"))
-      .select(col("dst").as("a"), col("m").as("b"))
-      .unionByName(withM.select(col("src").as("a"), col("m").as("b")))
-      .filter(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
+    emitPairs(withM, col("dst") > col("src"))
   }
 
   /** small-star: orient edges large→small; each node connects its
@@ -99,12 +113,6 @@ object ConnectedComponents {
   private def smallStar(e: DataFrame): DataFrame = {
     val dir = e.select(greatest(col("src"), col("dst")).as("src"),
       least(col("src"), col("dst")).as("dst"))
-    val withM = withMin(dir)
-    withM.filter(col("dst") =!= col("m"))
-      .select(col("dst").as("a"), col("m").as("b"))
-      .unionByName(withM.select(col("src").as("a"), col("m").as("b")))
-      .filter(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
-      .distinct()
+    emitPairs(withMin(dir), col("dst") =!= col("m")).distinct()
   }
 }

@@ -153,12 +153,12 @@ object MinHashLSH {
     * bands) are dropped and surfaced by skippedBucketRows — the
     * quadratic-blowup guard of SURVEY §7.3.
     *
-    * The cap is enforced in TWO PHASES so an over-cap bucket never
-    * materializes: a map-side-combining count per (band_id, band_hash)
-    * first, then a semi-join keeps only rows of in-cap buckets, and
-    * only THOSE are collect_list'd (bounded ≤ maxBucket by
-    * construction). A 10M-row boilerplate band costs one counted row,
-    * never a 10M-element aggregation buffer.
+    * The cap is enforced IN the aggregation buffer
+    * (`CappedCollect.strings`): at most cap+1 members accumulate while
+    * everything is counted, so a 10M-row boilerplate band costs one
+    * counted row, never a 10M-element buffer — and the whole guard is
+    * ONE aggregation pass (a separate count + semi-join pre-filter
+    * would add two shuffles of serial stage time per run).
     */
   def candidates(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
     val banded = sigs
@@ -166,15 +166,11 @@ object MinHashLSH {
       .select(col("id"),
         posexplode(bandsUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)))
           .as(Seq("band_id", "band_hash")))
-    val inCap = banded
-      .groupBy(col("band_id"), col("band_hash")).count()
-      .filter(col("count").between(2, cfg.maxBucket))
-      .select(col("band_id"), col("band_hash"))
     banded
-      .join(inCap, Seq("band_id", "band_hash"), "left_semi")
       .groupBy(col("band_id"), col("band_hash"))
-      .agg(collect_list(col("id")).as("ids"))
-      .select(explode(pairsUdf(col("ids"))).as("p"))
+      .agg(graft.functions.CappedCollect.strings(col("id"), cfg.maxBucket).as("cc"))
+      .filter(col("cc.n").between(2, cfg.maxBucket))
+      .select(explode(pairsUdf(col("cc.items"))).as("p"))
       .select(col("p._1").as("src"), col("p._2").as("dst"))
       .distinct()
   }
@@ -195,8 +191,15 @@ object MinHashLSH {
     * candidate pairs (the small side), threshold from cfg.
     */
   def edges(docs: DataFrame, cfg: Config = Config(), textCol: String = "text",
-      idCol: String = "url"): DataFrame = {
-    val sigs = signatures(docs, cfg, textCol, idCol).persist()
+      idCol: String = "url"): DataFrame =
+    edgesFromSignatures(signatures(docs, cfg, textCol, idCol).persist(), cfg)
+
+  /** Edges from a precomputed (and ideally persisted) signatures
+    * frame — lets the pipeline share ONE shingling/signature pass
+    * between candidate generation, verification, SimHash fingerprints
+    * and the skipped-bucket metric, and own the persist lifecycle.
+    */
+  def edgesFromSignatures(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
     val cand = candidates(sigs, cfg)
     val sh = sigs.select(col("id"), col("shingles"))
     val verified = cand

@@ -74,6 +74,9 @@ object SimHash {
   private val simhashUdf = udf((text: String, k: Int, seed: Long) =>
     simhash64(Hashing.shingleHashes(Hashing.tokenize(text), k), seed))
 
+  private val simhashFromShinglesUdf = udf((sh: Seq[Long], seed: Long) =>
+    if (sh == null) null else java.lang.Long.valueOf(simhash64(sh.toArray, seed)))
+
   /** (id, simhash) — map-side only. Empty/null text → null fingerprint
     * (excluded from probing; empties are the exact stage's job).
     */
@@ -82,6 +85,17 @@ object SimHash {
     docs.select(col(idCol).as("id"),
       when(col(textCol).isNull || trim(col(textCol)) === "", lit(null))
         .otherwise(simhashUdf(col(textCol), lit(cfg.shingleK), lit(cfg.seed))).as("simhash"))
+
+  /** Fingerprints from an already-shingled frame (id, shingles) — the
+    * pipeline shares ONE shingling pass between MinHash and SimHash
+    * (tokenize+hash is the dominant map-side cost; paying it twice per
+    * page at 10^12 docs is pure waste). Callers must shingle with the
+    * same k.
+    */
+  def fingerprintsFromShingles(shingled: DataFrame, cfg: Config = Config()): DataFrame =
+    shingled.select(col("id"),
+      when(col("shingles").isNull || size(col("shingles")) === 0, lit(null))
+        .otherwise(simhashFromShinglesUdf(col("shingles"), lit(cfg.seed))).as("simhash"))
 
   /** Pack the table's selected block values into one long — pure
     * codegen'd bit arithmetic, no UDF.
@@ -107,24 +121,24 @@ object SimHash {
 
   /** Near-dup edges: pairs with Hamming(simhash) ≤ maxHamming.
     *
-    * Two-phase hot-bucket cap (SURVEY §7.3): count per (table_id, key)
-    * first — map-side combining, so a boilerplate mega-bucket reduces
-    * before the shuffle — then semi-join keeps only in-cap bucket rows
-    * and only those are collect_list'd (bounded ≤ maxBucket by
-    * construction). Over-cap buckets are surfaced by
-    * skippedBucketRows, never silently materialized.
+    * Hot-bucket cap in the aggregation buffer (`CappedCollect.members`
+    * — at most cap+1 members held, all rows counted): one pass,
+    * bounded memory, over-cap buckets yield no pairs and are surfaced
+    * by skippedBucketRows, never silently materialized.
     */
   def edges(docs: DataFrame, cfg: Config = Config(), textCol: String = "text",
-      idCol: String = "url"): DataFrame = {
-    val fp = fingerprints(docs, cfg, textCol, idCol).filter(col("simhash").isNotNull)
+      idCol: String = "url"): DataFrame =
+    edgesFromFingerprints(fingerprints(docs, cfg, textCol, idCol), cfg)
+
+  /** Edges from precomputed (id, simhash) — see fingerprintsFromShingles. */
+  def edgesFromFingerprints(fp0: DataFrame, cfg: Config = Config()): DataFrame = {
+    val fp = fp0.filter(col("simhash").isNotNull)
     val pr = probed(fp, cfg)
-    val inCap = pr.groupBy(col("table_id"), col("key")).count()
-      .filter(col("count").between(2, cfg.maxBucket))
-      .select(col("table_id"), col("key"))
-    pr.join(inCap, Seq("table_id", "key"), "left_semi")
-      .groupBy(col("table_id"), col("key"))
-      .agg(collect_list(struct(col("id"), col("simhash"))).as("ms"))
-      .select(explode(hamPairsUdf(col("ms"), lit(cfg.maxHamming))).as("p"))
+    pr.groupBy(col("table_id"), col("key"))
+      .agg(graft.functions.CappedCollect.members(
+        col("id"), col("simhash"), cfg.maxBucket).as("cc"))
+      .filter(col("cc.n").between(2, cfg.maxBucket))
+      .select(explode(hamPairsUdf(col("cc.items"), lit(cfg.maxHamming))).as("p"))
       .select(col("p._1").as("src"), col("p._2").as("dst"), col("p._3").as("hamming"))
       .distinct()
   }

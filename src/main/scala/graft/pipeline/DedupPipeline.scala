@@ -36,9 +36,14 @@ object DedupPipeline {
       val exact: DedupResult,
       val edges: DataFrame, // (src, dst, kind)
       val quarantined: DataFrame,
-      docsInThunk: () => Long) {
+      docsInThunk: () => Long,
+      skippedThunk: () => Map[String, Long] = () => Map.empty) {
     lazy val docsIn: Long = docsInThunk()
     lazy val quarantinedCount: Long = quarantined.count()
+    /** Rows dropped by over-cap LSH/SimHash buckets (SCALE.md
+      * invariant 3: capped AND surfaced, never silent).
+      */
+    lazy val skippedBucketRows: Map[String, Long] = skippedThunk()
     /** duplicates-only tab report over final clusters (reference P2). */
     lazy val report: DataFrame = Report.duplicateReport(
       clusters.groupBy("cluster_id").agg(sort_array(collect_list(col("url"))).as("members")))
@@ -71,15 +76,26 @@ object DedupPipeline {
       .filter(col("id") =!= col("block_id"))
       .select(col("id").as("src"), col("block_id").as("dst"), lit("exact").as("kind"))
 
-    // [EXT] near-dup stages over non-empty canonical text
+    // [EXT] near-dup stages over non-empty canonical text. ONE
+    // shingling/signature pass feeds MinHash banding, verification,
+    // SimHash fingerprints and the skip metric (tokenize+hash is the
+    // dominant map-side cost — r01 paid it twice per page).
     val textDocs = canon.filter(trim(col("text")) =!= "")
+    lazy val sigs = MinHashLSH.signatures(textDocs, cfg.minhash).persist()
     val mh =
       if (cfg.useMinHash)
-        MinHashLSH.edges(textDocs, cfg.minhash).withColumn("kind", lit("minhash")).drop("jaccard")
+        MinHashLSH.edgesFromSignatures(sigs, cfg.minhash)
+          .withColumn("kind", lit("minhash")).drop("jaccard")
       else null
     val sh =
       if (cfg.useSimHash)
-        SimHash.edges(textDocs, cfg.simhash).withColumn("kind", lit("simhash")).drop("hamming")
+        SimHash.edgesFromFingerprints(
+          SimHash.fingerprintsFromShingles(
+            if (cfg.useMinHash) sigs
+            else MinHashLSH.signatures(textDocs,
+              cfg.minhash.copy(shingleK = cfg.simhash.shingleK)),
+            cfg.simhash), cfg.simhash)
+          .withColumn("kind", lit("simhash")).drop("hamming")
       else null
 
     val allEdges = Seq(Option(aliasEdges), Option(exactEdges), Option(mh), Option(sh))
@@ -91,7 +107,17 @@ object DedupPipeline {
       .join(cc, valid("url") === cc("id"), "left")
       .select(col("url"), coalesce(col("component"), col("url")).as("cluster_id"))
 
-    new Result(clusters, exact, allEdges, quarantined, () => docsRaw.count())
+    def skipped(): Map[String, Long] = {
+      def total(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("count")), lit(0L))).head().getLong(0)
+      (if (cfg.useMinHash)
+        Map("minhash" -> total(MinHashLSH.skippedBucketRows(sigs, cfg.minhash)))
+      else Map.empty[String, Long]) ++
+        (if (cfg.useSimHash)
+          Map("simhash" -> total(SimHash.skippedBucketRows(textDocs, cfg.simhash)))
+        else Map.empty[String, Long])
+    }
+    new Result(clusters, exact, allEdges, quarantined, () => docsRaw.count(), skipped _)
   }
 
   /** Checkpointed variant (north rule: every stage materializes with
@@ -125,11 +151,17 @@ object DedupPipeline {
         .filter(col("id") =!= col("block_id"))
         .select(col("id").as("src"), col("block_id").as("dst"), lit("exact").as("kind"))
       val textDocs = canon.filter(trim(col("text")) =!= "")
+      lazy val sigs = MinHashLSH.signatures(textDocs, cfg.minhash).persist()
       val mh = if (cfg.useMinHash)
-        Some(MinHashLSH.edges(textDocs, cfg.minhash)
+        Some(MinHashLSH.edgesFromSignatures(sigs, cfg.minhash)
           .withColumn("kind", lit("minhash")).drop("jaccard")) else None
       val sh = if (cfg.useSimHash)
-        Some(SimHash.edges(textDocs, cfg.simhash)
+        Some(SimHash.edgesFromFingerprints(
+          SimHash.fingerprintsFromShingles(
+            if (cfg.useMinHash) sigs
+            else MinHashLSH.signatures(textDocs,
+              cfg.minhash.copy(shingleK = cfg.simhash.shingleK)),
+            cfg.simhash), cfg.simhash)
           .withColumn("kind", lit("simhash")).drop("hamming")) else None
       (Seq(Some(aliasEdges), Some(exactEdges), mh, sh).flatten
         .map(_.select("src", "dst", "kind"))).reduce(_ unionByName _)
@@ -142,9 +174,26 @@ object DedupPipeline {
         .join(cc, valid("url") === cc("id"), "left")
         .select(col("url"), coalesce(col("component"), col("url")).as("cluster_id"))
     }
+    // surface over-cap skip counts alongside the stage metrics (SCALE
+    // invariant 3: capped AND surfaced)
+    def skipped(): Map[String, Long] = {
+      val textDocs = canon.filter(trim(col("text")) =!= "")
+      def total(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("count")), lit(0L))).head().getLong(0)
+      (if (cfg.useMinHash)
+        Map("minhash" -> total(MinHashLSH.skippedBucketRows(
+          MinHashLSH.signatures(textDocs, cfg.minhash), cfg.minhash)))
+      else Map.empty[String, Long]) ++
+        (if (cfg.useSimHash)
+          Map("simhash" -> total(SimHash.skippedBucketRows(textDocs, cfg.simhash)))
+        else Map.empty[String, Long])
+    }
+    val skippedCounts = skipped()
     catalog.recordMetrics("clusters", Map(
       "clusters" -> clusters.select(col("cluster_id")).distinct().count(),
-      "edges" -> edges.count()))
-    new Result(clusters, exact, edges, quarantined, () => docsRaw.count())
+      "edges" -> edges.count()) ++
+      skippedCounts.map { case (k, v) => s"skipped_bucket_rows_$k" -> v })
+    new Result(clusters, exact, edges, quarantined, () => docsRaw.count(),
+      () => skippedCounts)
   }
 }

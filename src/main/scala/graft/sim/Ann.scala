@@ -119,15 +119,21 @@ object Ann {
       vecCol: String = "embedding", targetBucket: Int = 64): DataFrame = {
     val bits = if (bits0 > 0) bits0 else adaptiveBits(corpus.count(), targetBucket)
     val codeUdf = bucketCode(bits, seed)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      codeUdf(col(vecCol)).as("bucket"))
+    // prenorm both sides: each candidate pair pays ONE dot product,
+    // not three norm recomputations (same trick as knnBruteForce)
+    val c = prenorm(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c0"),
+        codeUdf(col(vecCol)).as("bucket")),
+      "neighbor_id", col("c0"), "cv", "cn").drop("c0")
     val probes = probeMasks(bits, probeRadius).map(m => col("code").bitwiseXOR(lit(m)))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        codeUdf(col(vecCol)).as("code"))
+    val q = prenorm(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q0"),
+        codeUdf(col(vecCol)).as("code")),
+      "query_id", col("q0"), "qv", "qn").drop("q0")
       .withColumn("bucket", explode(array(probes: _*)))
     val scored = broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score", cosineFromParts(col("qv"), col("qn"), col("cv"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -150,14 +156,26 @@ object Ann {
     val vd = transform(vecCol, x => x.cast("double"))
     df.select(col("*")).select(
       df.columns.map(col) :+ vd.as(vAs): _*)
-      .withColumn(nAs, aggregate(transform(col(vAs), x => x * x), lit(0.0), (s, v) => s + v))
+      .withColumn(nAs, dotUdf(col(vAs), col(vAs)))
   }
 
+  /** Left-to-right double dot product. A UDF, deliberately: the
+    * zip_with/aggregate HOF form is interpreted per element with boxed
+    * lambdas (~10-50× slower on the per-PAIR hot path), while the
+    * accumulation order — and therefore every result bit — is
+    * identical (s += a(i)*b(i), i ascending, IEEE doubles).
+    */
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  })
+
   /** cosine from prenormalized parts (dot / sqrt(na·nb)), zero-guarded. */
-  def cosineFromParts(av: Column, an: Column, bv: Column, bn: Column): Column = {
-    val dot = aggregate(zip_with(av, bv, (x, y) => x * y), lit(0.0), (s, v) => s + v)
-    when(an > 0 && bn > 0, dot / sqrt(an * bn)).otherwise(lit(0.0))
-  }
+  def cosineFromParts(av: Column, an: Column, bv: Column, bn: Column): Column =
+    when(an > 0 && bn > 0, dotUdf(av, bv) / sqrt(an * bn)).otherwise(lit(0.0))
 
   def embeddingDupEdges(corpus: DataFrame, threshold: Double, bits0: Int = 0,
       seed: Long = 42L, idCol: String = "vec_id", vecCol: String = "embedding",

@@ -72,15 +72,13 @@ object SubstringDedup {
       minShared: Int = 2, idCol: String = "url", textCol: String = "text",
       maxDocsPerWindow: Int = 50): DataFrame = {
     val wh = windowHashes(docs, w, stride, idCol, textCol)
-    // two-phase cap: count first (map-side combine), semi-join back,
-    // THEN collect — a hot boilerplate window never materializes its
-    // full doc set in one aggregation buffer (SURVEY §7.3)
-    val inCap = wh.groupBy("win_hash")
-      .agg(countDistinct(col("id")).as("nd"))
-      .filter(col("nd").between(2, maxDocsPerWindow))
-      .select(col("win_hash"))
-    val grouped = wh.join(inCap, Seq("win_hash"), "left_semi")
-      .groupBy("win_hash").agg(collect_set(col("id")).as("ids"))
+    // capped-set aggregation: at most cap+1 distinct ids accumulate
+    // per window — a hot boilerplate window never materializes its
+    // full doc set, in ONE pass (SURVEY §7.3, SCALE.md invariant 3)
+    val grouped = wh.groupBy("win_hash")
+      .agg(graft.functions.CappedCollect.stringSet(col("id"), maxDocsPerWindow).as("cc"))
+      .filter(col("cc.n").between(2, maxDocsPerWindow))
+      .select(col("win_hash"), col("cc.items").as("ids"))
     grouped
       .select(explode(col("ids")).as("src"), col("ids"))
       .select(col("src"), explode(col("ids")).as("dst"))

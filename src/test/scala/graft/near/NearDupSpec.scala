@@ -135,6 +135,22 @@ class NearDupSpec extends SparkSpec {
     assert(MinHashLSH.candidates(sigs, cfg).count() == 0)
   }
 
+  test("pipeline surfaces over-cap skipped-bucket rows as a metric") {
+    import spark.implicits._
+    val hot = spark.range(400)
+      .map(i => (s"https://h.example/$i", "same tokens " * 30)).toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    val cfg = graft.pipeline.DedupPipeline.Config(
+      minhash = MinHashLSH.Config(maxBucket = 50),
+      simhash = SimHash.Config(maxBucket = 50))
+    val r = graft.pipeline.DedupPipeline.run(hot, cfg)
+    r.clusters.write.format("noop").mode("overwrite").save()
+    assert(r.skippedBucketRows.getOrElse("minhash", 0L) > 0L)
+    assert(r.skippedBucketRows.getOrElse("simhash", 0L) > 0L)
+  }
+
   test("SimHash hot-bucket cap drops oversized buckets and reports them") {
     import spark.implicits._
     val hot = (0 until 500).map(i => (s"u$i", "same tokens " * 30)).toDF("url", "text")
