@@ -423,6 +423,31 @@ object SparkEntry {
           col("n_bytes"), col("width"), col("height"))
     }),
 
+    // multimodal: REAL pixel decode (JDK ImageIO) over REAL encoded
+    // fixture images — solid-gray PNG/GIF/JPEG whose dimensions and
+    // gray level are closed forms of doc_id. Solid gray at multiples
+    // of 32 round-trips bit-exact through all three JDK codecs
+    // (MediaSpec pins this), so the decoded red-channel mean has a
+    // pure-arithmetic oracle.
+    "q_media_pixels" -> ((s, dir) => {
+      val payloadUdf = udf((id: Long) => {
+        val w = 16 + (id * 7 % 120).toInt
+        val h = 16 + (id * 13 % 90).toInt
+        val gray = 32 * (1 + (id % 7).toInt)
+        val kind = (id % 3) match {
+          case 0 => "png"
+          case 1 => "gif"
+          case _ => "jpeg"
+        }
+        graft.multimodal.Media.encodedBytes(kind, w, h, gray)
+      })
+      val d = docs(s, dir).select(col("doc_id")).withColumn("bin", payloadUdf(col("doc_id")))
+      val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
+      graft.multimodal.Media.decode(s, media).toDF()
+        .select(col("media_id").cast("long").as("doc_id"), col("kind"),
+          col("width"), col("height"), col("red_mean"))
+    }),
+
     // ---- the reference report over the SYNTH corpus (which, unlike
     // the driver documents table at sf0.01, HAS exact duplicates —
     // r01's q_dup_report was a vacuous 0=0). Oracle = VALUES literal
@@ -519,6 +544,12 @@ object SparkEntry {
         "r AS (SELECT query_id, neighbor_id, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) " +
         "SELECT query_id, neighbor_id FROM r WHERE rk = 1 ORDER BY query_id"),
+    "q_media_pixels" ->
+      ("SELECT doc_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS kind, " +
+        "CAST(16 + (doc_id * 7) % 120 AS INT) AS width, " +
+        "CAST(16 + (doc_id * 13) % 90 AS INT) AS height, " +
+        "CAST(32 * (1 + doc_id % 7) AS INT) AS red_mean FROM documents"),
     "q_media_meta" ->
       ("SELECT doc_id, " +
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS kind, " +

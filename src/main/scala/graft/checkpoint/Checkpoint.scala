@@ -32,16 +32,19 @@ class Catalog(val root: String, spark: SparkSession) {
 
   /** Run-or-resume a stage. `lineage` must change whenever the stage's
     * inputs or config change (callers compose it from upstream lineage
-    * hashes + config strings).
+    * hashes + config strings). `partitionBy` controls the table's
+    * physical layout (e.g. the north rule's (days(warc_ts), lang)
+    * Iceberg partitioning for corpus outputs).
     */
-  def stage(name: String, lineage: String)(compute: => DataFrame): DataFrame = {
+  def stage(name: String, lineage: String, partitionBy: Seq[String] = Nil)(
+      compute: => DataFrame): DataFrame = {
     val lp = manifestPath(name)
     val lh = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(lineage))
     if (exists(name) && Files.exists(lp) && new String(Files.readAllBytes(lp)).trim == lh) {
       read(name) // resume: lineage matches, skip recompute
     } else {
       val df = compute
-      write(name, df)
+      write(name, df, partitionBy)
       Files.createDirectories(lp.getParent)
       Files.write(lp, lh.getBytes,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,

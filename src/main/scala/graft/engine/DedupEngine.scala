@@ -194,10 +194,27 @@ object DedupEngine {
       slice(array(keyCols(n): _*), lit(1), col("nkeys")).as("keys"),
       col("size"), col("nkeys"), col("block_id"))
     val assignments = narrow
-      .join(meta.select(keyCols(n) :+ col("block_id"): _*), keyNames(n))
+      .join(renameKeys(meta, n), nullSafeKeyCond(n))
       .select(col("__id").as("id"), col("block_id"))
     new DedupResult(blockMeta, assignments, n)
   }
+
+  /** Meta-side key columns renamed __m0.. so the assignments join can
+    * use an expression condition without self-lineage ambiguity.
+    */
+  private def renameKeys(meta: DataFrame, n: Int): DataFrame =
+    meta.select(keyCols(n) :+ col("block_id"): _*)
+      .toDF(((0 until n).map(i => s"__m$i") :+ "block_id"): _*)
+
+  /** NULL-SAFE equi-join on every key column: a null digest (e.g.
+    * sha over null content) is a real key value — groupBy/windows
+    * already treat it as one group, and a plain equi-join would
+    * silently drop those rows from assignments while blockMeta still
+    * counted them (r2 ADVICE). <=> is an equi-join predicate, so the
+    * physical plan stays a hash join.
+    */
+  private def nullSafeKeyCond(n: Int): Column =
+    (0 until n).map(i => col(s"__k$i") <=> col(s"__m$i")).reduce(_ && _)
 
   private def runStaged(withId: DataFrame, cascade: Seq[DigestSpec]): DedupResult = {
     val n = cascade.length
@@ -232,7 +249,7 @@ object DedupEngine {
     metaParts = metaParts :+ finalGrouped.select(
       array(keyCols(n): _*).as("keys"), col("size"), lit(n).as("nkeys"), col("block_id"))
     assignParts = assignParts :+ cur
-      .join(finalGrouped.select(keyCols(n) :+ col("block_id"): _*), keyNames(n))
+      .join(renameKeys(finalGrouped, n), nullSafeKeyCond(n))
       .select(col("__id").as("id"), col("block_id"))
     // single-object corpus: the reference never computes any key
     // (lazy — no collider ever arrives); mirror it post-hoc.

@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata; decode / feature-extract / resize /
   * frame-sample run as batched per-partition transforms.
   *
-  * Container HEADER PARSING is real: PNG / GIF / JPEG dimensions are
-  * pure byte arithmetic over the published container layouts (PNG
-  * IHDR, GIF logical screen descriptor, JPEG SOFn scan) — no codec
-  * library needed. Pixel decode and the feature extractor remain
-  * clearly-marked deterministic STUBS (this container has no image
-  * codecs); everything Spark-side — schema, batching, partition
-  * sizing, the typed Dataset plumbing — is real and tested, and a real
-  * codec swaps in at the marked per-partition init point.
+  * PIXEL DECODE is real for PNG / GIF / JPEG via the JDK's own
+  * `javax.imageio` codecs (no external jar), with real features
+  * (red-channel mean + 16-bin luma histogram). Container HEADER
+  * PARSING is also real and independent: pure byte arithmetic over
+  * the published layouts (PNG IHDR, GIF logical screen descriptor,
+  * JPEG SOFn scan) — the fallback tier when a payload carries a known
+  * magic but an undecodable body. Only payloads with UNKNOWN magic
+  * hit the remaining clearly-marked deterministic STUB (where a
+  * non-JDK codec — video, audio — would swap in at the per-partition
+  * init point).
   */
 object Media {
 
@@ -26,6 +28,10 @@ object Media {
       width: Int,
       height: Int,
       n_frames: Int,
+      /** mean of the red channel over the decoded raster; −1 when the
+        * payload wasn't pixel-decodable (header-only or stub rows)
+        */
+      red_mean: Int,
       features: Array[Float])
 
   /** (kind, width, height) parsed from real container headers;
@@ -103,6 +109,59 @@ object Media {
     */
   val FixtureBytes: Map[String, Long] = Map("png" -> 65L, "gif" -> 45L, "jpeg" -> 55L)
 
+  /** REAL pixel decode via the JDK's own codecs (`javax.imageio` ships
+    * PNG/GIF/JPEG readers — no external jar): returns the decoded
+    * raster, or None for payloads ImageIO cannot decode (unknown
+    * formats, or structurally-valid-header fixtures with junk bodies).
+    */
+  def decodePixels(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.length == 0) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** (red-channel mean, 16-bin luma histogram) of a decoded raster —
+    * the real feature extractor (deterministic: integer sums over the
+    * full raster, Rec.601 integer luma).
+    */
+  def rasterFeatures(img: java.awt.image.BufferedImage, bins: Int = 16): (Int, Array[Float]) = {
+    val w = img.getWidth; val h = img.getHeight
+    val hist = new Array[Long](bins)
+    var redSum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        redSum += r
+        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        hist(math.min(bins - 1, luma * bins / 256)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    ((redSum / n).toInt, hist.map(c => c.toFloat / n))
+  }
+
+  /** Deterministic REAL encoded fixture: a solid-gray w×h image
+    * encoded by the JDK's own png/gif/jpeg writer. Solid gray
+    * round-trips EXACTLY through all three codecs (JPEG of a constant
+    * image is DC-only; grays at multiples of 32 survive quantization
+    * bit-exact — verified in MediaSpec), so pixel-derived query
+    * columns have a closed-form oracle.
+    */
+  def encodedBytes(kind: String, w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, kind, bos)
+    bos.toByteArray
+  }
+
   /** === STUB === deterministic fake decode for payloads with no known
     * container magic: a real build replaces this with a codec.
     * Dimensions are pure functions of the payload bytes so tests are
@@ -136,25 +195,36 @@ object Media {
     acc
   }
 
-  /** Batched decode over partitions — the real Spark plumbing: one
-    * task per partition, codec state amortized across the batch (a
-    * real codec would be initialized once per partition here), output
-    * a typed Dataset with explicit schema. Known containers (PNG, GIF,
-    * JPEG) get REAL header metadata; unknown payloads fall back to the
-    * marked stub.
+  /** Batched decode over partitions — one task per partition, codec
+    * state amortized across the batch, output a typed Dataset with
+    * explicit schema. Three honest tiers:
+    *   1. REAL pixel decode (JDK ImageIO — PNG/GIF/JPEG): raster
+    *      dimensions, red-channel mean, 16-bin luma histogram;
+    *   2. REAL header metadata (known container magic whose body
+    *      ImageIO can't decode): exact dimensions, red_mean = −1,
+    *      stub features;
+    *   3. === STUB === (unknown magic): deterministic fake, the one
+    *      place a real extra codec would swap in.
     */
   def decode(spark: SparkSession, media: Dataset[MediaRow]): Dataset[Decoded] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition init point for a real codec
+      // per-partition codec init: no temp-file cache in executors
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
         val n = if (m.payload == null) 0L else m.payload.length.toLong
-        parseImageMeta(m.payload) match {
-          case Some((kind, w, h)) =>
-            Decoded(m.media_id, kind, n, w, h, 1, featuresStub(m.payload))
-          case None =>
-            val (w, h, f) = decodeStub(m.payload)
-            Decoded(m.media_id, m.kind, n, w, h, f, featuresStub(m.payload))
+        decodePixels(m.payload) match {
+          case Some(img) =>
+            val kind = parseImageMeta(m.payload).map(_._1).getOrElse(m.kind)
+            val (redMean, feats) = rasterFeatures(img)
+            Decoded(m.media_id, kind, n, img.getWidth, img.getHeight, 1, redMean, feats)
+          case None => parseImageMeta(m.payload) match {
+            case Some((kind, w, h)) =>
+              Decoded(m.media_id, kind, n, w, h, 1, -1, featuresStub(m.payload))
+            case None =>
+              val (w, h, f) = decodeStub(m.payload)
+              Decoded(m.media_id, m.kind, n, w, h, f, -1, featuresStub(m.payload))
+          }
         }
       }
     }

@@ -140,40 +140,51 @@ object MinHashLSH {
         shinglesUdf(col(textCol), lit(cfg.shingleK)).as("shingles"))
       .withColumn("sig", minhashUdf(col("shingles"), lit(cfg.numPerms), lit(cfg.seed)))
 
-  /** All unordered pairs of a (bounded) bucket member list. */
-  private val pairsUdf = udf { (ids: Seq[String]) =>
-    val s = ids.sorted
-    for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
-  }
-
-  /** Candidate pairs from banded LSH: explode band hashes per doc, ONE
-    * shuffle groups each (band_id, band_hash) bucket, pairs are
-    * generated inside the (cap-bounded) bucket — no second self-join
-    * shuffle, no window sort. Over-capacity buckets (boilerplate hot
-    * bands) are dropped and surfaced by skippedBucketRows — the
-    * quadratic-blowup guard of SURVEY §7.3.
-    *
-    * The cap is enforced IN the aggregation buffer
-    * (`CappedCollect.strings`): at most cap+1 members accumulate while
-    * everything is counted, so a 10M-row boilerplate band costs one
-    * counted row, never a 10M-element buffer — and the whole guard is
-    * ONE aggregation pass (a separate count + semi-join pre-filter
-    * would add two shuffles of serial stage time per run).
+  /** Candidate pairs + over-cap skip rows from banded LSH, in ONE
+    * streamed shuffle pass: explode band hashes per doc, group each
+    * (band_id, band_hash) bucket with `groupByKey`, STREAM the bucket
+    * through a bounded drain (`CappedGroups.drain` — at most cap+1
+    * members held, everything counted). A bucket of 2..cap members
+    * emits its unordered pairs with skipped=0; an over-capacity bucket
+    * (boilerplate hot band — the quadratic-blowup guard of SURVEY
+    * §7.3) emits ONE (null, null, n) skip row instead, so the skip
+    * metric is a side output of the same pass, never a second
+    * shingling scan. (An object-buffer udaf here sort-falls-back past
+    * 128 groups/partition and Encoder-serializes every partial buffer
+    * — measured 41% of pipeline wall time; see CappedGroups.)
     */
-  def candidates(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val banded = sigs
+  def candidatesAndSkips(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val cap = cfg.maxBucket
+    sigs
       .filter(col("sig").isNotNull)
       .select(col("id"),
         posexplode(bandsUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)))
           .as(Seq("band_id", "band_hash")))
-    banded
-      .groupBy(col("band_id"), col("band_hash"))
-      .agg(graft.functions.CappedCollect.strings(col("id"), cfg.maxBucket).as("cc"))
-      .filter(col("cc.n").between(2, cfg.maxBucket))
-      .select(explode(pairsUdf(col("cc.items"))).as("p"))
-      .select(col("p._1").as("src"), col("p._2").as("dst"))
-      .distinct()
+      .as[(String, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroups { (_, rows) =>
+        val (n, ids0) = graft.functions.CappedGroups.drain(rows.map(_._1), cap)
+        if (n > cap) Iterator.single((null: String, null: String, n))
+        else if (n < 2) Iterator.empty
+        else {
+          val ids = ids0.sorted
+          for {
+            i <- ids.indices.iterator
+            j <- ((i + 1) until ids.length).iterator
+          } yield (ids(i), ids(j), 0L)
+        }
+      }
+      .toDF("src", "dst", "skipped")
   }
+
+  /** Distinct candidate pairs (pairs-only view of candidatesAndSkips). */
+  def candidates(sigs: DataFrame, cfg: Config = Config()): DataFrame =
+    candidatesAndSkips(sigs, cfg)
+      .filter(col("src").isNotNull)
+      .select("src", "dst")
+      .distinct()
 
   /** Count of rows in over-capacity LSH buckets (skipped-candidate
     * metric — no silent truncation).
@@ -189,25 +200,40 @@ object MinHashLSH {
 
   /** Verified near-dup edges: exact Jaccard on the shingle sets of the
     * candidate pairs (the small side), threshold from cfg.
+    *
+    * Terminal operator: the signature frame is persisted for the
+    * candidate pass + the two verification joins, the (small) verified
+    * edge set is materialized via localCheckpoint, and the signatures
+    * are unpersisted before returning — no cached frame outlives the
+    * call (r2 VERDICT #2: the persist leak pinned the widest
+    * intermediate of the whole pipeline in executor storage).
     */
   def edges(docs: DataFrame, cfg: Config = Config(), textCol: String = "text",
-      idCol: String = "url"): DataFrame =
-    edgesFromSignatures(signatures(docs, cfg, textCol, idCol).persist(), cfg)
+      idCol: String = "url"): DataFrame = {
+    val sigs = signatures(docs, cfg, textCol, idCol).persist()
+    val out = verifyCandidates(candidates(sigs, cfg), sigs, cfg).localCheckpoint()
+    sigs.unpersist()
+    out
+  }
 
   /** Edges from a precomputed (and ideally persisted) signatures
     * frame — lets the pipeline share ONE shingling/signature pass
     * between candidate generation, verification, SimHash fingerprints
     * and the skipped-bucket metric, and own the persist lifecycle.
     */
-  def edgesFromSignatures(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val cand = candidates(sigs, cfg)
+  def edgesFromSignatures(sigs: DataFrame, cfg: Config = Config()): DataFrame =
+    verifyCandidates(candidates(sigs, cfg), sigs, cfg)
+
+  /** Exact-Jaccard verification of (src, dst) candidate pairs against
+    * the shingle sets in `sigs`.
+    */
+  def verifyCandidates(cand: DataFrame, sigs: DataFrame, cfg: Config = Config()): DataFrame = {
     val sh = sigs.select(col("id"), col("shingles"))
-    val verified = cand
+    cand
       .join(sh.withColumnRenamed("id", "src").withColumnRenamed("shingles", "sh_src"), "src")
       .join(sh.withColumnRenamed("id", "dst").withColumnRenamed("shingles", "sh_dst"), "dst")
       .withColumn("jaccard", jaccardUdf(col("sh_src"), col("sh_dst")))
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .select("src", "dst", "jaccard")
-    verified
   }
 }

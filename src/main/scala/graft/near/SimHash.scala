@@ -121,27 +121,54 @@ object SimHash {
 
   /** Near-dup edges: pairs with Hamming(simhash) ≤ maxHamming.
     *
-    * Hot-bucket cap in the aggregation buffer (`CappedCollect.members`
-    * — at most cap+1 members held, all rows counted): one pass,
+    * Hot-bucket cap via the streamed bounded drain (`CappedGroups` —
+    * at most cap+1 members held, all rows counted): one shuffle pass,
     * bounded memory, over-cap buckets yield no pairs and are surfaced
-    * by skippedBucketRows, never silently materialized.
+    * as skip rows, never silently materialized.
     */
   def edges(docs: DataFrame, cfg: Config = Config(), textCol: String = "text",
       idCol: String = "url"): DataFrame =
     edgesFromFingerprints(fingerprints(docs, cfg, textCol, idCol), cfg)
 
-  /** Edges from precomputed (id, simhash) — see fingerprintsFromShingles. */
-  def edgesFromFingerprints(fp0: DataFrame, cfg: Config = Config()): DataFrame = {
-    val fp = fp0.filter(col("simhash").isNotNull)
-    val pr = probed(fp, cfg)
-    pr.groupBy(col("table_id"), col("key"))
-      .agg(graft.functions.CappedCollect.members(
-        col("id"), col("simhash"), cfg.maxBucket).as("cc"))
-      .filter(col("cc.n").between(2, cfg.maxBucket))
-      .select(explode(hamPairsUdf(col("cc.items"), lit(cfg.maxHamming))).as("p"))
-      .select(col("p._1").as("src"), col("p._2").as("dst"), col("p._3").as("hamming"))
-      .distinct()
+  /** Hamming-verified pairs + over-cap skip rows in ONE streamed
+    * shuffle pass (same shape and rationale as
+    * MinHashLSH.candidatesAndSkips): each (table_id, key) probe bucket
+    * streams through a bounded drain; a 2..cap bucket emits its
+    * Hamming-≤-max pairs (verification fused into pair generation), an
+    * over-cap bucket emits one (null, null, 0, n) skip row.
+    */
+  def edgesAndSkips(fp0: DataFrame, cfg: Config = Config()): DataFrame = {
+    val spark = fp0.sparkSession
+    import spark.implicits._
+    val cap = cfg.maxBucket
+    val maxHam = cfg.maxHamming
+    probed(fp0.filter(col("simhash").isNotNull), cfg)
+      .select(col("table_id"), col("key"), col("id"), col("simhash"))
+      .as[(Int, Long, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, rows) =>
+        val (n, ms0) = graft.functions.CappedGroups.drain(rows.map(r => (r._3, r._4)), cap)
+        if (n > cap) Iterator.single((null: String, null: String, 0, n))
+        else if (n < 2) Iterator.empty
+        else {
+          val s = ms0.sortBy(_._1)
+          for {
+            i <- s.indices.iterator
+            j <- ((i + 1) until s.length).iterator
+            h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
+            if h <= maxHam
+          } yield (s(i)._1, s(j)._1, h, 0L)
+        }
+      }
+      .toDF("src", "dst", "hamming", "skipped")
   }
+
+  /** Edges from precomputed (id, simhash) — see fingerprintsFromShingles. */
+  def edgesFromFingerprints(fp0: DataFrame, cfg: Config = Config()): DataFrame =
+    edgesAndSkips(fp0, cfg)
+      .filter(col("src").isNotNull)
+      .select("src", "dst", "hamming")
+      .distinct()
 
   /** Count of rows in over-capacity probe buckets (skipped-candidate
     * metric — no silent truncation; pipelines should surface this).
@@ -151,17 +178,4 @@ object SimHash {
     probed(fingerprints(docs, cfg, textCol, idCol).filter(col("simhash").isNotNull), cfg)
       .groupBy(col("table_id"), col("key")).count()
       .filter(col("count") > cfg.maxBucket)
-
-  /** Within-bucket pairs with Hamming(simhash) ≤ max — verification
-    * fused into pair generation.
-    */
-  private val hamPairsUdf = udf { (ms: Seq[org.apache.spark.sql.Row], maxHam: Int) =>
-    val s = ms.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    for {
-      i <- s.indices
-      j <- (i + 1) until s.length
-      h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
-      if h <= maxHam
-    } yield (s(i)._1, s(j)._1, h)
-  }
 }

@@ -37,13 +37,19 @@ object DedupPipeline {
       val edges: DataFrame, // (src, dst, kind)
       val quarantined: DataFrame,
       docsInThunk: () => Long,
-      skippedThunk: () => Map[String, Long] = () => Map.empty) {
+      /** Rows dropped by over-cap LSH/SimHash buckets (SCALE.md
+        * invariant 3: capped AND surfaced, never silent). Emitted as a
+        * side output of the candidate-generation pass itself — no
+        * second shingling scan.
+        */
+      val skippedBucketRows: Map[String, Long] = Map.empty,
+      /** checkpointed runs only: the deduped corpus (one row per
+        * cluster canonical), staged with the north rule's
+        * (days(warc_ts), lang) physical layout
+        */
+      val dedupedDocs: Option[DataFrame] = None) {
     lazy val docsIn: Long = docsInThunk()
     lazy val quarantinedCount: Long = quarantined.count()
-    /** Rows dropped by over-cap LSH/SimHash buckets (SCALE.md
-      * invariant 3: capped AND surfaced, never silent).
-      */
-    lazy val skippedBucketRows: Map[String, Long] = skippedThunk()
     /** duplicates-only tab report over final clusters (reference P2). */
     lazy val report: DataFrame = Report.duplicateReport(
       clusters.groupBy("cluster_id").agg(sort_array(collect_list(col("url"))).as("members")))
@@ -78,28 +84,51 @@ object DedupPipeline {
 
     // [EXT] near-dup stages over non-empty canonical text. ONE
     // shingling/signature pass feeds MinHash banding, verification,
-    // SimHash fingerprints and the skip metric (tokenize+hash is the
-    // dominant map-side cost — r01 paid it twice per page).
+    // SimHash fingerprints AND the skip metrics (tokenize+hash is the
+    // dominant map-side cost); SimHash shares MinHash's shingles only
+    // when both stages use the same shingleK — a differing
+    // cfg.simhash.shingleK gets its own pass instead of silently
+    // inheriting the wrong feature universe.
     val textDocs = canon.filter(trim(col("text")) =!= "")
-    lazy val sigs = MinHashLSH.signatures(textDocs, cfg.minhash).persist()
-    val mh =
-      if (cfg.useMinHash)
-        MinHashLSH.edgesFromSignatures(sigs, cfg.minhash)
-          .withColumn("kind", lit("minhash")).drop("jaccard")
-      else null
-    val sh =
-      if (cfg.useSimHash)
-        SimHash.edgesFromFingerprints(
-          SimHash.fingerprintsFromShingles(
-            if (cfg.useMinHash) sigs
-            else MinHashLSH.signatures(textDocs,
-              cfg.minhash.copy(shingleK = cfg.simhash.shingleK)),
-            cfg.simhash), cfg.simhash)
-          .withColumn("kind", lit("simhash")).drop("hamming")
-      else null
+    val sameK = cfg.simhash.shingleK == cfg.minhash.shingleK
+    val sigsMh: Option[DataFrame] =
+      if (cfg.useMinHash || (cfg.useSimHash && sameK))
+        Some(MinHashLSH.signatures(textDocs, cfg.minhash).persist())
+      else None
+    val sigsSh: Option[DataFrame] =
+      if (!cfg.useSimHash) None
+      else if (sameK) sigsMh
+      else Some(MinHashLSH.signatures(textDocs,
+        cfg.minhash.copy(shingleK = cfg.simhash.shingleK)).persist())
 
-    val allEdges = Seq(Option(aliasEdges), Option(exactEdges), Option(mh), Option(sh))
-      .flatten.map(_.select("src", "dst", "kind")).reduce(_ unionByName _)
+    // candidate pairs + over-cap skip rows, one streamed pass each;
+    // the (small) outputs are persisted so the skip sums don't re-run
+    // the shuffle
+    val mhOut = if (cfg.useMinHash)
+      Some(MinHashLSH.candidatesAndSkips(sigsMh.get, cfg.minhash).persist()) else None
+    val shOut = sigsSh.map(sg => SimHash.edgesAndSkips(
+      SimHash.fingerprintsFromShingles(sg, cfg.simhash), cfg.simhash).persist())
+
+    val mh = mhOut.map(o => MinHashLSH.verifyCandidates(
+        o.filter(col("src").isNotNull).select("src", "dst").distinct(),
+        sigsMh.get, cfg.minhash)
+      .withColumn("kind", lit("minhash")).drop("jaccard"))
+    val sh = shOut.map(_.filter(col("src").isNotNull).select("src", "dst").distinct()
+      .withColumn("kind", lit("simhash")))
+
+    // ONE materialization of the whole edge dag (alias + exact +
+    // near-dup); everything cached above is released right after —
+    // no persisted frame outlives the call (r2 VERDICT #2)
+    val allEdges = (Seq(Option(aliasEdges), Option(exactEdges), mh, sh).flatten
+      .map(_.select("src", "dst", "kind")).reduce(_ unionByName _))
+      .localCheckpoint()
+    def skipSum(o: DataFrame): Long = o.filter(col("src").isNull)
+      .agg(coalesce(sum(col("skipped")), lit(0L))).head().getLong(0)
+    val skippedCounts =
+      mhOut.map(o => "minhash" -> skipSum(o)).toMap ++
+        shOut.map(o => "simhash" -> skipSum(o)).toMap
+    (sigsMh.toSeq ++ sigsSh.toSeq).distinct.foreach(_.unpersist())
+    (mhOut.toSeq ++ shOut.toSeq).foreach(_.unpersist())
 
     // [EXT] connected components; singletons keep their own id
     val cc = ConnectedComponents.run(allEdges.select("src", "dst"))
@@ -107,17 +136,7 @@ object DedupPipeline {
       .join(cc, valid("url") === cc("id"), "left")
       .select(col("url"), coalesce(col("component"), col("url")).as("cluster_id"))
 
-    def skipped(): Map[String, Long] = {
-      def total(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("count")), lit(0L))).head().getLong(0)
-      (if (cfg.useMinHash)
-        Map("minhash" -> total(MinHashLSH.skippedBucketRows(sigs, cfg.minhash)))
-      else Map.empty[String, Long]) ++
-        (if (cfg.useSimHash)
-          Map("simhash" -> total(SimHash.skippedBucketRows(textDocs, cfg.simhash)))
-        else Map.empty[String, Long])
-    }
-    new Result(clusters, exact, allEdges, quarantined, () => docsRaw.count(), skipped _)
+    new Result(clusters, exact, allEdges, quarantined, () => docsRaw.count(), skippedCounts)
   }
 
   /** Checkpointed variant (north rule: every stage materializes with
@@ -138,9 +157,14 @@ object DedupPipeline {
     val canon = Report.dedupIdentity(valid)
     lazy val exact = DedupEngine.run(canon, "url", Digests.cascade(col("html"), cfg.algs))
 
-    // stage 1: the full edge set (alias + exact + near-dup edges);
-    // resume skips digesting/shingling the corpus entirely
-    val edges = catalog.stage("edges", base) {
+    // stage 1: the full edge set (alias + exact + near-dup edges) PLUS
+    // one aggregated skip row per near-dup stage (kind = 'skip:<stage>',
+    // src/dst null) — the over-cap metric is part of the stage's
+    // materialized output, so a RESUME reads it back instead of
+    // re-shingling the corpus (r2 VERDICT #3). Resume skips
+    // digesting/shingling entirely.
+    var toRelease = Seq.empty[DataFrame]
+    val staged = catalog.stage("edges", base) {
       val aliasEdges = valid
         .select(Urls.normalize(col("url")).as("identity"), col("url"))
         .withColumn("canonical", min(col("url")).over(
@@ -151,21 +175,43 @@ object DedupPipeline {
         .filter(col("id") =!= col("block_id"))
         .select(col("id").as("src"), col("block_id").as("dst"), lit("exact").as("kind"))
       val textDocs = canon.filter(trim(col("text")) =!= "")
-      lazy val sigs = MinHashLSH.signatures(textDocs, cfg.minhash).persist()
-      val mh = if (cfg.useMinHash)
-        Some(MinHashLSH.edgesFromSignatures(sigs, cfg.minhash)
-          .withColumn("kind", lit("minhash")).drop("jaccard")) else None
-      val sh = if (cfg.useSimHash)
-        Some(SimHash.edgesFromFingerprints(
-          SimHash.fingerprintsFromShingles(
-            if (cfg.useMinHash) sigs
-            else MinHashLSH.signatures(textDocs,
-              cfg.minhash.copy(shingleK = cfg.simhash.shingleK)),
-            cfg.simhash), cfg.simhash)
-          .withColumn("kind", lit("simhash")).drop("hamming")) else None
-      (Seq(Some(aliasEdges), Some(exactEdges), mh, sh).flatten
-        .map(_.select("src", "dst", "kind"))).reduce(_ unionByName _)
+      val sameK = cfg.simhash.shingleK == cfg.minhash.shingleK
+      val sigsMh: Option[DataFrame] =
+        if (cfg.useMinHash || (cfg.useSimHash && sameK))
+          Some(MinHashLSH.signatures(textDocs, cfg.minhash).persist())
+        else None
+      val sigsSh: Option[DataFrame] =
+        if (!cfg.useSimHash) None
+        else if (sameK) sigsMh
+        else Some(MinHashLSH.signatures(textDocs,
+          cfg.minhash.copy(shingleK = cfg.simhash.shingleK)).persist())
+      val mhOut = if (cfg.useMinHash)
+        Some(MinHashLSH.candidatesAndSkips(sigsMh.get, cfg.minhash).persist()) else None
+      val shOut = sigsSh.map(sg => SimHash.edgesAndSkips(
+        SimHash.fingerprintsFromShingles(sg, cfg.simhash), cfg.simhash).persist())
+      toRelease = (sigsMh.toSeq ++ sigsSh.toSeq).distinct ++ mhOut.toSeq ++ shOut.toSeq
+      val mh = mhOut.map(o => MinHashLSH.verifyCandidates(
+          o.filter(col("src").isNotNull).select("src", "dst").distinct(),
+          sigsMh.get, cfg.minhash)
+        .withColumn("kind", lit("minhash")).drop("jaccard"))
+      val sh = shOut.map(_.filter(col("src").isNotNull).select("src", "dst").distinct()
+        .withColumn("kind", lit("simhash")))
+      def skipRow(o: DataFrame, kind: String): DataFrame = o
+        .filter(col("src").isNull)
+        .agg(coalesce(sum(col("skipped")), lit(0L)).as("skipped"))
+        .select(lit(null).cast("string").as("src"), lit(null).cast("string").as("dst"),
+          lit(s"skip:$kind").as("kind"), col("skipped"))
+      val edgeRows = (Seq(Some(aliasEdges), Some(exactEdges), mh, sh).flatten
+        .map(_.select("src", "dst", "kind").withColumn("skipped", lit(0L))))
+        .reduce(_ unionByName _)
+      (edgeRows +: (mhOut.map(skipRow(_, "minhash")).toSeq ++
+        shOut.map(skipRow(_, "simhash")).toSeq)).reduce(_ unionByName _)
     }
+    toRelease.foreach(_.unpersist())
+    val edges = staged.filter(!col("kind").startsWith("skip:")).drop("skipped")
+    val skippedCounts = staged.filter(col("kind").startsWith("skip:"))
+      .select(col("kind"), col("skipped")).collect()
+      .map(r => r.getString(0).stripPrefix("skip:") -> r.getLong(1)).toMap
 
     // stage 2: connected components over the staged edges
     val clusters = catalog.stage("clusters", base + "|edges") {
@@ -174,26 +220,21 @@ object DedupPipeline {
         .join(cc, valid("url") === cc("id"), "left")
         .select(col("url"), coalesce(col("component"), col("url")).as("cluster_id"))
     }
-    // surface over-cap skip counts alongside the stage metrics (SCALE
-    // invariant 3: capped AND surfaced)
-    def skipped(): Map[String, Long] = {
-      val textDocs = canon.filter(trim(col("text")) =!= "")
-      def total(df: DataFrame): Long =
-        df.agg(coalesce(sum(col("count")), lit(0L))).head().getLong(0)
-      (if (cfg.useMinHash)
-        Map("minhash" -> total(MinHashLSH.skippedBucketRows(
-          MinHashLSH.signatures(textDocs, cfg.minhash), cfg.minhash)))
-      else Map.empty[String, Long]) ++
-        (if (cfg.useSimHash)
-          Map("simhash" -> total(SimHash.skippedBucketRows(textDocs, cfg.simhash)))
-        else Map.empty[String, Long])
+    // stage 3: the deduped corpus itself (one row per cluster
+    // canonical), laid out by the north rule's (days(warc_ts), lang)
+    // partitioning — partition pruning serves day- or language-scoped
+    // downstream reads without a full scan
+    val deduped = catalog.stage("deduped_docs", base + "|clusters",
+      Seq("warc_day", "lang")) {
+      valid
+        .join(clusters.filter(col("url") === col("cluster_id")).select("url"), "url")
+        .withColumn("warc_day", to_date(col("warc_ts")))
     }
-    val skippedCounts = skipped()
     catalog.recordMetrics("clusters", Map(
       "clusters" -> clusters.select(col("cluster_id")).distinct().count(),
       "edges" -> edges.count()) ++
       skippedCounts.map { case (k, v) => s"skipped_bucket_rows_$k" -> v })
     new Result(clusters, exact, edges, quarantined, () => docsRaw.count(),
-      () => skippedCounts)
+      skippedCounts, Some(deduped))
   }
 }

@@ -7,13 +7,27 @@ import graft.near.Hashing
 
 /** Similarity search over an embedding column (Array[Float]).
   *
-  * Brute-force cosine top-k is the exact baseline (built-in
-  * zip_with/aggregate arithmetic — no UDF); the scale path is
-  * random-hyperplane LSH bucketing: sign-bit signatures computed
-  * map-side, candidates restricted to same-bucket (multi-probe over
-  * Hamming-1 neighbors of the bucket code), exact re-rank inside the
-  * bucket. At 10^12 rows the brute force is a cross join — the LSH
-  * variant's bucket join is the one that survives the scale-up.
+  * Brute-force cosine top-k is the exact baseline (prenormed
+  * broadcast nested-loop — correct at any scale where the query side
+  * is small); the scale path is BANDED random-hyperplane LSH
+  * (OR-construction, Indyk–Motwani / Charikar): T independent tables
+  * of `bits` sign bits each, candidates restricted to pairs agreeing
+  * on ALL bits of AT LEAST ONE table, exact cosine re-rank/verify on
+  * the candidates.
+  *
+  * Why banding and not a Hamming-ball multiprobe (the r2 design — one
+  * log2(N/target)-bit code probed within a fixed radius): for a true
+  * near-dup at cosine c each sign bit flips independently with
+  * p ≈ arccos(c)/π (0.045 at c = 0.99), so the EXPECTED Hamming
+  * distance grows linearly with the code width — bits·p ≈ 1.5 at
+  * N = 10^12 — and any fixed-radius ball loses recall as the corpus
+  * grows (and a radius that grows with bits pays C(bits, r) probe
+  * fan-out). Banding holds recall at EVERY corpus size: a pair
+  * collides in one table w.p. q = (1−p)^bits, and T ≈
+  * ln(1/(1−recall))/q tables make the miss probability (1−q)^T ≤
+  * 1−recall by construction — the same AND/OR shape as MinHash band
+  * LSH, with T growing only polynomially in bits (T ≈ 20 at
+  * N = 10^12, target recall 0.99 at cosine 0.99).
   */
 object Ann {
 
@@ -51,17 +65,16 @@ object Ann {
         round(col("score"), 6).as("score"))
   }
 
-  /** Random-hyperplane LSH bucket code: `bits` sign bits of dot
-    * products with seeded deterministic hyperplanes. Planes are
-    * memoized per (bits, dim, seed) — they were being regenerated per
-    * ROW inside the udf otherwise.
+  /** Seeded deterministic ~N(0,1) hyperplanes, memoized per
+    * (planes, dim, seed) — they were being regenerated per ROW inside
+    * the udf otherwise.
     */
   private val hpCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
 
-  private def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] =
-    hpCache.computeIfAbsent((bits, dim, seed), { key: (Int, Int, Long) =>
-      Array.tabulate(bits) { b =>
+  private def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    hpCache.computeIfAbsent((planes, dim, seed), { key: (Int, Int, Long) =>
+      Array.tabulate(planes) { b =>
         Array.tabulate(dim) { d =>
           // deterministic ~N(0,1) via Box-Muller over seeded uniforms
           val u1 = (Hashing.mix64(seed ^ (b * 1009L + d)) >>> 11).toDouble / (1L << 53).toDouble
@@ -71,69 +84,97 @@ object Ann {
       }
     })
 
-  def bucketCode(bits: Int, seed: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
+  /** All T table codes of a vector in one pass: table t packs the sign
+    * bits of hyperplanes [t·bits, (t+1)·bits) into one LONG (codes are
+    * 64-bit — the r2 Int packing silently wrapped `1 << b` past 31
+    * bits, aliasing high hyperplanes onto low ones).
+    */
+  def tableCodes(tables: Int, bits: Int, seed: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((v: Seq[Float]) =>
-      if (v == null || v.isEmpty) null.asInstanceOf[java.lang.Integer]
+      if (v == null || v.isEmpty) null
       else {
-        val hp = hyperplanes(bits, v.length, seed)
-        var code = 0
-        var b = 0
-        while (b < bits) {
-          var s = 0.0; var d = 0
-          while (d < v.length) { s += hp(b)(d) * v(d); d += 1 }
-          if (s > 0) code |= (1 << b)
-          b += 1
+        val hp = hyperplanes(tables * bits, v.length, seed)
+        Array.tabulate(tables) { t =>
+          var code = 0L
+          var b = 0
+          while (b < bits) {
+            val plane = hp(t * bits + b)
+            var s = 0.0; var d = 0
+            while (d < v.length) { s += plane(d) * v(d); d += 1 }
+            if (s > 0) code |= (1L << b)
+            b += 1
+          }
+          code
         }
-        Integer.valueOf(code)
       })
 
-  /** All XOR masks with ≤ radius bits set — the multi-probe ball.
-    * Generated as bit-position combinations (Σ C(bits, r) masks), not
-    * by filtering the 2^bits range — bits is log-scale-adaptive and
-    * may be large.
-    */
-  private def probeMasks(bits: Int, radius: Int): Seq[Int] =
-    (0 to math.min(radius, bits)).flatMap(r =>
-      (0 until bits).combinations(r).map(_.foldLeft(0)((m, b) => m | (1 << b))))
-
-  /** Scale-adaptive bucket-code width: buckets hold ~targetBucket rows
-    * regardless of corpus size — bits grows with log N (a FIXED bit
-    * count degenerates to scanning N/2^bits rows per query at scale).
+  /** Scale-adaptive per-table code width: buckets hold ~targetBucket
+    * rows regardless of corpus size — bits grows with log N (a FIXED
+    * bit count degenerates to scanning N/2^bits rows per query at
+    * scale). Capped at 62 so the Long packing never wraps.
     */
   def adaptiveBits(n: Long, targetBucket: Int = 64): Int =
-    math.max(1, math.ceil(math.log(math.max(2.0, n.toDouble / targetBucket)) /
-      math.log(2.0)).toInt)
+    math.min(62, math.max(1, math.ceil(math.log(math.max(2.0, n.toDouble / targetBucket)) /
+      math.log(2.0)).toInt))
 
-  /** Approximate top-k: candidates from the query's bucket plus all
-    * buckets within Hamming `probeRadius` (multi-probe), exact cosine
-    * re-rank within. For near neighbors at cosine c, each sign bit
-    * disagrees w.p. arccos(c)/π — radius 2 covers ≳95% of
-    * genuinely-close neighbors while scanning a small corpus fraction.
+  /** Number of OR-construction tables for target `recall` on pairs at
+    * cosine ≥ `simCos`, given per-table width `bits`:
+    * smallest T with 1 − (1 − q)^T ≥ recall, q = (1 − arccos(c)/π)^bits.
+    * Capped at 128: for NEAR-DUP regimes (c ≥ ~0.9) the cap never
+    * binds (≈20 tables at 10^12 rows for c = 0.99); for LOW-similarity
+    * retrieval (c ≲ 0.5) at large N the required T explodes — that is
+    * the intrinsic hardness of far-neighbor LSH, and hitting the cap
+    * means the recall target is honestly unattainable at that (bits,
+    * simCos) point, not silently "handled".
+    */
+  def numTables(bits: Int, simCos: Double = 0.99, recall: Double = 0.99): Int = {
+    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, simCos))) / math.Pi
+    val q = math.pow(p, bits.toDouble)
+    if (q >= 1.0 - 1e-12) 1
+    else math.min(128, math.max(1, math.ceil(math.log1p(-recall) / math.log1p(-q)).toInt))
+  }
+
+  /** (table_id, code, id) — one row per (vector, table), map-side. */
+  private def codes(df: DataFrame, tables: Int, bits: Int, seed: Long,
+      idCol: String, vecCol: Column, idAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+      posexplode(tableCodes(tables, bits, seed)(vecCol)).as(Seq("table_id", "code")))
+
+  /** Approximate top-k: banded LSH candidates (agree on all bits of
+    * ≥1 table), exact cosine re-rank. Queries are broadcast, so the
+    * corpus side never shuffles: corpus codes + prenormed vectors are
+    * probed map-side against the query table codes; the only shuffles
+    * are over the (small) scored candidate set. Candidate duplication
+    * across tables collapses via max(score) (scores are deterministic
+    * per pair).
     *
-    * bits ≤ 0 (default) = adaptive: ceil(log2(n / targetBucket)), so
-    * the scanned fraction stays ~(probe count · targetBucket)/N as the
-    * corpus grows (VERDICT r01: fixed 2^6 buckets ≈ N/3 scanned).
+    * bits0/tables0 ≤ 0 (default) = adaptive: bits = log2(n/targetBucket)
+    * (pass `n` to skip the corpus count), tables from `numTables(bits,
+    * simCos, recall)`.
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits0: Int = 0,
-      probeRadius: Int = 2, seed: Long = 42L, idCol: String = "vec_id",
-      vecCol: String = "embedding", targetBucket: Int = 64): DataFrame = {
-    val bits = if (bits0 > 0) bits0 else adaptiveBits(corpus.count(), targetBucket)
-    val codeUdf = bucketCode(bits, seed)
-    // prenorm both sides: each candidate pair pays ONE dot product,
-    // not three norm recomputations (same trick as knnBruteForce)
+      tables0: Int = 0, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", targetBucket: Int = 64,
+      n: Option[Long] = None, simCos: Double = 0.99, recall: Double = 0.99): DataFrame = {
+    val bits = if (bits0 > 0) bits0 else adaptiveBits(n.getOrElse(corpus.count()), targetBucket)
+    val tables = if (tables0 > 0) tables0 else numTables(bits, simCos, recall)
+    // codes + vector in ONE projection: the corpus side stays entirely
+    // map-side (probe of the broadcast query table), never shuffled
     val c = prenorm(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c0"),
-        codeUdf(col(vecCol)).as("bucket")),
+        posexplode(tableCodes(tables, bits, seed)(col(vecCol)))
+          .as(Seq("table_id", "code"))),
       "neighbor_id", col("c0"), "cv", "cn").drop("c0")
-    val probes = probeMasks(bits, probeRadius).map(m => col("code").bitwiseXOR(lit(m)))
-    val q = prenorm(
+    val q = broadcast(prenorm(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q0"),
-        codeUdf(col(vecCol)).as("code")),
-      "query_id", col("q0"), "qv", "qn").drop("q0")
-      .withColumn("bucket", explode(array(probes: _*)))
-    val scored = broadcast(q).join(c, Seq("bucket"))
+        posexplode(tableCodes(tables, bits, seed)(col(vecCol)))
+          .as(Seq("table_id", "code"))),
+      "query_id", col("q0"), "qv", "qn").drop("q0"))
+    val scored = q.join(c, Seq("table_id", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosineFromParts(col("qv"), col("qn"), col("cv"), col("cn")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("score")).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -142,10 +183,6 @@ object Ann {
         round(col("score"), 6).as("score"))
   }
 
-  /** Embedding near-duplicate edges: pairs with cosine ≥ threshold,
-    * LSH-bucketed candidate generation (multi-probe radius 1, exact
-    * verify within bucket).
-    */
   /** Per-row precomputation for pairwise cosine: double-cast vector +
     * its self-dot, so each PAIR only pays one dot product (norms were
     * being recomputed per pair otherwise). Values are bit-identical to
@@ -177,23 +214,61 @@ object Ann {
   def cosineFromParts(av: Column, an: Column, bv: Column, bn: Column): Column =
     when(an > 0 && bn > 0, dotUdf(av, bv) / sqrt(an * bn)).otherwise(lit(0.0))
 
-  def embeddingDupEdges(corpus: DataFrame, threshold: Double, bits0: Int = 0,
-      seed: Long = 42L, idCol: String = "vec_id", vecCol: String = "embedding",
-      targetBucket: Int = 64): DataFrame = {
-    val bits = if (bits0 > 0) bits0 else adaptiveBits(corpus.count(), targetBucket)
-    val codeUdf = bucketCode(bits, seed)
-    val c = prenorm(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("v0"), codeUdf(col(vecCol)).as("code")),
-      "id", col("v0"), "v", "n").drop("v0")
-    val probes = probeMasks(bits, 1).map(m => col("code").bitwiseXOR(lit(m)))
-    val l = c.withColumn("bucket", explode(array(probes: _*)))
-      .select(col("bucket"), col("id").as("src"), col("v").as("sv"), col("n").as("sn"))
-    val r = c.select(col("code").as("bucket"), col("id").as("dst"), col("v").as("dv"), col("n").as("dn"))
-    l.join(r, Seq("bucket"))
+  /** Banded-LSH candidate pairs over one corpus (src < dst, distinct):
+    * the code frame carries only (table_id, code, id) — vectors never
+    * ride the candidate shuffle — and bucket sizes are pre-filtered to
+    * [2, maxBucket] with a CODEGEN count aggregation before the
+    * in-bucket self-join (the pair blowup guard; over-cap buckets are
+    * surfaced by `skippedBucketRows`, never silently exploded).
+    */
+  def candidatePairs(corpus: DataFrame, bits: Int, tables: Int, seed: Long,
+      idCol: String, vecCol: String, maxBucket: Int): DataFrame = {
+    val c = codes(corpus.select(col(idCol), col(vecCol)), tables, bits, seed,
+      idCol, col(vecCol), "id")
+    val ok = c.groupBy(col("table_id"), col("code")).count()
+      .filter(col("count").between(2, maxBucket)).drop("count")
+    val inCap = c.join(ok, Seq("table_id", "code"), "left_semi")
+    inCap.select(col("table_id"), col("code"), col("id").as("src"))
+      .join(inCap.select(col("table_id"), col("code"), col("id").as("dst")),
+        Seq("table_id", "code"))
       .filter(col("src") < col("dst"))
+      .select("src", "dst")
+      .distinct()
+  }
+
+  /** Rows in over-capacity hyperplane buckets (skip metric — capped
+    * AND surfaced, SCALE.md invariant 3).
+    */
+  def skippedBucketRows(corpus: DataFrame, bits: Int, tables: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 4096): DataFrame =
+    codes(corpus.select(col(idCol), col(vecCol)), tables, bits, seed,
+      idCol, col(vecCol), "id")
+      .groupBy(col("table_id"), col("code")).count()
+      .filter(col("count") > maxBucket)
+
+  /** Embedding near-duplicate edges: pairs with cosine ≥ threshold.
+    * Banded-LSH candidate generation (tables sized from the threshold
+    * itself: a pair AT the threshold is found w.p. ≥ `recall` at any
+    * corpus size), exact cosine verify on the (small) candidate set —
+    * vectors join back onto candidates rather than riding the T-way
+    * code explosion through the shuffle.
+    */
+  def embeddingDupEdges(corpus: DataFrame, threshold: Double, bits0: Int = 0,
+      tables0: Int = 0, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", targetBucket: Int = 64,
+      n: Option[Long] = None, recall: Double = 0.99,
+      maxBucket: Int = 4096): DataFrame = {
+    val bits = if (bits0 > 0) bits0 else adaptiveBits(n.getOrElse(corpus.count()), targetBucket)
+    val tables = if (tables0 > 0) tables0 else numTables(bits, threshold, recall)
+    val cand = candidatePairs(corpus, bits, tables, seed, idCol, vecCol, maxBucket)
+    val pre = prenorm(corpus.select(col(idCol).as("id"), col(vecCol).as("v0")),
+      "id", col("v0"), "v", "nn").drop("v0")
+    cand
+      .join(pre.select(col("id").as("src"), col("v").as("sv"), col("nn").as("sn")), "src")
+      .join(pre.select(col("id").as("dst"), col("v").as("dv"), col("nn").as("dn")), "dst")
       .withColumn("score", round(cosineFromParts(col("sv"), col("sn"), col("dv"), col("dn")), 6))
       .filter(col("score") >= threshold)
       .select(col("src"), col("dst"), col("score"))
-      .distinct()
   }
 }

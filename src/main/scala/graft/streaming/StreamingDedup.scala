@@ -25,22 +25,45 @@ object StreamingDedup {
     * One-pass and O(1) state per key: the group's row iterator streams
     * through flatMapGroupsWithState without materializing (r01 buffered
     * each micro-batch group via rows.toSeq — unbounded on hot keys).
+    * Within the FIRST micro-batch of a key, "first-seen" is the shuffle
+    * iterator's order — reproducible re-processing of the same batch,
+    * but not a total arrival order (the reference's single-threaded
+    * add() has one; a distributed shuffle does not — callers needing a
+    * deterministic canonical should key on min(url) downstream).
+    *
+    * `ttl` > 0 bounds the state store (the r2 verdict's unbounded-key-
+    * cardinality note): a key idle for `ttl` ms is evicted, and its
+    * next occurrence starts a NEW block with a new canonical — the
+    * trade the reference never faces because its block map lives for
+    * one process run. Note Spark schedules batches CONTINUOUSLY under
+    * ProcessingTimeTimeout to fire expirations — pair a ttl with a
+    * real `Trigger.ProcessingTime(...)` so the idle loop is paced.
     */
-  def assign(spark: SparkSession, keyed: Dataset[Keyed]): Dataset[Assignment] = {
+  def assign(spark: SparkSession, keyed: Dataset[Keyed],
+      ttl: java.time.Duration = java.time.Duration.ZERO): Dataset[Assignment] = {
     import spark.implicits._
+    val timeout =
+      if (ttl.isZero) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.ProcessingTimeTimeout()
     keyed
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Update(), timeout) {
         (_: String, rows: Iterator[Keyed], state: GroupState[String]) =>
-          // establish the canonical EAGERLY (state must not be updated
-          // from inside the lazily-consumed iterator), then stream
-          val head = if (state.exists) Iterator.empty else {
-            val first = rows.next()
-            state.update(first.url)
-            Iterator.single(first)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // establish the canonical EAGERLY (state must not be updated
+            // from inside the lazily-consumed iterator), then stream
+            val head = if (state.exists) Iterator.empty else {
+              val first = rows.next()
+              state.update(first.url)
+              Iterator.single(first)
+            }
+            if (!ttl.isZero) state.setTimeoutDuration(ttl.toMillis)
+            val canonical = state.get
+            (head ++ rows).map(k => Assignment(k.url, canonical, k.url != canonical))
           }
-          val canonical = state.get
-          (head ++ rows).map(k => Assignment(k.url, canonical, k.url != canonical))
       }
   }
 

@@ -53,36 +53,73 @@ object SubstringDedup {
   }
 
   /** Duplicated w-token windows: win_hash groups spanning ≥2 distinct
-    * docs. Output (win_hash, n_docs, doc_ids sample).
+    * docs. Output (win_hash, n_docs, doc_ids sample). Streamed over
+    * SORTED groups: exact distinct count + first-`sampleDocs` sample in
+    * O(sampleDocs) memory — a 10M-doc boilerplate window never
+    * materializes its member set (the previous collect_set did).
     */
   def duplicatedWindows(docs: DataFrame, w: Int = 20, stride: Int = 10,
-      idCol: String = "url", textCol: String = "text", sampleDocs: Int = 20): DataFrame =
+      idCol: String = "url", textCol: String = "text", sampleDocs: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     windowHashes(docs, w, stride, idCol, textCol)
-      .groupBy("win_hash")
-      .agg(
-        countDistinct(col("id")).as("n_docs"),
-        slice(sort_array(collect_set(col("id"))), 1, sampleDocs).as("doc_ids"))
-      .filter(col("n_docs") >= 2)
+      .select(col("win_hash"), col("id"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("id")) { (wh, rows) =>
+        var nDocs = 0L
+        var prev: String = null
+        val sample = new scala.collection.mutable.ArrayBuffer[String](sampleDocs)
+        while (rows.hasNext) {
+          val id = rows.next()._2
+          if (id != prev) {
+            nDocs += 1
+            if (sample.length < sampleDocs) sample += id
+            prev = id
+          }
+        }
+        if (nDocs >= 2) Iterator.single((wh, nDocs, sample.toSeq)) else Iterator.empty
+      }
+      .toDF("win_hash", "n_docs", "doc_ids")
+  }
 
   /** Docs sharing ≥ minShared duplicated windows → dup edges
     * (src < dst). Hot boilerplate windows are capped at 50 docs per
-    * window (quadratic-blowup guard, SURVEY §7.3).
+    * window (quadratic-blowup guard, SURVEY §7.3): a streamed bounded
+    * drain over sorted groups — at most cap+1 distinct ids held, the
+    * over-cap window yields no pairs (SCALE.md invariant 3; see
+    * CappedGroups for why this beats an object-buffer udaf).
     */
   def substringDupEdges(docs: DataFrame, w: Int = 20, stride: Int = 10,
       minShared: Int = 2, idCol: String = "url", textCol: String = "text",
       maxDocsPerWindow: Int = 50): DataFrame = {
-    val wh = windowHashes(docs, w, stride, idCol, textCol)
-    // capped-set aggregation: at most cap+1 distinct ids accumulate
-    // per window — a hot boilerplate window never materializes its
-    // full doc set, in ONE pass (SURVEY §7.3, SCALE.md invariant 3)
-    val grouped = wh.groupBy("win_hash")
-      .agg(graft.functions.CappedCollect.stringSet(col("id"), maxDocsPerWindow).as("cc"))
-      .filter(col("cc.n").between(2, maxDocsPerWindow))
-      .select(col("win_hash"), col("cc.items").as("ids"))
-    grouped
-      .select(explode(col("ids")).as("src"), col("ids"))
-      .select(col("src"), explode(col("ids")).as("dst"))
-      .filter(col("src") < col("dst"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cap = maxDocsPerWindow
+    windowHashes(docs, w, stride, idCol, textCol)
+      .select(col("win_hash"), col("id"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("id")) { (_, rows) =>
+        // sorted stream → distinct ids arrive as runs; keep ≤ cap+1
+        val ids = new scala.collection.mutable.ArrayBuffer[String](16)
+        var prev: String = null
+        var over = false
+        while (rows.hasNext && !over) {
+          val id = rows.next()._2
+          if (id != prev) {
+            if (ids.length > cap) over = true else ids += id
+            prev = id
+          }
+        }
+        if (over || ids.length < 2 || ids.length > cap) Iterator.empty
+        else
+          for {
+            i <- ids.indices.iterator
+            j <- ((i + 1) until ids.length).iterator
+          } yield (ids(i), ids(j))
+      }
+      .toDF("src", "dst")
       .groupBy("src", "dst").count()
       .filter(col("count") >= minShared)
       .select(col("src"), col("dst"), col("count").as("shared_windows"))
@@ -140,6 +177,127 @@ object SubstringDedup {
           out.groupBy(r => (r.srcDoc, r.dstDoc)).map(_._2.maxBy(_.length)).iterator
         }
       }
+  }
+
+  /** Cross-partition (global) exact repeats ≥ minLen chars: winnowing
+    * fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03) generate
+    * candidate doc pairs with a GUARANTEE — any substring shared
+    * between two docs of length ≥ minLen shares at least one selected
+    * fingerprint, regardless of alignment or partition placement —
+    * then each candidate pair is verified exactly with a
+    * longest-common-run scan over the two texts.
+    *
+    * This is the operator that sees repeats `suffixArrayRepeats`
+    * cannot: that one is partition-local by design (it concatenates
+    * only the docs that happen to share a partition), so a repeat
+    * spanning docs in different partitions was invisible (r2 VERDICT
+    * missing #2). Here the fingerprint groupBy co-locates by CONTENT,
+    * not placement: linear map-side hashing, one shuffle of (hash, id)
+    * pairs, capped buckets (hot boilerplate grams surface as skips via
+    * the cap, same contract as the window-hash path), and the verify
+    * join ships only the candidate pairs' texts.
+    */
+  def crossDocRepeats(spark: SparkSession, docs: DataFrame, minLen: Int = 60,
+      idCol: String = "url", textCol: String = "text",
+      maxDocsPerGram: Int = 50): Dataset[Repeat] = {
+    import spark.implicits._
+    val k = math.max(8, minLen / 2)
+    val s = minLen - k + 1 // winnow window: guarantee kicks in at k+s−1 = minLen
+    val fpUdf = udf((text: String) => winnowFingerprints(text, k, s))
+    val cap = maxDocsPerGram
+    val cand = docs.select(col(idCol).as("id"), explode(fpUdf(col(textCol))).as("fp"))
+      .as[(String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, rows) =>
+        val (n, ids0) = graft.functions.CappedGroups.drain(rows.map(_._1), cap)
+        if (n > cap || n < 2) Iterator.empty
+        else {
+          val ids = ids0.distinct.sorted
+          for {
+            i <- ids.indices.iterator
+            j <- ((i + 1) until ids.length).iterator
+          } yield (ids(i), ids(j))
+        }
+      }
+      .toDF("src", "dst").distinct()
+    val t = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    cand
+      .join(t.select(col("id").as("src"), col("t").as("ta")), "src")
+      .join(t.select(col("id").as("dst"), col("t").as("tb")), "dst")
+      .select(col("src"), col("dst"), col("ta"), col("tb"))
+      .as[(String, String, String, String)]
+      .map { case (a, b, ta, tb) =>
+        val (len, sample) = longestCommonRun(ta, tb)
+        Repeat(a, b, len, sample)
+      }
+      .filter(_.length >= minLen)
+  }
+
+  /** Distinct winnowing fingerprints of `text`: rolling k-gram hashes,
+    * minimum per s-window (rightmost min — the standard robust-winnow
+    * tie rule), mixed for dispersion. Linear time and O(s) state.
+    */
+  def winnowFingerprints(text: String, k: Int, s: Int): Array[Long] = {
+    if (text == null || text.length < k + s - 1) return Array.empty
+    val nGrams = text.length - k + 1
+    val B = 0x100000001b3L
+    var bk = 1L // B^(k-1)
+    var i = 0
+    while (i < k - 1) { bk *= B; i += 1 }
+    // rolling k-gram hashes (mixed)
+    val gh = new Array[Long](nGrams)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    gh(0) = Hashing.mix64(h)
+    i = 1
+    while (i < nGrams) {
+      h = (h - text.charAt(i - 1) * bk) * B + text.charAt(i + k - 1)
+      gh(i) = Hashing.mix64(h)
+      i += 1
+    }
+    // winnow: min of each s-window of gram hashes (monotone deque)
+    val out = new java.util.HashSet[Long]()
+    val dq = new Array[Int](nGrams)
+    var head = 0; var tail = 0 // indices into dq
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && gh(dq(tail - 1)) >= gh(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - s) head += 1
+      if (i >= s - 1) out.add(gh(dq(head)))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator(); var q = 0
+    while (it.hasNext) { arr(q) = it.next(); q += 1 }
+    arr
+  }
+
+  /** Longest common substring of (a, b) via sorted suffixes of their
+    * sentinel-joined concatenation — exact, per-pair (the candidate
+    * pairs are few; each pair is one task-local computation).
+    */
+  def longestCommonRun(a: String, b: String): (Int, String) = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return (0, "")
+    val joined = a + Sep + b
+    val n = joined.length
+    val aEnd = a.length
+    val sa = Array.range(0, n).filter(i => joined.charAt(i) != Sep)
+      .sortWith((x, y) => compareSuffix(joined, x, y) < 0)
+    var best = 0
+    var bestPos = 0
+    var i = 1
+    while (i < sa.length) {
+      val x = sa(i - 1); val y = sa(i)
+      if ((x < aEnd) != (y < aEnd)) { // suffixes from different docs
+        val l = lcp(joined, x, y, n)
+        if (l > best) { best = l; bestPos = math.min(x, y) }
+      }
+      i += 1
+    }
+    (best, joined.substring(bestPos, bestPos + math.min(80, best)))
   }
 
   private def compareSuffix(s: String, a0: Int, b0: Int): Int = {

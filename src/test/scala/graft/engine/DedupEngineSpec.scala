@@ -102,4 +102,43 @@ class DedupEngineSpec extends SparkSpec {
     val r = DedupEngine.run(docs, "url", casc)
     assert(r.collisionCounts.last == 0L)
   }
+
+  for (mode <- Seq(DedupEngine.Eager, DedupEngine.Staged))
+    test(s"$mode: null digests form a real block — no row vanishes (r2 ADVICE)") {
+      // sha/md5 of NULL content is NULL at every level: groupBy counts
+      // the null-key block but a plain equi-join drops its rows from
+      // assignments — the null-safe join keeps blockMeta and
+      // assignments consistent
+      val docs = Seq(("u1", "same"), ("u2", "same"), ("u3", null),
+        ("u4", null), ("u5", "only")).toDF("id", "content")
+      val casc = Seq(
+        DigestSpec("len", "length", length(col("content"))),
+        DigestSpec("md5", "md5", md5(col("content").cast("binary"))))
+      val r = DedupEngine.run(docs, "id", casc, mode)
+      assert(r.assignments.count() == 5) // every input row assigned
+      assert(r.totalObjects == 5)
+      val byBlock = r.assignments.groupBy("block_id").count()
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      assert(byBlock == Map("u1" -> 2L, "u3" -> 2L, "u5" -> 1L))
+    }
+
+  test("hot-block skew: a degenerate single-key block completes sanely (r2 VERDICT #7)") {
+    // 200k identical-content rows = ONE full-key block. The block
+    // aggregation is map-side-combining (one row per block, never a
+    // member array) and the assignments join back on the hot key is
+    // AQE-skew-splittable; this must complete quickly with exact
+    // counts, plus a handful of unique rows to keep the plan honest.
+    import spark.implicits._
+    val docs = spark.range(200000)
+      .select(concat(lit("u"), col("id")).as("id"),
+        when(col("id") < 199990, lit("hot")).otherwise(col("id").cast("string")).as("content"))
+    val casc = Seq(
+      DigestSpec("len", "length", length(col("content"))),
+      DigestSpec("md5", "md5", md5(col("content").cast("binary"))))
+    val r = DedupEngine.run(docs, "id", casc)
+    assert(r.totalObjects == 200000L)
+    assert(r.assignments.count() == 200000L)
+    val hot = r.blockMeta.filter(col("size") > 1).collect()
+    assert(hot.length == 1 && hot.head.getAs[Long]("size") == 199990L)
+  }
 }

@@ -44,10 +44,16 @@ class AnnSpec extends SparkSpec {
 
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
-  test("LSH ANN recall vs brute force (multi-probe, scale-adaptive bits)") {
+  test("LSH ANN recall vs brute force (banded, simCos matched to the data regime)") {
+    // raw sf0.001 embeddings have NO near pairs (max cosine ≈ 0.51):
+    // exact top-5 neighbors sit at cosine ~0.3-0.5, so the table count
+    // must be sized for THAT regime (simCos is the knob — tables =
+    // numTables(bits, simCos, recall)); the default 0.99 targets
+    // near-duplicates and rightly scans far fewer buckets
     val q = emb.filter(col("vec_id") < 20)
     val exact = Ann.knnBruteForce(emb, q, 5).select("query_id", "neighbor_id")
-    val approx = Ann.knnLsh(emb, q, 5).select("query_id", "neighbor_id")
+    val approx = Ann.knnLsh(emb, q, 5, simCos = 0.35, recall = 0.95)
+      .select("query_id", "neighbor_id")
       .withColumn("hit", lit(1))
     val recall = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
       .filter(col("hit").isNotNull).count().toDouble / exact.count()
@@ -60,6 +66,18 @@ class AnnSpec extends SparkSpec {
     assert(Ann.adaptiveBits(1000000) == 14)
     assert(Ann.adaptiveBits(1000000000L) == 24)
     assert(Ann.adaptiveBits(10) == 1)
+    // Long-packed codes: width can never reach the shift-wrap point
+    // (log2(2^63/64) = 57; the 62 cap is a belt-and-braces bound)
+    assert(Ann.adaptiveBits(Long.MaxValue) == 57)
+    assert(Ann.adaptiveBits(Long.MaxValue, targetBucket = 1) <= 62)
+  }
+
+  test("OR-construction table count compensates log-N code widths") {
+    // per-table collision decays with bits; T grows to hold recall
+    val t12 = Ann.numTables(Ann.adaptiveBits(1000000000000L), 0.99, 0.99)
+    assert(Ann.numTables(4, 0.99, 0.99) < t12)
+    assert(t12 <= 32) // ~20 at 10^12 — polynomial, not C(bits, r) fan-out
+    assert(Ann.numTables(1, 0.99, 0.99) >= 1)
   }
 
   test("embedding near-dup edges are symmetric-free and high-score") {
@@ -67,6 +85,60 @@ class AnnSpec extends SparkSpec {
     val bad = edges.filter(col("src") >= col("dst")).count()
     assert(bad == 0)
     assert(edges.filter(col("score") < 0.95).count() == 0)
+  }
+
+  /** Deterministic pseudorandom float in [-1, 1). */
+  private def prf(seed: Long): Float =
+    ((graft.near.Hashing.mix64(seed) >>> 11).toDouble / (1L << 53).toDouble * 2 - 1).toFloat
+
+  test("recall >= 0.95 on DIRECTION-PERTURBED near-dups at 100k rows (r2 verdict #1)") {
+    // The r2 multiprobe design passed only on positively-SCALED copies
+    // (identical direction ⇒ identical code). These planted pairs are
+    // perturbed per-coordinate — every hyperplane bit can flip — so
+    // recall here is the OR-construction property, not a structural
+    // accident.
+    import spark.implicits._
+    val dim = 64
+    val nBase = 100000
+    val nPlant = 500
+    val eps = 0.12f // ⇒ cosine ≈ 1/sqrt(1+eps²) ≈ 0.993
+    def base(i: Long): Array[Float] = Array.tabulate(dim)(d => prf(i * 131 + d))
+    def perturbed(i: Long): Array[Float] = {
+      val b = base(i)
+      Array.tabulate(dim)(d => b(d) + eps * prf(0x9e37L ^ (i * 131 + d)))
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+      while (d < dim) { dot += a(d).toDouble * b(d); na += a(d).toDouble * a(d); nb += b(d).toDouble * b(d); d += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val threshold = 0.98
+    val truth = (0 until nPlant).filter(i => cos(base(i), perturbed(i)) >= threshold)
+    assert(truth.size >= nPlant * 9 / 10) // the tier really sits above θ
+
+    val rows = (0 until nBase).map(i => (i.toLong, base(i))) ++
+      truth.map(i => (1000000L + i, perturbed(i)))
+    val corpus = rows.toDF("vec_id", "embedding").repartition(8)
+    val edges = Ann.embeddingDupEdges(corpus, threshold,
+      n = Some(nBase.toLong + truth.size)).persist()
+    val found = edges
+      .filter(col("dst") === col("src") + 1000000L && col("src") < nPlant).count()
+    val recall = found.toDouble / truth.size
+    info(f"banded-LSH recall on perturbed pairs = $recall%.4f (${truth.size} planted)")
+    assert(recall >= 0.95)
+    // no false merges: every reported edge really verifies ≥ θ (the
+    // verify stage is exact, so anything else would be a bug)
+    assert(edges.filter(col("score") < threshold).count() == 0)
+    edges.unpersist()
+
+    // kNN flavor: a perturbed query's true top-1 is its base vector
+    val queries = truth.take(50).map(i => (1000000L + i, perturbed(i))).toDF("vec_id", "embedding")
+    val basesOnly = (0 until nBase).map(i => (i.toLong, base(i))).toDF("vec_id", "embedding")
+    val top1 = Ann.knnLsh(basesOnly, queries, 1, n = Some(nBase.toLong), simCos = threshold)
+      .filter(col("rank") === 1)
+      .filter(col("neighbor_id") === col("query_id") - 1000000L).count()
+    info(s"kNN top-1 recall on perturbed queries = $top1/50")
+    assert(top1 >= 45)
   }
 }
 
@@ -99,6 +171,90 @@ class SubstringSpec extends SparkSpec {
     assert(reps.nonEmpty)
     assert(reps.exists(r => r.srcDoc == "d1" && r.dstDoc == "d2" && r.length >= 60))
     assert(!reps.exists(r => r.srcDoc == "d3" || r.dstDoc == "d3"))
+  }
+
+  test("crossDocRepeats finds a repeat planted across two FORCED partitions (r2 VERDICT #5)") {
+    // suffixArrayRepeats is partition-local by design; the winnowing
+    // path must see the repeat no matter where the docs physically live
+    val shared = mk(30, "rep") // ≈ 150+ chars shared run
+    // RDD-backed with explicit slices (a union of LocalRelations gets
+    // FOLDED into one by the optimizer): slice 0 = (d1, d3), slice 1 =
+    // (d2, d4) — the planted pair is guaranteed split
+    val rdd = spark.sparkContext.parallelize(Seq(
+      ("d1", mk(50, "x") + " " + shared),
+      ("d3", mk(100, "z")),
+      ("d2", shared + " " + mk(50, "y")),
+      ("d4", mk(100, "w"))), 2)
+    val docs = spark.createDataset(rdd).toDF("url", "text")
+    val pids = docs.select(col("url"), spark_partition_id().as("p"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(pids("d1") != pids("d2")) // the planted pair really is split
+    // the partition-local operator is blind to it...
+    val local = SubstringDedup.suffixArrayRepeats(spark, docs, minLen = 60).collect()
+    assert(!local.exists(r => r.srcDoc == "d1" && r.dstDoc == "d2"))
+    // ...the winnowing operator is not
+    val reps = SubstringDedup.crossDocRepeats(spark, docs, minLen = 60).collect()
+    assert(reps.exists(r => r.srcDoc == "d1" && r.dstDoc == "d2" && r.length >= 60))
+    assert(!reps.exists(r => r.srcDoc == "d3" || r.dstDoc == "d3" ||
+      r.srcDoc == "d4" || r.dstDoc == "d4"))
+  }
+
+  test("winnowing guarantee: shared run of minLen chars always shares a fingerprint") {
+    // alignment sweep — the stride-10 window-hash path misses
+    // misaligned repeats; winnowing must not
+    val shared = mk(40, "s")
+    for (off <- 0 until 7) {
+      val a = mk(13 + off, "a") + " " + shared
+      val b = mk(29 + off * 3, "b") + " " + shared + " " + mk(5, "c")
+      val fa = SubstringDedup.winnowFingerprints(a, 30, 31).toSet
+      val fb = SubstringDedup.winnowFingerprints(b, 30, 31).toSet
+      assert(fa.intersect(fb).nonEmpty, s"offset $off")
+    }
+    // and unrelated texts share none
+    val fu = SubstringDedup.winnowFingerprints(mk(60, "u"), 30, 31).toSet
+    val fv = SubstringDedup.winnowFingerprints(mk(60, "v"), 30, 31).toSet
+    assert(fu.intersect(fv).isEmpty)
+  }
+
+  test("shipped windowHashes path matches the inline-md5 oracle path (r2 VERDICT #6)") {
+    // q_substring verifies the WINDOW SEMANTICS via an inline md5
+    // plan; this pins the production 64-bit-UDF operator to the same
+    // per-doc (n_windows, n_dup_windows) on a real corpus slice
+    val docs = graft.corpus.Corpus.docs(spark, 400).toDF()
+      .filter(col("text").isNotNull).select(col("url"), col("text"))
+    // production path
+    val wh = SubstringDedup.windowHashes(docs, w = 20, stride = 10)
+    val dup = wh.groupBy("win_hash").agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+    val prodDup = wh.join(dup, "win_hash").groupBy("id")
+      .agg(count(lit(1)).as("n_dup"))
+    val prod = wh.groupBy("id").agg(count(lit(1)).as("n_windows"))
+      .join(prodDup, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"))
+    // inline md5 path (the exact q_substring plan shape)
+    val toks = col("toks")
+    val nWin = when(size(toks) < 20, 0)
+      .otherwise(floor((size(toks) - 20).cast("double") / 10).cast("int") + 1)
+    val winHashes = transform(sequence(lit(0), nWin - 1),
+      i => md5(concat_ws(" ", slice(toks, i * lit(10) + 1, lit(20))).cast("binary")))
+    val d = docs.select(col("url").as("id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("id"), when(size(toks) < 20, array().cast("array<string>"))
+        .otherwise(winHashes).as("whs"))
+    val ex = d.select(col("id"), explode(col("whs")).as("wh"))
+    val dupM = ex.groupBy("wh").agg(countDistinct(col("id")).as("nd")).filter(col("nd") >= 2)
+    val orDup = ex.join(dupM, "wh").groupBy("id").agg(count(lit(1)).as("n_dup"))
+    val oracle = d.select(col("id"), size(col("whs")).cast("long").as("n_windows"))
+      .join(orDup, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"))
+      // windowHashes emits no rows for sub-w docs; compare the docs
+      // that HAVE windows (the zero rows are definitionally equal)
+      .filter(col("n_windows") > 0)
+    assert(prod.exceptAll(oracle).count() == 0)
+    assert(oracle.exceptAll(prod).count() == 0)
+    // non-vacuous: the synth corpus has duplicated windows
+    assert(prod.agg(sum(col("n_dup_windows"))).head().getLong(0) > 0L)
   }
 }
 
@@ -162,6 +318,31 @@ class MediaSpec extends SparkSpec {
     assert(dec("g").kind == "gif" && dec("g").width == 20 && dec("g").height == 30)
     assert(dec("j").kind == "jpeg" && dec("j").width == 640 && dec("j").height == 480)
     assert(dec("u").kind == "blob") // stub fallback keeps declared kind
+    // junk bodies: header tier, no pixel decode
+    assert(Seq("p", "g", "j", "u").forall(k => dec(k).red_mean == -1))
+  }
+
+  test("REAL pixel decode: JDK codecs round-trip solid gray bit-exact (r2 VERDICT #4)") {
+    import spark.implicits._
+    // the closed form q_media_pixels' oracle relies on: gray at
+    // multiples of 32 survives png/gif/jpeg encode→decode exactly
+    val cases = for {
+      kind <- Seq("png", "gif", "jpeg")
+      gray <- Seq(32, 96, 160, 224)
+    } yield (s"$kind-$gray", kind, 40 + gray % 50, 25 + gray % 30, gray)
+    val rows = cases.map { case (id, kind, w, h, g) =>
+      Media.MediaRow(id, kind, Media.encodedBytes(kind, w, h, g))
+    }.toDS()
+    val dec = Media.decode(spark, rows).collect().map(d => d.media_id -> d).toMap
+    cases.foreach { case (id, kind, w, h, g) =>
+      val d = dec(id)
+      assert(d.kind == kind && d.width == w && d.height == h, id)
+      assert(d.red_mean == g, s"$id red_mean=${d.red_mean} expected $g")
+      // real features: a solid-gray raster is one luma bin with mass 1
+      assert(d.features.length == 16)
+      assert(math.abs(d.features.sum - 1.0f) < 1e-5)
+      assert(d.features(math.min(15, g * 16 / 256)) == 1.0f, id)
+    }
   }
 
   test("binary media plumbing: stub decode is deterministic, schema typed") {

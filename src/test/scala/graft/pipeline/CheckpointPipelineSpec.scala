@@ -43,4 +43,25 @@ class CheckpointPipelineSpec extends SparkSpec {
     assert(mtimes("edges") != before._1)
     assert(changedCount <= stagedCount)
   }
+
+  test("deduped corpus stage uses the (days(warc_ts), lang) layout (north rule)") {
+    val docs = Corpus.docs(spark, 300).toDF()
+    val dir = Files.createTempDirectory("graft-ckpt-layout").toString
+    val cat = new Catalog(dir, spark)
+    val r = DedupPipeline.runCheckpointed(docs, cat, inputLineage = "corpus300")
+    // physical directory layout: warc_day=YYYY-MM-DD/lang=xx
+    import scala.jdk.CollectionConverters._
+    val dayDirs = Files.list(Paths.get(s"$dir/deduped_docs")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("warc_day=")).toSeq
+    assert(dayDirs.nonEmpty)
+    val langDirs = Files.list(Paths.get(s"$dir/deduped_docs/${dayDirs.head}"))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("lang=")).toSeq
+    assert(langDirs.nonEmpty)
+    // one row per cluster canonical, pruned read works
+    val deduped = r.dedupedDocs.get
+    assert(deduped.count() ==
+      r.clusters.select(col("cluster_id")).distinct().count())
+    val oneLang = langDirs.head.stripPrefix("lang=")
+    assert(cat.read("deduped_docs").filter(col("lang") === oneLang).count() > 0)
+  }
 }

@@ -34,6 +34,51 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(!_._3) == 2) // one canonical per key
   }
 
+  test("state TTL evicts idle keys; the key's next arrival starts a new block") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Keyed]
+    val q = StreamingDedup.assign(spark, in.toDS(), ttl = java.time.Duration.ofMillis(10))
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("dedup_ttl_out").start()
+    // NOTE: with ProcessingTimeTimeout Spark constructs batches
+    // CONTINUOUSLY (shouldRunAnotherBatch = true) to fire timeouts, so
+    // processAllAvailable never settles — poll the sink instead
+    def rowsNow() = spark.table("dedup_ttl_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    def awaitRow(u: String): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!rowsNow().exists(_._1 == u) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    }
+    in.addData(Keyed("h1", "a"))
+    awaitRow("a")
+    Thread.sleep(600) // >> ttl: the continuous timeout batches evict h1
+    in.addData(Keyed("h1", "b")) // same key, post-eviction
+    awaitRow("b")
+    val rows = rowsNow()
+    q.stop()
+    assert(rows.contains(("a", "a", false)))
+    // after eviction "b" is a fresh canonical, NOT a duplicate of "a"
+    assert(rows.contains(("b", "b", false)))
+  }
+
+  test("ttl = 0 keeps NoTimeout semantics (state never expires)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Keyed]
+    val q = StreamingDedup.assign(spark, in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("dedup_nottl_out").start()
+    in.addData(Keyed("h1", "a"))
+    q.processAllAvailable()
+    Thread.sleep(300)
+    in.addData(Keyed("h1", "b"))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_nottl_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    q.stop()
+    assert(rows.contains(("b", "a", true))) // still the old canonical
+  }
+
   test("watermarked event dedup + windowed counts over the events table") {
     val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
     val stream = spark.readStream.schema(schema)
