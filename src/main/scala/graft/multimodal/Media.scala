@@ -119,6 +119,46 @@ object Media {
     else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
 
+  /** REAL frame count via the container's ImageReader (GIF animations
+    * have >1; PNG/JPEG are single-frame). 1 when unreadable.
+    */
+  def frameCount(payload: Array[Byte]): Int = {
+    if (payload == null || payload.length == 0) return 1
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) 1
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); math.max(1, r.getNumImages(true)) }
+        finally r.dispose()
+      }
+    } catch { case _: Exception => 1 } finally iis.close()
+  }
+
+  /** Deterministic REAL animated-GIF fixture: `frames` solid-gray
+    * frames via the JDK gif writer's sequence API.
+    */
+  def animatedGifBytes(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { gray =>
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (gray << 16) | (gray << 8) | gray
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** (red-channel mean, 16-bin luma histogram) of a decoded raster —
     * the real feature extractor (deterministic: integer sums over the
     * full raster, Rec.601 integer luma).
@@ -217,7 +257,8 @@ object Media {
           case Some(img) =>
             val kind = parseImageMeta(m.payload).map(_._1).getOrElse(m.kind)
             val (redMean, feats) = rasterFeatures(img)
-            Decoded(m.media_id, kind, n, img.getWidth, img.getHeight, 1, redMean, feats)
+            Decoded(m.media_id, kind, n, img.getWidth, img.getHeight,
+              frameCount(m.payload), redMean, feats)
           case None => parseImageMeta(m.payload) match {
             case Some((kind, w, h)) =>
               Decoded(m.media_id, kind, n, w, h, 1, -1, featuresStub(m.payload))

@@ -338,11 +338,26 @@ class MediaSpec extends SparkSpec {
       val d = dec(id)
       assert(d.kind == kind && d.width == w && d.height == h, id)
       assert(d.red_mean == g, s"$id red_mean=${d.red_mean} expected $g")
+      assert(d.n_frames == 1, id)
       // real features: a solid-gray raster is one luma bin with mass 1
       assert(d.features.length == 16)
       assert(math.abs(d.features.sum - 1.0f) < 1e-5)
       assert(d.features(math.min(15, g * 16 / 256)) == 1.0f, id)
     }
+  }
+
+  test("animated GIF: real frame count drives frame sampling") {
+    import spark.implicits._
+    val anim = Media.animatedGifBytes(24, 16, Seq(32, 96, 160, 224, 32, 96, 160))
+    assert(Media.frameCount(anim) == 7)
+    val rows = Seq(Media.MediaRow("anim", "image", anim)).toDS()
+    val dec = Media.decode(spark, rows)
+    val d = dec.collect().head
+    assert(d.kind == "gif" && d.n_frames == 7 && d.width == 24 && d.height == 16)
+    // stride-3 sampling over 7 frames → indices 0, 3, 6
+    val frames = Media.sampleFrames(dec.toDF(), stride = 3).collect()
+      .map(_.getInt(1)).sorted.toSeq
+    assert(frames == Seq(0, 3, 6))
   }
 
   test("binary media plumbing: stub decode is deterministic, schema typed") {
