@@ -165,12 +165,21 @@ object DedupEngine {
 
   private def runEager(withId: DataFrame, cascade: Seq[DigestSpec]): DedupResult = {
     val n = cascade.length
-    val narrow = stringify(withId, cascade)
+    val narrow0 = stringify(withId, cascade)
     // the single-object degenerate (keys=[], Engine.pm:351-364) only
     // needs to know whether ≥2 rows exist — a limit(2) probe, not a
     // full count scan of the corpus
-    val single = narrow.limit(2).count() < 2
-    // map-side combining aggregate: hot blocks never materialize arrays
+    val single = narrow0.limit(2).count() < 2
+    // ONE explicit exchange on the full key feeds BOTH the block
+    // aggregation and the assignments probe side below: the two
+    // subtrees canonicalize to the same Exchange, so the physical plan
+    // is a ReusedExchange and the scan+digest projection runs ONCE per
+    // action instead of once per consumer (digest CPU over page bytes
+    // dominates everything else at 100 TB — the narrow-row shuffle it
+    // trades away the map-side combine for is ~150 B/row).
+    val narrow = narrow0.repartition(keyCols(n): _*)
+    // aggregation over the pre-shuffled frame: hot blocks never
+    // materialize arrays (count+min only)
     val grouped = narrow
       .groupBy(keyCols(n): _*)
       .agg(count(lit(1)).as("size"), min(col("__id")).as("block_id"))
