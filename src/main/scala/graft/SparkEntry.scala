@@ -423,6 +423,22 @@ object SparkEntry {
           col("n_bytes"), col("width"), col("height"))
     }),
 
+    // the SHIPPED substring-dup operator (64-bit window hashes +
+    // streamed capped drain): doc pairs sharing ≥2 duplicated 20-token
+    // windows. The oracle recomputes the identical window/cap/pair
+    // semantics with md5 window hashes — hash choice doesn't change
+    // grouping (SURVEY §1.2.2), so this drives SubstringDedup
+    // .substringDupEdges itself through the driver compare (r2 VERDICT
+    // #4 "oracle-checked path ≠ shipped operator").
+    "q_substring_edges" -> ((s, dir) => {
+      val d = docs(s, dir).filter(trim(col("text")) =!= "")
+        .select(lpad(col("doc_id").cast("string"), 12, "0").as("url"), col("text"))
+      graft.substring.SubstringDedup.substringDupEdges(d, w = 20, stride = 10, minShared = 2)
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+          col("shared_windows"))
+        .orderBy("src", "dst")
+    }),
+
     // multimodal: REAL pixel decode (JDK ImageIO) over REAL encoded
     // fixture images — solid-gray PNG/GIF/JPEG whose dimensions and
     // gray level are closed forms of doc_id. Solid gray at multiples
@@ -544,6 +560,19 @@ object SparkEntry {
         "r AS (SELECT query_id, neighbor_id, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) " +
         "SELECT query_id, neighbor_id FROM r WHERE rk = 1 ORDER BY query_id"),
+    "q_substring_edges" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts " +
+        "FROM documents WHERE trim(text) <> ''), " +
+        "w AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 20 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(0, (len(ts) - 20) // 10 + 1), " +
+        "i -> md5(array_to_string(ts[(i * 10 + 1):(i * 10 + 20)], ' '))) END) AS wh FROM t), " +
+        "dw AS (SELECT DISTINCT wh, doc_id FROM w), " +
+        "okw AS (SELECT wh FROM dw GROUP BY wh HAVING count(*) BETWEEN 2 AND 50), " +
+        "dok AS (SELECT dw.wh, dw.doc_id FROM dw JOIN okw USING (wh)), " +
+        "p AS (SELECT l.doc_id AS src, r.doc_id AS dst FROM dok l " +
+        "JOIN dok r ON l.wh = r.wh AND l.doc_id < r.doc_id) " +
+        "SELECT src, dst, count(*) AS shared_windows FROM p GROUP BY src, dst " +
+        "HAVING count(*) >= 2 ORDER BY src, dst"),
     "q_media_pixels" ->
       ("SELECT doc_id, " +
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS kind, " +

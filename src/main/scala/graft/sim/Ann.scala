@@ -214,25 +214,39 @@ object Ann {
   def cosineFromParts(av: Column, an: Column, bv: Column, bn: Column): Column =
     when(an > 0 && bn > 0, dotUdf(av, bv) / sqrt(an * bn)).otherwise(lit(0.0))
 
-  /** Banded-LSH candidate pairs over one corpus (src < dst, distinct):
-    * the code frame carries only (table_id, code, id) — vectors never
-    * ride the candidate shuffle — and bucket sizes are pre-filtered to
-    * [2, maxBucket] with a CODEGEN count aggregation before the
-    * in-bucket self-join (the pair blowup guard; over-cap buckets are
-    * surfaced by `skippedBucketRows`, never silently exploded).
+  /** Banded-LSH candidate pairs over one corpus (src < dst as strings,
+    * distinct): ONE streamed shuffle pass — the code frame carries only
+    * (table_id, code, id-as-string), vectors never ride the candidate
+    * shuffle, each bucket streams through a bounded drain
+    * (`CappedGroups`, same shape and measured rationale as
+    * MinHashLSH.candidatesAndSkips), and an over-cap bucket yields no
+    * pairs (surfaced by `skippedBucketRows`, never silently exploded).
+    * The previous count → semi-join → self-join form computed the
+    * hyperplane-code projection once per subtree — up to 4 corpus
+    * scans per action.
     */
   def candidatePairs(corpus: DataFrame, bits: Int, tables: Int, seed: Long,
       idCol: String, vecCol: String, maxBucket: Int): DataFrame = {
-    val c = codes(corpus.select(col(idCol), col(vecCol)), tables, bits, seed,
-      idCol, col(vecCol), "id")
-    val ok = c.groupBy(col("table_id"), col("code")).count()
-      .filter(col("count").between(2, maxBucket)).drop("count")
-    val inCap = c.join(ok, Seq("table_id", "code"), "left_semi")
-    inCap.select(col("table_id"), col("code"), col("id").as("src"))
-      .join(inCap.select(col("table_id"), col("code"), col("id").as("dst")),
-        Seq("table_id", "code"))
-      .filter(col("src") < col("dst"))
-      .select("src", "dst")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cap = maxBucket
+    codes(corpus.select(col(idCol).cast("string").as(idCol), col(vecCol)),
+        tables, bits, seed, idCol, col(vecCol), "id")
+      .select(col("id"), col("table_id"), col("code"))
+      .as[(String, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroups { (_, rows) =>
+        val (n, ids0) = graft.functions.CappedGroups.drain(rows.map(_._1), cap)
+        if (n > cap || n < 2) Iterator.empty
+        else {
+          val ids = ids0.sorted
+          for {
+            i <- ids.indices.iterator
+            j <- ((i + 1) until ids.length).iterator
+          } yield (ids(i), ids(j))
+        }
+      }
+      .toDF("src", "dst")
       .distinct()
   }
 
@@ -262,13 +276,19 @@ object Ann {
     val bits = if (bits0 > 0) bits0 else adaptiveBits(n.getOrElse(corpus.count()), targetBucket)
     val tables = if (tables0 > 0) tables0 else numTables(bits, threshold, recall)
     val cand = candidatePairs(corpus, bits, tables, seed, idCol, vecCol, maxBucket)
-    val pre = prenorm(corpus.select(col(idCol).as("id"), col(vecCol).as("v0")),
-      "id", col("v0"), "v", "nn").drop("v0")
+    // verify join keys are the candidate pass's string ids; the output
+    // pair is re-oriented under the ORIGINAL id type's ordering
+    val pre = prenorm(corpus.select(col(idCol).as("id0"), col(vecCol).as("v0")),
+      "id0", col("v0"), "v", "nn").drop("v0")
+      .withColumn("ids", col("id0").cast("string"))
     cand
-      .join(pre.select(col("id").as("src"), col("v").as("sv"), col("nn").as("sn")), "src")
-      .join(pre.select(col("id").as("dst"), col("v").as("dv"), col("nn").as("dn")), "dst")
+      .join(pre.select(col("ids").as("src"), col("id0").as("src_id"),
+        col("v").as("sv"), col("nn").as("sn")), "src")
+      .join(pre.select(col("ids").as("dst"), col("id0").as("dst_id"),
+        col("v").as("dv"), col("nn").as("dn")), "dst")
       .withColumn("score", round(cosineFromParts(col("sv"), col("sn"), col("dv"), col("dn")), 6))
       .filter(col("score") >= threshold)
-      .select(col("src"), col("dst"), col("score"))
+      .select(least(col("src_id"), col("dst_id")).as("src"),
+        greatest(col("src_id"), col("dst_id")).as("dst"), col("score"))
   }
 }
