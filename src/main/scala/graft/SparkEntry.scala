@@ -423,6 +423,24 @@ object SparkEntry {
           col("n_bytes"), col("width"), col("height"))
     }),
 
+    // IVF (inverted-file / k-means coarse quantizer) ANN — the
+    // data-adaptive scale path beside the hyperplane LSH. Queries are
+    // EXACT copies of the first 20 vectors under offset ids: an
+    // identical float vector normalizes bit-identically, so the
+    // query's nearest-centroid cell IS the base vector's cell within
+    // any one trained model — the true top-1 (cosine 1.0 vs ≤ 0.51
+    // for everything else) is guaranteed probed, and the oracle is the
+    // exact SQL argmax.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      val centroids = graft.sim.Ivf.train(e, k = 16, iters = 3)
+      graft.sim.Ivf.knn(e, queries, 1, centroids, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy("query_id")
+    }),
+
     // the SHIPPED substring-dup operator (64-bit window hashes +
     // streamed capped drain): doc pairs sharing ≥2 duplicated 20-token
     // windows. The oracle recomputes the identical window/cap/pair
@@ -552,6 +570,17 @@ object SparkEntry {
     "q_ann_lsh" ->
       (s"WITH ${plantedSql(20, "q0")}, " +
         "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM q0), " +
+        "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+        "list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) / " +
+        "sqrt(list_dot_product(q.qv, q.qv) * " +
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS score " +
+        "FROM q, embeddings e), " +
+        "r AS (SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) " +
+        "SELECT query_id, neighbor_id FROM r WHERE rk = 1 ORDER BY query_id"),
+    "q_ann_ivf" ->
+      ("WITH q AS (SELECT vec_id + 200000 AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id < 20), " +
         "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
         "list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) / " +
         "sqrt(list_dot_product(q.qv, q.qv) * " +

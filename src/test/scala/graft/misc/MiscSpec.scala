@@ -139,6 +139,21 @@ class AnnSpec extends SparkSpec {
       .filter(col("neighbor_id") === col("query_id") - 1000000L).count()
     info(s"kNN top-1 recall on perturbed queries = $top1/50")
     assert(top1 >= 45)
+
+    // IVF flavor at the same 100k scale: coarse-quantizer cells +
+    // nprobe=8 must also recover the perturbed queries' bases
+    val centroids = graft.sim.Ivf.train(basesOnly, k = 64, iters = 3, sampleMod = 10)
+    assert(centroids.length == 64)
+    val ivfTop1 = graft.sim.Ivf.knn(basesOnly, queries, 1, centroids, nprobe = 8)
+      .filter(col("rank") === 1)
+      .filter(col("neighbor_id") === col("query_id") - 1000000L).count()
+    info(s"IVF top-1 recall on perturbed queries = $ivfTop1/50")
+    assert(ivfTop1 >= 45)
+    // cell balance: no cell holds more than a quarter of the corpus
+    val maxCell = graft.sim.Ivf.cellSizes(basesOnly, centroids)
+      .agg(max(col("count"))).head().getLong(0)
+    info(s"largest IVF cell = $maxCell of $nBase")
+    assert(maxCell < nBase / 4)
   }
 }
 
