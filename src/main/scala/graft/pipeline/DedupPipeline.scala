@@ -18,18 +18,33 @@ import graft.report.{Report, Urls}
   *
   *   docs ─ quarantine(F4) ─ identity pre-pass(F3) ─┬─ exact cascade (A1) ─ star edges
   *                                                  ├─ MinHash/LSH [EXT] ─ verified edges
-  *                                                  └─ SimHash [EXT] ───── verified edges
+  *                                                  ├─ SimHash [EXT] ───── verified edges
+  *                                                  └─ substring windows [EXT, opt-in]
   *   all edges ∪ alias edges → connected components → (url, cluster_id)
   */
 object DedupPipeline {
+
+  /** Substring-stage knobs (Lee et al.-style duplicated-window edges:
+    * docs sharing ≥ minShared duplicated w-token windows are linked).
+    * Off by default — it links PARTIAL overlaps (boilerplate, quoted
+    * passages) that whole-doc near-dup stages rightly ignore, so it is
+    * a policy choice, not a strictness increment.
+    */
+  case class SubstringConfig(
+      w: Int = 20,
+      stride: Int = 10,
+      minShared: Int = 2,
+      maxDocsPerWindow: Int = 50)
 
   case class Config(
       algs: Seq[String] = Seq("filesize", "initial_xxhash", "sha"),
       ignoreEmpty: Boolean = false,
       useMinHash: Boolean = true,
       useSimHash: Boolean = true,
+      useSubstring: Boolean = false,
       minhash: MinHashLSH.Config = MinHashLSH.Config(),
-      simhash: SimHash.Config = SimHash.Config())
+      simhash: SimHash.Config = SimHash.Config(),
+      substring: SubstringConfig = SubstringConfig())
 
   final class Result(
       val clusters: DataFrame, // (url, cluster_id) — every input url
@@ -115,11 +130,19 @@ object DedupPipeline {
       .withColumn("kind", lit("minhash")).drop("jaccard"))
     val sh = shOut.map(_.filter(col("src").isNotNull).select("src", "dst").distinct()
       .withColumn("kind", lit("simhash")))
+    // [EXT] optional substring stage: duplicated-window edges link docs
+    // with long shared runs that whole-doc similarity misses
+    val sub = if (cfg.useSubstring)
+      Some(graft.substring.SubstringDedup.substringDupEdges(textDocs,
+          cfg.substring.w, cfg.substring.stride, cfg.substring.minShared,
+          maxDocsPerWindow = cfg.substring.maxDocsPerWindow)
+        .withColumn("kind", lit("substring")).drop("shared_windows"))
+    else None
 
     // ONE materialization of the whole edge dag (alias + exact +
     // near-dup); everything cached above is released right after —
     // no persisted frame outlives the call (r2 VERDICT #2)
-    val allEdges = (Seq(Option(aliasEdges), Option(exactEdges), mh, sh).flatten
+    val allEdges = (Seq(Option(aliasEdges), Option(exactEdges), mh, sh, sub).flatten
       .map(_.select("src", "dst", "kind")).reduce(_ unionByName _))
       .localCheckpoint()
     def skipSum(o: DataFrame): Long = o.filter(col("src").isNull)
@@ -149,7 +172,8 @@ object DedupPipeline {
   def runCheckpointed(docsRaw: DataFrame, catalog: graft.checkpoint.Catalog,
       cfg: Config = Config(), inputLineage: String = ""): Result = {
     val base = s"$inputLineage|algs=${cfg.algs.mkString(",")}|ie=${cfg.ignoreEmpty}" +
-      s"|mh=${cfg.useMinHash}:${cfg.minhash}|sh=${cfg.useSimHash}:${cfg.simhash}"
+      s"|mh=${cfg.useMinHash}:${cfg.minhash}|sh=${cfg.useSimHash}:${cfg.simhash}" +
+      s"|sub=${cfg.useSubstring}:${cfg.substring}"
 
     val quarantined = docsRaw.filter(col("text").isNull)
     val valid0 = docsRaw.filter(col("text").isNotNull)
@@ -196,12 +220,18 @@ object DedupPipeline {
         .withColumn("kind", lit("minhash")).drop("jaccard"))
       val sh = shOut.map(_.filter(col("src").isNotNull).select("src", "dst").distinct()
         .withColumn("kind", lit("simhash")))
+      val sub = if (cfg.useSubstring)
+        Some(graft.substring.SubstringDedup.substringDupEdges(textDocs,
+            cfg.substring.w, cfg.substring.stride, cfg.substring.minShared,
+            maxDocsPerWindow = cfg.substring.maxDocsPerWindow)
+          .withColumn("kind", lit("substring")).drop("shared_windows"))
+      else None
       def skipRow(o: DataFrame, kind: String): DataFrame = o
         .filter(col("src").isNull)
         .agg(coalesce(sum(col("skipped")), lit(0L)).as("skipped"))
         .select(lit(null).cast("string").as("src"), lit(null).cast("string").as("dst"),
           lit(s"skip:$kind").as("kind"), col("skipped"))
-      val edgeRows = (Seq(Some(aliasEdges), Some(exactEdges), mh, sh).flatten
+      val edgeRows = (Seq(Some(aliasEdges), Some(exactEdges), mh, sh, sub).flatten
         .map(_.select("src", "dst", "kind").withColumn("skipped", lit(0L))))
         .reduce(_ unionByName _)
       (edgeRows +: (mhOut.map(skipRow(_, "minhash")).toSeq ++

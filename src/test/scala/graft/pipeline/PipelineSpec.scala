@@ -66,4 +66,29 @@ class PipelineSpec extends SparkSpec {
     // authoritative sha level must see strictly fewer rows
     assert(dc(2) < dc(0), s"sha level saw everything: $dc")
   }
+
+  test("opt-in substring stage links long shared runs that whole-doc stages miss") {
+    import spark.implicits._
+    // a 40-token shared run inside otherwise-disjoint docs: bigram
+    // Jaccard ≈ 0.09 (MinHash θ=0.7 never fires), SimHash Hamming far
+    // outside the default ball — only the duplicated-window stage can
+    // link them (Lee et al.'s partial-overlap case)
+    val run40 = (0 until 40).map(i => s"run$i").mkString(" ")
+    val a = (0 until 200).map(i => s"alpha$i").mkString(" ") + " " + run40
+    val b = run40 + " " + (0 until 200).map(i => s"beta$i").mkString(" ")
+    val c = (0 until 240).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq(("https://a.example/1", a), ("https://b.example/2", b),
+        ("https://c.example/3", c)).toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    def clusterOf(r: DedupPipeline.Result): Map[String, String] =
+      r.clusters.collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    val off = clusterOf(DedupPipeline.run(docs))
+    assert(off("https://a.example/1") != off("https://b.example/2"))
+    val on = clusterOf(DedupPipeline.run(docs,
+      DedupPipeline.Config(useSubstring = true)))
+    assert(on("https://a.example/1") == on("https://b.example/2"))
+    assert(on("https://c.example/3") != on("https://a.example/1"))
+  }
 }
