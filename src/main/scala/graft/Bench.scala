@@ -34,6 +34,48 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_JOBLOG=1: per-job trace + JVM-health snapshots on
+    // stderr — the r3 verdict's prescribed tool for settling the
+    // pipeline_synth driver-vs-sweep discrepancy inside this harness.
+    val joblog = sys.env.contains("SPARK_GRAFT_JOBLOG")
+    final case class JobRec(id: Int, desc: String, start: Long, var dur: Long)
+    val jobs = new scala.collection.mutable.ArrayBuffer[JobRec]()
+    if (joblog) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.synchronized {
+            val d = Option(e.properties).flatMap(p =>
+              Option(p.getProperty("callSite.short"))
+                .orElse(Option(p.getProperty("spark.job.description")))).getOrElse("")
+            jobs += JobRec(e.jobId, d.take(80), e.time, -1L)
+          }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobs.synchronized {
+            jobs.find(_.id == e.jobId).foreach(j => j.dur = e.time - j.start)
+          }
+      })
+    def jvmStats(tag: String): Unit = if (joblog) {
+      import scala.jdk.CollectionConverters._
+      val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => s"${b.getName}=${b.getCollectionCount}/${b.getCollectionTime}ms").mkString(" ")
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Metaspace") ||
+          p.getName.contains("Code Cache"))
+        .map(p => s"${p.getName}=${p.getUsage.getUsed / (1 << 20)}M/" +
+          s"${math.max(p.getUsage.getMax, p.getUsage.getCommitted) / (1 << 20)}M").mkString(" ")
+      val rt = Runtime.getRuntime
+      val heap = s"heap=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}M/${rt.maxMemory / (1 << 20)}M"
+      val storage = spark.sparkContext.getExecutorMemoryStatus.map { case (_, (max, free)) =>
+        s"storage_used=${(max - free) / (1 << 20)}M/${max / (1 << 20)}M" }.mkString(" ")
+      val cached = spark.sparkContext.getPersistentRDDs.size
+      System.err.println(s"[joblog] $tag: GC[$gc] $pools $heap $storage cachedRDDs=$cached")
+    }
+    def dumpJobsSince(t0Ms: Long, tag: String): Unit = if (joblog) jobs.synchronized {
+      System.err.println(s"[joblog] jobs during $tag:")
+      jobs.filter(_.start >= t0Ms).sortBy(_.start).foreach(j =>
+        System.err.println(f"[joblog]   job=${j.id}%4d dur=${j.dur / 1000.0}%7.3fs ${j.desc}"))
+    }
+
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (iteration aid);
     // unset = full driver sweep. SPARK_GRAFT_SKIP_PIPELINE=1 skips the
     // end-to-end synth pipeline.
@@ -62,6 +104,8 @@ object Bench {
       return
     }
 
+    jvmStats("after-queries")
+
     // end-to-end dedup pipeline on the seeded synthetic corpus
     // (identical bytes at any parallelism — FIXTURES.md §6). One
     // untimed warm-up first: a C2-cold first pipeline run measures the
@@ -75,10 +119,22 @@ object Bench {
         graft.corpus.Corpus.docs(spark, synthRows / 4).toDF()
           .repartition(cpus.toInt * 2))
       .clusters.write.format("noop").mode("overwrite").save()
-    val pipeSec = time {
-      val r = graft.pipeline.DedupPipeline.run(docs)
-      r.clusters.write.format("noop").mode("overwrite").save()
-    }
+    jvmStats("after-warmup")
+    // best-of-N timed reps (default 2): a single-shot measurement on
+    // this shared host carries 2-3× run-to-run noise (BASELINE.md
+    // protocol; the r3 driver-vs-sweep pipeline discrepancy was exactly
+    // this) — minimum-of-reps is the standard estimator for the
+    // noise-free cost and what every other number in BASELINE.md uses
+    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_PIPE_REPS", "2").toInt
+    val pipeT0 = System.currentTimeMillis()
+    val pipeSec = (1 to pipeReps).map { _ =>
+      time {
+        val r = graft.pipeline.DedupPipeline.run(docs)
+        r.clusters.write.format("noop").mode("overwrite").save()
+      }
+    }.min
+    jvmStats("after-pipeline")
+    dumpJobsSince(pipeT0, "pipeline_synth")
     results("pipeline_synth") = pipeSec
     val docsPerSec = synthRows / pipeSec
 

@@ -36,15 +36,25 @@ object DedupPipeline {
       minShared: Int = 2,
       maxDocsPerWindow: Int = 50)
 
+  /** Long-run stage knobs (Lee et al.'s policy: link docs sharing one
+    * exact run of ≥ minLen chars, any alignment, any partition
+    * placement — winnowing candidates + exact LCS verify).
+    */
+  case class LongRunConfig(
+      minLen: Int = 60,
+      maxDocsPerGram: Int = 50)
+
   case class Config(
       algs: Seq[String] = Seq("filesize", "initial_xxhash", "sha"),
       ignoreEmpty: Boolean = false,
       useMinHash: Boolean = true,
       useSimHash: Boolean = true,
       useSubstring: Boolean = false,
+      useLongRun: Boolean = false,
       minhash: MinHashLSH.Config = MinHashLSH.Config(),
       simhash: SimHash.Config = SimHash.Config(),
-      substring: SubstringConfig = SubstringConfig())
+      substring: SubstringConfig = SubstringConfig(),
+      longRun: LongRunConfig = LongRunConfig())
 
   final class Result(
       val clusters: DataFrame, // (url, cluster_id) — every input url
@@ -131,27 +141,39 @@ object DedupPipeline {
     val sh = shOut.map(_.filter(col("src").isNotNull).select("src", "dst").distinct()
       .withColumn("kind", lit("simhash")))
     // [EXT] optional substring stage: duplicated-window edges link docs
-    // with long shared runs that whole-doc similarity misses
-    val sub = if (cfg.useSubstring)
-      Some(graft.substring.SubstringDedup.substringDupEdges(textDocs,
+    // with long shared runs that whole-doc similarity misses; over-cap
+    // windows surface as skip rows of the same pass (invariant 3)
+    val subOut = if (cfg.useSubstring)
+      Some(graft.substring.SubstringDedup.edgesAndSkips(textDocs,
           cfg.substring.w, cfg.substring.stride, cfg.substring.minShared,
-          maxDocsPerWindow = cfg.substring.maxDocsPerWindow)
-        .withColumn("kind", lit("substring")).drop("shared_windows"))
+          maxDocsPerWindow = cfg.substring.maxDocsPerWindow).persist())
     else None
+    val sub = subOut.map(_.filter(col("src").isNotNull).select("src", "dst")
+      .withColumn("kind", lit("substring")))
+    // [EXT] optional long-run stage (Lee et al. policy): one exact
+    // shared run ≥ minLen chars links the pair, verified by LCS
+    val lrOut = if (cfg.useLongRun)
+      Some(graft.substring.SubstringDedup.longRunEdgesAndSkips(textDocs,
+        cfg.longRun.minLen, maxDocsPerGram = cfg.longRun.maxDocsPerGram).persist())
+    else None
+    val lr = lrOut.map(_.filter(col("src").isNotNull).select("src", "dst")
+      .withColumn("kind", lit("longrun")))
 
     // ONE materialization of the whole edge dag (alias + exact +
     // near-dup); everything cached above is released right after —
     // no persisted frame outlives the call (r2 VERDICT #2)
-    val allEdges = (Seq(Option(aliasEdges), Option(exactEdges), mh, sh, sub).flatten
+    val allEdges = (Seq(Option(aliasEdges), Option(exactEdges), mh, sh, sub, lr).flatten
       .map(_.select("src", "dst", "kind")).reduce(_ unionByName _))
       .localCheckpoint()
     def skipSum(o: DataFrame): Long = o.filter(col("src").isNull)
       .agg(coalesce(sum(col("skipped")), lit(0L))).head().getLong(0)
     val skippedCounts =
       mhOut.map(o => "minhash" -> skipSum(o)).toMap ++
-        shOut.map(o => "simhash" -> skipSum(o)).toMap
+        shOut.map(o => "simhash" -> skipSum(o)).toMap ++
+        subOut.map(o => "substring" -> skipSum(o)).toMap ++
+        lrOut.map(o => "longrun" -> skipSum(o)).toMap
     (sigsMh.toSeq ++ sigsSh.toSeq).distinct.foreach(_.unpersist())
-    (mhOut.toSeq ++ shOut.toSeq).foreach(_.unpersist())
+    (mhOut.toSeq ++ shOut.toSeq ++ subOut.toSeq ++ lrOut.toSeq).foreach(_.unpersist())
 
     // [EXT] connected components; singletons keep their own id
     val cc = ConnectedComponents.run(allEdges.select("src", "dst"))
@@ -173,7 +195,8 @@ object DedupPipeline {
       cfg: Config = Config(), inputLineage: String = ""): Result = {
     val base = s"$inputLineage|algs=${cfg.algs.mkString(",")}|ie=${cfg.ignoreEmpty}" +
       s"|mh=${cfg.useMinHash}:${cfg.minhash}|sh=${cfg.useSimHash}:${cfg.simhash}" +
-      s"|sub=${cfg.useSubstring}:${cfg.substring}"
+      s"|sub=${cfg.useSubstring}:${cfg.substring}" +
+      s"|lr=${cfg.useLongRun}:${cfg.longRun}"
 
     val quarantined = docsRaw.filter(col("text").isNull)
     val valid0 = docsRaw.filter(col("text").isNotNull)
@@ -213,29 +236,39 @@ object DedupPipeline {
         Some(MinHashLSH.candidatesAndSkips(sigsMh.get, cfg.minhash).persist()) else None
       val shOut = sigsSh.map(sg => SimHash.edgesAndSkips(
         SimHash.fingerprintsFromShingles(sg, cfg.simhash), cfg.simhash).persist())
-      toRelease = (sigsMh.toSeq ++ sigsSh.toSeq).distinct ++ mhOut.toSeq ++ shOut.toSeq
+      val subOut = if (cfg.useSubstring)
+        Some(graft.substring.SubstringDedup.edgesAndSkips(textDocs,
+            cfg.substring.w, cfg.substring.stride, cfg.substring.minShared,
+            maxDocsPerWindow = cfg.substring.maxDocsPerWindow).persist())
+      else None
+      val lrOut = if (cfg.useLongRun)
+        Some(graft.substring.SubstringDedup.longRunEdgesAndSkips(textDocs,
+          cfg.longRun.minLen, maxDocsPerGram = cfg.longRun.maxDocsPerGram).persist())
+      else None
+      toRelease = (sigsMh.toSeq ++ sigsSh.toSeq).distinct ++ mhOut.toSeq ++
+        shOut.toSeq ++ subOut.toSeq ++ lrOut.toSeq
       val mh = mhOut.map(o => MinHashLSH.verifyCandidates(
           o.filter(col("src").isNotNull).select("src", "dst").distinct(),
           sigsMh.get, cfg.minhash)
         .withColumn("kind", lit("minhash")).drop("jaccard"))
       val sh = shOut.map(_.filter(col("src").isNotNull).select("src", "dst").distinct()
         .withColumn("kind", lit("simhash")))
-      val sub = if (cfg.useSubstring)
-        Some(graft.substring.SubstringDedup.substringDupEdges(textDocs,
-            cfg.substring.w, cfg.substring.stride, cfg.substring.minShared,
-            maxDocsPerWindow = cfg.substring.maxDocsPerWindow)
-          .withColumn("kind", lit("substring")).drop("shared_windows"))
-      else None
+      val sub = subOut.map(_.filter(col("src").isNotNull).select("src", "dst")
+        .withColumn("kind", lit("substring")))
+      val lr = lrOut.map(_.filter(col("src").isNotNull).select("src", "dst")
+        .withColumn("kind", lit("longrun")))
       def skipRow(o: DataFrame, kind: String): DataFrame = o
         .filter(col("src").isNull)
         .agg(coalesce(sum(col("skipped")), lit(0L)).as("skipped"))
         .select(lit(null).cast("string").as("src"), lit(null).cast("string").as("dst"),
           lit(s"skip:$kind").as("kind"), col("skipped"))
-      val edgeRows = (Seq(Some(aliasEdges), Some(exactEdges), mh, sh, sub).flatten
+      val edgeRows = (Seq(Some(aliasEdges), Some(exactEdges), mh, sh, sub, lr).flatten
         .map(_.select("src", "dst", "kind").withColumn("skipped", lit(0L))))
         .reduce(_ unionByName _)
       (edgeRows +: (mhOut.map(skipRow(_, "minhash")).toSeq ++
-        shOut.map(skipRow(_, "simhash")).toSeq)).reduce(_ unionByName _)
+        shOut.map(skipRow(_, "simhash")).toSeq ++
+        subOut.map(skipRow(_, "substring")).toSeq ++
+        lrOut.map(skipRow(_, "longrun")).toSeq)).reduce(_ unionByName _)
     }
     toRelease.foreach(_.unpersist())
     val edges = staged.filter(!col("kind").startsWith("skip:")).drop("skipped")
