@@ -32,6 +32,29 @@ object SparkEntry {
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
 
+  /** Exact row count from parquet FOOTER metadata (driver-side, no
+    * Spark job) — the catalog-statistics source the ANN sizing knobs
+    * (`n = Some(...)`) want: the adaptive-bits computation needs only
+    * the corpus cardinality, and triggering a `count()` action for it
+    * cost each ANN query one extra full-scan job (r3 VERDICT #6).
+    * Memoized per path (the testdata is immutable for a run).
+    */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def parquetRowCount(s: SparkSession, path: String): Long =
+    rowCountCache.computeIfAbsent(path, { p: String =>
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(conf)
+      val files = fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      java.lang.Long.valueOf(files.map { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try rdr.getRecordCount finally rdr.close()
+      }.sum)
+    })
+
   /** The documents-table digest cascade used by the engine-backed
     * queries AND their DuckDB oracles: length → md5(first 64 chars) →
     * md5(text). Same progressive-blocking shape as the reference's
@@ -280,7 +303,8 @@ object SparkEntry {
     "q_embedding_dup" -> ((s, dir) => {
       val corpus = embeddings(s, dir).select(col("vec_id"), col("embedding"))
         .unionByName(plantedCopies(embeddings(s, dir), 50, 100000L))
-      graft.sim.Ann.embeddingDupEdges(corpus, 0.99)
+      graft.sim.Ann.embeddingDupEdges(corpus, 0.99,
+          n = Some(parquetRowCount(s, s"$dir/embeddings.parquet") + 50))
         .select(col("src"), col("dst"), col("score"))
         .orderBy("src", "dst")
     }),
@@ -396,7 +420,8 @@ object SparkEntry {
     // asserted ≥ 0.9 in AnnSpec.
     "q_ann_lsh" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      graft.sim.Ann.knnLsh(e, plantedCopies(e, 20, 100000L), 1)
+      graft.sim.Ann.knnLsh(e, plantedCopies(e, 20, 100000L), 1,
+          n = Some(parquetRowCount(s, s"$dir/embeddings.parquet")))
         .select(col("query_id"), col("neighbor_id"))
         .orderBy("query_id")
     }),
@@ -418,7 +443,9 @@ object SparkEntry {
       })
       val d = docs(s, dir).select(col("doc_id")).withColumn("bin", payloadUdf(col("doc_id")))
       val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
-      graft.multimodal.Media.decode(s, media).toDF()
+      // header-only query → pixels = false: skips the per-row
+      // thrown-and-caught ImageIO attempt on the junk fixture bodies
+      graft.multimodal.Media.decode(s, media, pixels = false).toDF()
         .select(col("media_id").cast("long").as("doc_id"), col("kind"),
           col("n_bytes"), col("width"), col("height"))
     }),

@@ -245,27 +245,37 @@ object Media {
     *      stub features;
     *   3. === STUB === (unknown magic): deterministic fake, the one
     *      place a real extra codec would swap in.
+    *
+    * The ImageIO attempt is MAGIC-GATED (r3 VERDICT #4): tier 1 is
+    * only tried when `parseImageMeta` recognizes the container, so an
+    * unknown-magic payload (video/audio) routes straight to the stub
+    * tier instead of paying a thrown-and-caught ImageIO exception per
+    * row — exceptions are error handling here, not routing. Callers
+    * that only need header metadata pass `pixels = false` and skip
+    * the codec entirely (one exception per valid-header/junk-body row
+    * otherwise — measured on q_media_meta, 0.293 → 0.457 s).
     */
-  def decode(spark: SparkSession, media: Dataset[MediaRow]): Dataset[Decoded] = {
+  def decode(spark: SparkSession, media: Dataset[MediaRow],
+      pixels: Boolean = true): Dataset[Decoded] = {
     import spark.implicits._
     media.mapPartitions { it =>
       // per-partition codec init: no temp-file cache in executors
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
         val n = if (m.payload == null) 0L else m.payload.length.toLong
-        decodePixels(m.payload) match {
-          case Some(img) =>
-            val kind = parseImageMeta(m.payload).map(_._1).getOrElse(m.kind)
-            val (redMean, feats) = rasterFeatures(img)
-            Decoded(m.media_id, kind, n, img.getWidth, img.getHeight,
+        val meta = parseImageMeta(m.payload)
+        val img = if (pixels && meta.isDefined) decodePixels(m.payload) else None
+        (img, meta) match {
+          case (Some(i), _) =>
+            val kind = meta.map(_._1).getOrElse(m.kind)
+            val (redMean, feats) = rasterFeatures(i)
+            Decoded(m.media_id, kind, n, i.getWidth, i.getHeight,
               frameCount(m.payload), redMean, feats)
-          case None => parseImageMeta(m.payload) match {
-            case Some((kind, w, h)) =>
-              Decoded(m.media_id, kind, n, w, h, 1, -1, featuresStub(m.payload))
-            case None =>
-              val (w, h, f) = decodeStub(m.payload)
-              Decoded(m.media_id, m.kind, n, w, h, f, -1, featuresStub(m.payload))
-          }
+          case (None, Some((kind, w, h))) =>
+            Decoded(m.media_id, kind, n, w, h, 1, -1, featuresStub(m.payload))
+          case (None, None) =>
+            val (w, h, f) = decodeStub(m.payload)
+            Decoded(m.media_id, m.kind, n, w, h, f, -1, featuresStub(m.payload))
         }
       }
     }

@@ -1,6 +1,6 @@
 package graft.near
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Deterministic hashing primitives shared by the near-dup stack.
@@ -113,8 +113,15 @@ object MinHashLSH {
       bands: Int = 32,
       seed: Long = 42L,
       jaccardThreshold: Double = 0.7,
-      maxBucket: Int = 200) {
+      maxBucket: Int = 200,
+      /** > 1 enables the salted two-round drain: a corpus dominated by
+        * ONE pathological band bucket (every doc sharing a boilerplate
+        * band) streams through `salts` round-1 tasks instead of one
+        * long task (see CappedGroups skew note). 1 = single-round.
+        */
+      salts: Int = 1) {
     require(numPerms % bands == 0, "bands must divide numPerms")
+    require(salts >= 1, "salts must be >= 1")
     def rowsPerBand: Int = numPerms / bands
   }
 
@@ -154,6 +161,7 @@ object MinHashLSH {
     * — measured 41% of pipeline wall time; see CappedGroups.)
     */
   def candidatesAndSkips(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
+    if (cfg.salts > 1) return candidatesAndSkipsSalted(sigs, cfg)
     val spark = sigs.sparkSession
     import spark.implicits._
     val cap = cfg.maxBucket
@@ -174,6 +182,67 @@ object MinHashLSH {
             i <- ids.indices.iterator
             j <- ((i + 1) until ids.length).iterator
           } yield (ids(i), ids(j), 0L)
+        }
+      }
+      .toDF("src", "dst", "skipped")
+  }
+
+  /** Round 1 of the salted drain: each (band_id, band_hash, salt)
+    * sub-bucket — salt = hash(id) mod salts, so a hot bucket's rows
+    * spread over `salts` tasks — drains to a bounded partial
+    * (band_id, band_hash, n, ≤ cap+1 sample ids). Exposed for tests
+    * to assert no round-1 group ever held the whole bucket.
+    */
+  def saltedPartials(sigs: DataFrame, cfg: Config): Dataset[(Int, Long, Long, Seq[String])] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val cap = cfg.maxBucket
+    sigs
+      .filter(col("sig").isNotNull)
+      .select(col("id"),
+        posexplode(bandsUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)))
+          .as(Seq("band_id", "band_hash")))
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(cfg.salts)).cast("int"))
+      .as[(String, Int, Long, Int)]
+      .groupByKey(r => (r._2, r._3, r._4))
+      .mapGroups { (key, rows) =>
+        val (n, ids) = graft.functions.CappedGroups.drain(rows.map(_._1), cap)
+        (key._1, key._2, n, ids.toSeq)
+      }
+  }
+
+  /** Salted two-round variant of [[candidatesAndSkips]] — same output
+    * contract, but a single pathological over-cap key (one band bucket
+    * holding ~the whole corpus — the one-task O(rows) stream the
+    * CappedGroups skew note documents) is split across `cfg.salts`
+    * round-1 tasks; round 2 merges the BOUNDED partials (≤
+    * salts·(cap+1) ids per key) and emits either the pairs (total ≤
+    * cap ⇒ every row survived its partial, so the merged sample is
+    * the complete bucket and the output is identical to the
+    * single-round path) or one (null, null, total) skip row.
+    */
+  def candidatesAndSkipsSalted(sigs: DataFrame, cfg: Config): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val cap = cfg.maxBucket
+    saltedPartials(sigs, cfg)
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, parts) =>
+        var total = 0L
+        val ids = new scala.collection.mutable.ArrayBuffer[String](16)
+        while (parts.hasNext) {
+          val (_, _, n, sample) = parts.next()
+          total += n
+          if (ids.length <= cap) ids ++= sample
+        }
+        if (total > cap) Iterator.single((null: String, null: String, total))
+        else if (ids.length < 2) Iterator.empty
+        else {
+          val s = ids.sorted
+          for {
+            i <- s.indices.iterator
+            j <- ((i + 1) until s.length).iterator
+          } yield (s(i), s(j), 0L)
         }
       }
       .toDF("src", "dst", "skipped")

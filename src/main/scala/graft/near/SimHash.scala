@@ -113,6 +113,24 @@ object SimHash {
     key
   }
 
+  /** Probe keys of ONE fingerprint — the scala-side analog of
+    * `tableKey` for row-at-a-time consumers (the streaming state-store
+    * near-dup). Same (table_id, packed key) values as the Column path.
+    */
+  def probeKeys(sh: Long, cfg: Config): Array[(Int, Long)] = {
+    val bounds = cfg.blockBounds
+    cfg.tables.zipWithIndex.map { case (table, t) =>
+      var shift = 0
+      var key = 0L
+      table.foreach { b =>
+        val (off, w) = bounds(b)
+        key |= ((sh >>> off) & ((1L << w) - 1L)) << shift
+        shift += w
+      }
+      (t, key)
+    }.toArray
+  }
+
   /** (id, simhash, table_id, key) — one row per probe table. */
   private def probed(fp: DataFrame, cfg: Config): DataFrame =
     fp.select(col("id"), col("simhash"),

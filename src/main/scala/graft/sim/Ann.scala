@@ -200,32 +200,35 @@ object Ann {
     * zip_with/aggregate HOF form is interpreted per element with boxed
     * lambdas (~10-50× slower on the per-PAIR hot path), while the
     * accumulation order — and therefore every result bit — is
-    * identical (s += a(i)*b(i), i ascending, IEEE doubles).
+    * identical (s += a(i)*b(i), i ascending, IEEE doubles). Null
+    * vectors → null (not NPE): a null embedding row must degrade to a
+    * filterable value, same contract as tableCodes (ADVICE r3 #1).
     */
-  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    val n = math.min(a.length, b.length)
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  })
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) =>
+    if (a == null || b == null) null
+    else {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      java.lang.Double.valueOf(s)
+    })
 
   /** cosine from prenormalized parts (dot / sqrt(na·nb)), zero-guarded. */
   def cosineFromParts(av: Column, an: Column, bv: Column, bn: Column): Column =
     when(an > 0 && bn > 0, dotUdf(av, bv) / sqrt(an * bn)).otherwise(lit(0.0))
 
-  /** Banded-LSH candidate pairs over one corpus (src < dst as strings,
-    * distinct): ONE streamed shuffle pass — the code frame carries only
+  /** Banded-LSH candidate pairs + over-cap skip rows over one corpus,
+    * in ONE streamed shuffle pass (the MinHashLSH.candidatesAndSkips
+    * contract, fused per ADVICE r3 #3): the code frame carries only
     * (table_id, code, id-as-string), vectors never ride the candidate
     * shuffle, each bucket streams through a bounded drain
-    * (`CappedGroups`, same shape and measured rationale as
-    * MinHashLSH.candidatesAndSkips), and an over-cap bucket yields no
-    * pairs (surfaced by `skippedBucketRows`, never silently exploded).
-    * The previous count → semi-join → self-join form computed the
-    * hyperplane-code projection once per subtree — up to 4 corpus
-    * scans per action.
+    * (`CappedGroups`). A 2..cap bucket emits its unordered pairs with
+    * skipped = 0; an over-cap bucket (boilerplate embedding cluster —
+    * the quadratic-blowup guard) emits ONE (null, null, n) skip row —
+    * capped AND surfaced in the same pass, no second corpus scan.
     */
-  def candidatePairs(corpus: DataFrame, bits: Int, tables: Int, seed: Long,
+  def candidatePairsAndSkips(corpus: DataFrame, bits: Int, tables: Int, seed: Long,
       idCol: String, vecCol: String, maxBucket: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -237,51 +240,64 @@ object Ann {
       .groupByKey(r => (r._2, r._3))
       .flatMapGroups { (_, rows) =>
         val (n, ids0) = graft.functions.CappedGroups.drain(rows.map(_._1), cap)
-        if (n > cap || n < 2) Iterator.empty
+        if (n > cap) Iterator.single((null: String, null: String, n))
+        else if (n < 2) Iterator.empty
         else {
           val ids = ids0.sorted
           for {
             i <- ids.indices.iterator
             j <- ((i + 1) until ids.length).iterator
-          } yield (ids(i), ids(j))
+          } yield (ids(i), ids(j), 0L)
         }
       }
-      .toDF("src", "dst")
-      .distinct()
+      .toDF("src", "dst", "skipped")
   }
 
-  /** Rows in over-capacity hyperplane buckets (skip metric — capped
-    * AND surfaced, SCALE.md invariant 3).
+  /** Distinct candidate pairs (pairs-only view of
+    * [[candidatePairsAndSkips]]).
+    */
+  def candidatePairs(corpus: DataFrame, bits: Int, tables: Int, seed: Long,
+      idCol: String, vecCol: String, maxBucket: Int): DataFrame =
+    candidatePairsAndSkips(corpus, bits, tables, seed, idCol, vecCol, maxBucket)
+      .filter(col("src").isNotNull)
+      .select("src", "dst")
+      .distinct()
+
+  /** Aggregate count of rows in over-capacity hyperplane buckets (skip
+    * metric — capped AND surfaced, SCALE.md invariant 3). A view over
+    * [[candidatePairsAndSkips]]'s skip rows, no separate code scan.
     */
   def skippedBucketRows(corpus: DataFrame, bits: Int, tables: Int, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucket: Int = 4096): DataFrame =
-    codes(corpus.select(col(idCol), col(vecCol)), tables, bits, seed,
-      idCol, col(vecCol), "id")
-      .groupBy(col("table_id"), col("code")).count()
-      .filter(col("count") > maxBucket)
+    candidatePairsAndSkips(corpus, bits, tables, seed, idCol, vecCol, maxBucket)
+      .filter(col("src").isNull)
+      .select(col("skipped"))
 
-  /** Embedding near-duplicate edges: pairs with cosine ≥ threshold.
-    * Banded-LSH candidate generation (tables sized from the threshold
-    * itself: a pair AT the threshold is found w.p. ≥ `recall` at any
-    * corpus size), exact cosine verify on the (small) candidate set —
-    * vectors join back onto candidates rather than riding the T-way
-    * code explosion through the shuffle.
+  /** Embedding near-duplicate edges + skip rows: verified pairs with
+    * cosine ≥ threshold (skipped = 0) plus one (null, null, null, n)
+    * row per over-cap hyperplane bucket — capped AND surfaced, same
+    * pass as candidate generation. Banded-LSH candidates (tables sized
+    * from the threshold itself: a pair AT the threshold is found w.p.
+    * ≥ `recall` at any corpus size), exact cosine verify on the
+    * (small) candidate set — vectors join back onto candidates rather
+    * than riding the T-way code explosion through the shuffle.
     */
-  def embeddingDupEdges(corpus: DataFrame, threshold: Double, bits0: Int = 0,
+  def embeddingDupEdgesAndSkips(corpus: DataFrame, threshold: Double, bits0: Int = 0,
       tables0: Int = 0, seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", targetBucket: Int = 64,
       n: Option[Long] = None, recall: Double = 0.99,
       maxBucket: Int = 4096): DataFrame = {
     val bits = if (bits0 > 0) bits0 else adaptiveBits(n.getOrElse(corpus.count()), targetBucket)
     val tables = if (tables0 > 0) tables0 else numTables(bits, threshold, recall)
-    val cand = candidatePairs(corpus, bits, tables, seed, idCol, vecCol, maxBucket)
+    val raw = candidatePairsAndSkips(corpus, bits, tables, seed, idCol, vecCol, maxBucket)
+    val cand = raw.filter(col("src").isNotNull).select("src", "dst").distinct()
     // verify join keys are the candidate pass's string ids; the output
     // pair is re-oriented under the ORIGINAL id type's ordering
     val pre = prenorm(corpus.select(col(idCol).as("id0"), col(vecCol).as("v0")),
       "id0", col("v0"), "v", "nn").drop("v0")
       .withColumn("ids", col("id0").cast("string"))
-    cand
+    val verified = cand
       .join(pre.select(col("ids").as("src"), col("id0").as("src_id"),
         col("v").as("sv"), col("nn").as("sn")), "src")
       .join(pre.select(col("ids").as("dst"), col("id0").as("dst_id"),
@@ -289,6 +305,24 @@ object Ann {
       .withColumn("score", round(cosineFromParts(col("sv"), col("sn"), col("dv"), col("dn")), 6))
       .filter(col("score") >= threshold)
       .select(least(col("src_id"), col("dst_id")).as("src"),
-        greatest(col("src_id"), col("dst_id")).as("dst"), col("score"))
+        greatest(col("src_id"), col("dst_id")).as("dst"), col("score"),
+        lit(0L).as("skipped"))
+    verified.unionByName(raw.filter(col("src").isNull)
+      .select(lit(null).cast(verified.schema("src").dataType).as("src"),
+        lit(null).cast(verified.schema("dst").dataType).as("dst"),
+        lit(null).cast("double").as("score"), col("skipped")))
   }
+
+  /** Pairs-only view of [[embeddingDupEdgesAndSkips]]:
+    * (src, dst, score), skip rows excluded.
+    */
+  def embeddingDupEdges(corpus: DataFrame, threshold: Double, bits0: Int = 0,
+      tables0: Int = 0, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", targetBucket: Int = 64,
+      n: Option[Long] = None, recall: Double = 0.99,
+      maxBucket: Int = 4096): DataFrame =
+    embeddingDupEdgesAndSkips(corpus, threshold, bits0, tables0, seed, idCol,
+        vecCol, targetBucket, n, recall, maxBucket)
+      .filter(col("src").isNotNull)
+      .select("src", "dst", "score")
 }

@@ -121,6 +121,31 @@ object Ivf {
     centroids
   }
 
+  /** Train-once/resume centroids as a Catalog MODEL ARTIFACT (r3
+    * VERDICT #7): the trained coarse quantizer is staged as a
+    * (cell, centroid) table under the stage-lineage contract — a
+    * resumed run whose input lineage + training config are unchanged
+    * READS THE CENTROIDS BACK instead of retraining, so cell ids stay
+    * stable across runs (they are NOT stable across retrainings —
+    * float summation order makes centroids run-specific, which is
+    * exactly why the artifact, not the recipe, must persist).
+    */
+  def trainCheckpointed(corpus: DataFrame, catalog: graft.checkpoint.Catalog,
+      name: String, inputLineage: String, k: Int, iters: Int = 5, sampleMod: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxSample: Int = 65536): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lineage =
+      s"$inputLineage|ivf:k=$k|iters=$iters|mod=$sampleMod|id=$idCol|vec=$vecCol|max=$maxSample"
+    val df = catalog.stage(name, lineage) {
+      train(corpus, k, iters, sampleMod, idCol, vecCol, maxSample)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+    }
+    df.orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+  }
+
   /** (cell, id, original columns…) — map-side assignment against the
     * broadcast centroids; the inverted "lists" are just this keyed
     * frame (bucket/partition by `cell` to co-locate them).
@@ -129,10 +154,16 @@ object Ivf {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cs = centroids
     val cellU = udf((v: Seq[Double]) => argmaxCell(cs, v))
+    // null / zero-norm embeddings normalize to null and are filtered
+    // BEFORE the (primitive-returning) argmax — they cannot be
+    // assigned a direction cell (ADVICE r3 #1: the old post-hoc
+    // .filter(cell.isNotNull) was dead code reached only after an NPE)
     Ann.prenorm(corpus.select(col(idCol).as("id"), col(vecCol).as("v0")),
         "id", col("v0"), "v", "nn").drop("v0")
-      .withColumn("cell", cellU(normUdf0(col("v"))))
-      .filter(col("cell").isNotNull)
+      .withColumn("nv", normUdf0(col("v")))
+      .filter(col("nv").isNotNull)
+      .withColumn("cell", cellU(col("nv")))
+      .drop("nv")
   }
 
   // normalize an already-double vector (prenorm output)

@@ -67,6 +67,69 @@ object StreamingDedup {
       }
   }
 
+  case class FpDoc(url: String, simhash: Long)
+  case class NearEdge(src: String, dst: String, hamming: Int)
+
+  /** Streaming NEAR-dup (SimHash state store) — the online analog of
+    * the batch SimHash stage (the one near-dup family that had only
+    * batch coverage, r3 VERDICT #9): each arriving doc probes its
+    * Manku block-permutation buckets (same `SimHash.probeKeys` values
+    * as the batch plan, so online and batch agree on which pairs are
+    * candidates), compares against the ≤ maxBucket members the state
+    * store holds per bucket, and emits an edge for every stored member
+    * within Hamming ≤ maxHamming — including pairs arriving in
+    * DIFFERENT micro-batches, which is the point of the state store.
+    *
+    * Contracts mirrored from the batch stage: bucket membership is
+    * capped at cfg.maxBucket (first-seen members kept; later arrivals
+    * in a saturated bucket still PROBE but are not stored), and a pair
+    * colliding in several probe tables emits one edge per table —
+    * downstream consumers dedup, exactly like the batch `.distinct()`.
+    * `ttl` bounds state lifetime as in [[assign]] (same
+    * ProcessingTimeTimeout pacing caveat).
+    */
+  def nearDupEdges(spark: SparkSession, docs: Dataset[FpDoc],
+      cfg: graft.near.SimHash.Config = graft.near.SimHash.Config(),
+      ttl: java.time.Duration = java.time.Duration.ZERO): Dataset[NearEdge] = {
+    import spark.implicits._
+    val timeout =
+      if (ttl.isZero) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.ProcessingTimeTimeout()
+    val maxHam = cfg.maxHamming
+    val cap = cfg.maxBucket
+    docs
+      .flatMap(d => graft.near.SimHash.probeKeys(d.simhash, cfg)
+        .map { case (t, k) => (t, k, d.url, d.simhash) })
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update(), timeout) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, String, Long)],
+            state: GroupState[Seq[(String, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // eager: state must not be touched from a lazily-consumed
+            // iterator; per-batch output is ≤ batchRows·cap edges
+            val members = state.getOption.getOrElse(Seq.empty).toBuffer
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearEdge]
+            rows.foreach { case (_, _, url, fp) =>
+              members.foreach { case (mu, mf) =>
+                if (mu != url) {
+                  val h = java.lang.Long.bitCount(fp ^ mf)
+                  if (h <= maxHam)
+                    out += NearEdge(if (url < mu) url else mu,
+                      if (url < mu) mu else url, h)
+                }
+              }
+              if (members.length < cap) members += ((url, fp))
+            }
+            state.update(members.toSeq)
+            if (!ttl.isZero) state.setTimeoutDuration(ttl.toMillis)
+            out.iterator
+          }
+      }
+  }
+
   /** Watermarked event-stream dedup + windowed counts: first event per
     * event_id within the watermark, then 5-minute windowed counts per
     * type (the readStream → watermark → window → agg shape).

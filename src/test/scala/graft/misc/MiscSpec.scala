@@ -155,6 +155,48 @@ class AnnSpec extends SparkSpec {
     info(s"largest IVF cell = $maxCell of $nBase")
     assert(maxCell < nBase / 4)
   }
+
+  test("null and zero-norm embeddings are excluded, not NPEs (ADVICE r3 #1)") {
+    import spark.implicits._
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      (0L, Array.tabulate(8)(d => prf(d))),
+      (1L, Array.tabulate(8)(d => prf(100 + d))),
+      (2L, null),
+      (3L, Array.fill(8)(0.0f)),
+      (4L, Array.empty[Float]))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val centroids = graft.sim.Ivf.train(corpus, k = 2, iters = 2)
+    val assigned = graft.sim.Ivf.assign(corpus, centroids)
+    assert(assigned.count() == 2) // only the two real vectors
+    assert(assigned.filter(col("id").isin(2L, 3L, 4L)).count() == 0)
+    // knn with degenerate rows on BOTH sides survives and scores sanely
+    val out = graft.sim.Ivf.knn(corpus, corpus, 1, centroids, nprobe = 2).collect()
+    assert(out.nonEmpty && out.forall(r => r.getLong(0) <= 1L && r.getLong(1) <= 1L))
+    // the LSH paths accept the same degenerate rows
+    assert(Ann.embeddingDupEdges(corpus, 0.99, n = Some(5L)).count() >= 0)
+    assert(Ann.knnBruteForce(corpus, corpus.filter(col("vec_id") === 0L), 1)
+      .count() >= 1)
+  }
+
+  test("over-cap hyperplane buckets surface as fused skip rows (ADVICE r3 #3)") {
+    import spark.implicits._
+    // many copies of ONE direction: every table has one bucket holding
+    // all of them → with cap 10, pair rows are suppressed and each
+    // table's bucket emits one skip row carrying the row count
+    val v = Array.tabulate(16)(d => prf(d))
+    val corpus = (0 until 40).map(i => (i.toLong, v.map(x => x * (1 + i)))) // same direction
+      .toDF("vec_id", "embedding")
+    val raw = Ann.candidatePairsAndSkips(corpus, bits = 4, tables = 3,
+      seed = 42L, idCol = "vec_id", vecCol = "embedding", maxBucket = 10)
+    assert(raw.filter(col("src").isNotNull).count() == 0)
+    val skips = raw.filter(col("src").isNull).select("skipped").collect().map(_.getLong(0))
+    assert(skips.length == 3 && skips.forall(_ == 40L)) // one per table
+    // and the edges-and-skips surface carries them through the verify
+    val es = Ann.embeddingDupEdgesAndSkips(corpus, 0.99, bits0 = 4, tables0 = 3,
+      n = Some(40L), maxBucket = 10)
+    assert(es.filter(col("src").isNull)
+      .agg(sum(col("skipped"))).head().getLong(0) == 120L)
+  }
 }
 
 class SubstringSpec extends SparkSpec {
@@ -376,6 +418,19 @@ class MediaSpec extends SparkSpec {
     assert(Seq("p", "g", "j", "u").forall(k => dec(k).red_mean == -1))
   }
 
+  test("pixels=false skips the codec: header tier even for decodable payloads (r3 VERDICT #4)") {
+    import spark.implicits._
+    val rows = Seq(
+      Media.MediaRow("real", "image", Media.encodedBytes("png", 33, 21, 96)),
+      Media.MediaRow("junk", "image", Media.pngBytes(10, 10))).toDS()
+    val dec = Media.decode(spark, rows, pixels = false).collect()
+      .map(d => d.media_id -> d).toMap
+    // a fully decodable image still lands on the header tier —
+    // ImageIO is never consulted in header-only mode
+    assert(dec("real").width == 33 && dec("real").height == 21 && dec("real").red_mean == -1)
+    assert(dec("junk").width == 10 && dec("junk").red_mean == -1)
+  }
+
   test("REAL pixel decode: JDK codecs round-trip solid gray bit-exact (r2 VERDICT #4)") {
     import spark.implicits._
     // the closed form q_media_pixels' oracle relies on: gray at
@@ -468,5 +523,35 @@ class CheckpointSpec extends SparkSpec {
     assert(cat.metrics().count() == 2)
     // re-read: `a` points at files the v2 overwrite replaced
     assert(cat.partitionCounts(cat.read("s1")).agg(sum(col("count"))).head().getLong(0) == 10L)
+  }
+
+  test("IVF centroids persist as a model artifact: resume skips retraining, cells stable (r3 VERDICT #7)") {
+    import spark.implicits._
+    def prf(seed: Long): Float =
+      ((graft.near.Hashing.mix64(seed) >>> 11).toDouble / (1L << 53).toDouble * 2 - 1).toFloat
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val cat = new Catalog(dir, spark)
+    val corpus = (0 until 2000).map(i =>
+      (i.toLong, Array.tabulate(16)(d => prf(i * 131 + d)))).toDF("vec_id", "embedding")
+    val c1 = graft.sim.Ivf.trainCheckpointed(corpus, cat, "ivf_centroids", "corpus-v1",
+      k = 8, iters = 3)
+    val cells1 = graft.sim.Ivf.assign(corpus, c1)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // resume with the SAME lineage but DIFFERENT data: the stored
+    // artifact must come back (training skipped — different data would
+    // otherwise yield different centroids), and cell ids stay stable
+    val shifted = corpus.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(2.0f) + lit(1.0f)))
+    val c2 = graft.sim.Ivf.trainCheckpointed(shifted, cat, "ivf_centroids", "corpus-v1",
+      k = 8, iters = 3)
+    assert(c1.length == c2.length &&
+      c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    val cells2 = graft.sim.Ivf.assign(corpus, c2)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells1 == cells2)
+    // changed training config → new lineage → real retrain
+    val c3 = graft.sim.Ivf.trainCheckpointed(shifted, cat, "ivf_centroids", "corpus-v2",
+      k = 8, iters = 3)
+    assert(!c1.zip(c3).forall { case (a, b) => a.sameElements(b) })
   }
 }

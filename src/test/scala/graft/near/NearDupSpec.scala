@@ -158,4 +158,35 @@ class NearDupSpec extends SparkSpec {
     assert(SimHash.skippedBucketRows(hot, cfg).count() > 0)
     assert(SimHash.edges(hot, cfg).count() == 0)
   }
+
+  test("salted two-round drain: 1M-row single-band bucket, no task holds it whole (r3 VERDICT #5)") {
+    import spark.implicits._
+    // 1M rows, ONE band, IDENTICAL signature → one bucket holding the
+    // entire corpus: the documented pathological key for the one-task
+    // O(rows) single-round drain. With salts = 16 the round-1 groups
+    // each see ~1/16 of the bucket; round 2 merges bounded partials.
+    val n = 1000000L
+    val cfg = MinHashLSH.Config(numPerms = 4, bands = 1, maxBucket = 200, salts = 16)
+    val sameSig = array((0 until 4).map(i => lit(7L * (i + 1))): _*)
+    val sigs = spark.range(n)
+      .select(concat(lit("u"), col("id")).as("id"), sameSig.as("sig"))
+    // round-1 partials: one per salt, none anywhere near the full bucket
+    val parts = MinHashLSH.saltedPartials(sigs, cfg).collect()
+    assert(parts.length == cfg.salts)
+    assert(parts.map(_._3).sum == n)
+    assert(parts.forall(_._3 < n / 4), s"a partial held too much: ${parts.map(_._3).toSeq}")
+    assert(parts.forall(_._4.length <= cfg.maxBucket + 1)) // bounded sample
+    // merged output: one skip row carrying the true total, zero pairs
+    val out = MinHashLSH.candidatesAndSkips(sigs, cfg).collect()
+    assert(out.length == 1 && out(0).isNullAt(0) && out(0).getLong(2) == n)
+    // and on a NON-hot corpus the salted path matches the single-round
+    // path exactly (total ≤ cap ⇒ merged sample is the whole bucket)
+    val small = spark.range(50)
+      .select(concat(lit("u"), col("id")).as("id"), sameSig.as("sig"))
+    val salted = MinHashLSH.candidatesAndSkips(small, cfg)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val single = MinHashLSH.candidatesAndSkips(small, cfg.copy(salts = 1))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(salted == single && salted.size == 50 * 49 / 2)
+  }
 }

@@ -79,6 +79,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("b", "a", true))) // still the old canonical
   }
 
+  test("streaming near-dup: SimHash state store links a pair split across micro-batches (r3 VERDICT #9)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDedup.FpDoc
+    val cfg = graft.near.SimHash.Config() // blocks=6, ham<=3
+    val base = 0x5a5a1234deadbeefL
+    val near = base ^ 0x7L // 3 bits flipped → hamming 3, inside the ball
+    val far = ~base // hamming 64 — never linked
+    val in = MemoryStream[FpDoc]
+    val q = StreamingDedup.nearDupEdges(spark, in.toDS(), cfg)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("neardup_out").start()
+    in.addData(FpDoc("a", base), FpDoc("z", far))
+    q.processAllAvailable()
+    assert(spark.table("neardup_out").count() == 0) // nothing near yet
+    in.addData(FpDoc("b", near)) // LATER micro-batch — the state store links it
+    q.processAllAvailable()
+    val edges = spark.table("neardup_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    q.stop()
+    assert(edges.nonEmpty)
+    assert(edges.forall(_ == ("a", "b", 3))) // per-table dups collapse to one value
+    // batch-stage agreement: the same fingerprints produce the same pair
+    val batch = graft.near.SimHash.edgesFromFingerprints(
+      Seq(("a", base), ("b", near), ("z", far)).toDF("id", "simhash"), cfg)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(batch == Set(("a", "b", 3)))
+  }
+
   test("watermarked event dedup + windowed counts over the events table") {
     val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
     val stream = spark.readStream.schema(schema)
