@@ -484,6 +484,25 @@ object SparkEntry {
         .orderBy("src", "dst")
     }),
 
+    // the SHIPPED long-run operator (`crossDocRepeats`: winnowing
+    // candidates with the MOSS ≥-minLen shared-run guarantee + exact
+    // rolling-hash LCS verify): doc pairs sharing ≥1 exact 60-char
+    // run, ANY alignment. The oracle brute-forces the same predicate
+    // in SQL — LCS(a,b) ≥ L ⟺ some L-char slice of a occurs in b —
+    // so candidate completeness AND the verify kernel are both
+    // driver-checked. Gram cap lifted (500 docs ≪ any boilerplate
+    // cap) so engine ≡ oracle exactly.
+    "q_longrun_edges" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 60)
+        .select(lpad(col("doc_id").cast("string"), 12, "0").as("url"), col("text"))
+      graft.substring.SubstringDedup.crossDocRepeats(s, d, minLen = 60,
+          maxDocsPerGram = 1000000)
+        .toDF()
+        .select(col("srcDoc").cast("long").as("src"), col("dstDoc").cast("long").as("dst"))
+        .orderBy("src", "dst")
+    }),
+
     // multimodal: REAL pixel decode (JDK ImageIO) over REAL encoded
     // fixture images — solid-gray PNG/GIF/JPEG whose dimensions and
     // gray level are closed forms of doc_id. Solid gray at multiples
@@ -629,6 +648,16 @@ object SparkEntry {
         "JOIN dok r ON l.wh = r.wh AND l.doc_id < r.doc_id) " +
         "SELECT src, dst, count(*) AS shared_windows FROM p GROUP BY src, dst " +
         "HAVING count(*) >= 2 ORDER BY src, dst"),
+    "q_longrun_edges" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents " +
+        "WHERE text IS NOT NULL AND length(text) >= 60), " +
+        "pairs AS (SELECT a.doc_id sa, a.text ta, b.doc_id sb, b.text tb " +
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id), " +
+        "ex AS (SELECT sa, sb, tb, substr(ta, CAST(i AS INT), 60) AS sl " +
+        "FROM (SELECT sa, sb, ta, tb, " +
+        "unnest(generate_series(1, length(ta) - 59)) AS i FROM pairs)) " +
+        "SELECT sa AS src, sb AS dst FROM ex WHERE contains(tb, sl) " +
+        "GROUP BY sa, sb ORDER BY src, dst"),
     "q_media_pixels" ->
       ("SELECT doc_id, " +
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS kind, " +

@@ -319,11 +319,22 @@ class SubstringSpec extends SparkSpec {
     val cases = Seq.fill(40)(Seq.fill(1 + rnd.nextInt(200))(
         ('a' + rnd.nextInt(4)).toChar).mkString) ++
       Seq("", "a", "aaaaaaaaaa", "abababab", "banana", "mississippi",
-        "a" * 50 + "b" + "a" * 50, " ab ab")
+        "a" * 50 + "b" + "a" * 50, "\u0001\u0000ab\u0000ab")
     for (s <- cases) {
       val naive = Array.range(0, s.length)
         .sortWith((x, y) => s.substring(x) < s.substring(y))
-      assert(graft.substring.SaIs.suffixArray(s).toSeq == naive.toSeq, s"on $s")
+      val sa = graft.substring.SaIs.suffixArray(s)
+      assert(sa.toSeq == naive.toSeq, s"on $s")
+      // Kasai LCPs match the per-pair char walk
+      val lcps = graft.substring.SaIs.lcpArray(s, sa)
+      def walk(a: Int, b: Int): Int = {
+        var l = 0
+        while (a + l < s.length && b + l < s.length && s(a + l) == s(b + l)) l += 1
+        l
+      }
+      for (i <- 1 until sa.length)
+        assert(lcps(i) == walk(sa(i - 1), sa(i)), s"lcp($i) on $s")
+      if (sa.nonEmpty) assert(lcps(0) == 0)
     }
   }
 

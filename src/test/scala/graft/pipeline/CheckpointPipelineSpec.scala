@@ -44,6 +44,38 @@ class CheckpointPipelineSpec extends SparkSpec {
     assert(changedCount <= stagedCount)
   }
 
+  test("checkpointed substring+longrun stages persist their skip metrics; resume reads them back") {
+    import spark.implicits._
+    // 6 docs sharing a hot 25-token window (cap 3 → over-capacity)
+    // PLUS a planted 99-char character run on two of them — exercises
+    // both opt-in stages through the staged-edges table
+    val shared = (0 until 25).map(i => s"s$i").mkString(" ")
+    val run = (0 until 25).map(i => f"r$i%02d").mkString("x")
+    val docs = (0 until 6).map { i =>
+      val tail = (0 until 50).map(j => s"t$i-$j").mkString(" ")
+      val text = if (i < 2) shared + " " + run + tail else shared + " " + tail
+      (s"https://d.example/$i", text)
+    }.toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    val dir = Files.createTempDirectory("graft-ckpt-sub").toString
+    val cat = new Catalog(dir, spark)
+    val cfg = DedupPipeline.Config(
+      useSubstring = true,
+      substring = DedupPipeline.SubstringConfig(w = 20, stride = 1, minShared = 1,
+        maxDocsPerWindow = 3),
+      useLongRun = true,
+      longRun = DedupPipeline.LongRunConfig(minLen = 90))
+    val staged = DedupPipeline.runCheckpointed(docs, cat, cfg, inputLineage = "sub6")
+    assert(staged.skippedBucketRows.get("substring").exists(_ >= 6L))
+    assert(staged.skippedBucketRows.get("longrun").contains(0L))
+    assert(staged.edges.filter(col("kind") === "longrun").count() >= 1)
+    // resume: metrics come back from the staged table, not a recompute
+    val resumed = DedupPipeline.runCheckpointed(docs, cat, cfg, inputLineage = "sub6")
+    assert(resumed.skippedBucketRows == staged.skippedBucketRows)
+  }
+
   test("deduped corpus stage uses the (days(warc_ts), lang) layout (north rule)") {
     val docs = Corpus.docs(spark, 300).toDF()
     val dir = Files.createTempDirectory("graft-ckpt-layout").toString
