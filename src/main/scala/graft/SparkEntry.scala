@@ -484,6 +484,22 @@ object SparkEntry {
         .orderBy("src", "dst")
     }),
 
+    // chunk-level exact dedup WITH TEXT RECONSTRUCTION (the Lee et
+    // al. REMOVAL policy, tiled form): every 20-token tile that is a
+    // repeat of an earlier (doc, tile) occurrence is cut; each doc's
+    // surviving tiles + tail reassemble into clean_text. The oracle
+    // recomputes the identical tiling/keeper/reassembly with md5
+    // chunk hashes (hash choice doesn't change grouping, SURVEY
+    // §1.2.2) — full-text hash-exact compare, so the reconstruction
+    // arithmetic is driver-checked character-for-character.
+    "q_chunk_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .select(lpad(col("doc_id").cast("string"), 12, "0").as("url"), col("text"))
+      graft.substring.ChunkDedup.dedupChunks(d, w = 20)
+        .select(col("id").cast("long").as("doc_id"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // the SHIPPED long-run operator (`crossDocRepeats`: winnowing
     // candidates with the MOSS ≥-minLen shared-run guarantee + exact
     // rolling-hash LCS verify): doc pairs sharing ≥1 exact 60-char
@@ -648,6 +664,21 @@ object SparkEntry {
         "JOIN dok r ON l.wh = r.wh AND l.doc_id < r.doc_id) " +
         "SELECT src, dst, count(*) AS shared_windows FROM p GROUP BY src, dst " +
         "HAVING count(*) >= 2 ORDER BY src, dst"),
+    "q_chunk_dedup" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
+        "ELSE string_split_regex(trim(text), '\\s+') END AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "c AS (SELECT doc_id, CAST(i AS INT) idx, " +
+        "md5(array_to_string(ts[(CAST(i AS INT)*20+1):(CAST(i AS INT)*20+20)], ' ')) h " +
+        "FROM (SELECT doc_id, ts, unnest(range(0, len(ts)//20)) AS i FROM t)), " +
+        "k AS (SELECT h, doc_id, idx, " +
+        "row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) rn FROM c), " +
+        "kl AS (SELECT doc_id, list(idx ORDER BY idx) ki FROM k WHERE rn = 1 GROUP BY doc_id), " +
+        "r AS (SELECT t.doc_id, ts, CAST(len(ts)//20 AS INT) nc, " +
+        "coalesce(kl.ki, CAST([] AS INT[])) ki FROM t LEFT JOIN kl USING (doc_id)) " +
+        "SELECT doc_id, coalesce(array_to_string(" +
+        "flatten(list_transform(ki, i -> ts[(i*20+1):(i*20+20)])) || ts[(nc*20+1):len(ts)], " +
+        "' '), '') AS clean_text FROM r ORDER BY doc_id"),
     "q_longrun_edges" ->
       ("WITH d AS (SELECT doc_id, text FROM documents " +
         "WHERE text IS NOT NULL AND length(text) >= 60), " +

@@ -1,0 +1,69 @@
+package graft.substring
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Chunk-level exact dedup WITH TEXT RECONSTRUCTION — the REMOVAL
+  * policy of Lee et al. ACL'22 (their suffix-array pipeline cuts the
+  * duplicated spans out of the corpus; linking docs, as the edge
+  * stages do, is only half of the operator a training-data pipeline
+  * needs), in the non-overlapping-tiling form that scales as pure
+  * relational dataflow:
+  *
+  *  - each doc's token stream is tiled into consecutive w-token
+  *    chunks (the < w-token tail is always kept);
+  *  - a chunk SURVIVES iff it is the globally FIRST occurrence of its
+  *    content (ordering: (id, chunk index) ascending — deterministic
+  *    and cluster-size-independent), so exact duplicated spans are
+  *    kept exactly once corpus-wide, including within one doc;
+  *  - each doc's surviving chunks + tail are reassembled into
+  *    `clean_text` (whitespace-normalized: tokens joined by single
+  *    spaces — tokenization is the declared equivalence).
+  *
+  * Scale shape: the only wide ops are a (hash → min(id, idx))
+  * aggregation (map-side combinable) and the kept-index join back —
+  * chunk TEXT never rides a shuffle (hashes only); reconstruction is
+  * a map-side HOF over the doc's own tokens with the kept-index list
+  * (≤ tokens/w ints per doc). Tiling (stride = w) is what makes
+  * removal relational: overlapping-window removal needs span
+  * merging, which is exactly the per-partition suffix-array path
+  * (`suffixArrayRepeats`) — this operator is the 10^12-doc policy.
+  */
+object ChunkDedup {
+
+  /** (id, clean_text) for every input row (null text passes through
+    * as null clean_text). See object doc for semantics.
+    */
+  def dedupChunks(docs: DataFrame, w: Int = 20, idCol: String = "url",
+      textCol: String = "text"): DataFrame = {
+    // (id, idx, hash) per full chunk — windowHashes with stride = w IS
+    // the tiling, and its hash is position-independent content hash
+    val ch = SubstringDedup.windowHashes(docs, w, stride = w, idCol, textCol)
+    val keeper = ch.groupBy("win_hash")
+      .agg(min(struct(col("id"), col("win_pos"))).as("k"))
+    val kept = ch.join(keeper, "win_hash")
+      .filter(col("id") === col("k.id") && col("win_pos") === col("k.win_pos"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("win_pos"))).as("kept_idx"))
+
+    val toks = when(col(textCol).isNull || trim(col(textCol)) === "",
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(kept, Seq("id"), "left")
+      .withColumn("toks", toks)
+      .withColumn("nc", (size(col("toks")) / w).cast("int"))
+      // null kept_idx means either "doc had no full chunks" (nc = 0 —
+      // nothing to remove) or "every chunk was a later duplicate"
+      // (nc > 0 — remove them all); coalesce to empty covers both
+      .withColumn("ki", coalesce(col("kept_idx"), array().cast("array<int>")))
+      .withColumn("clean_text",
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ",
+            flatten(concat(
+              transform(col("ki"), i => slice(col("toks"), i * w + 1, lit(w))),
+              array(slice(col("toks"), col("nc") * w + 1,
+                greatest(size(col("toks")) - col("nc") * w, lit(0)))))))))
+      .select(col("id"), col("clean_text"))
+  }
+}

@@ -314,6 +314,28 @@ class SubstringSpec extends SparkSpec {
     assert(prod.agg(sum(col("n_dup_windows"))).head().getLong(0) > 0L)
   }
 
+  test("chunk dedup cuts repeated tiles, keeps first occurrence, tails, and short docs") {
+    import spark.implicits._
+    val chunk = (0 until 20).map(i => s"c$i").mkString(" ") // shared 20-token tile
+    val chunkZ = (0 until 20).map(i => s"z$i").mkString(" ")
+    val a20 = mk(20, "a"); val b20 = mk(20, "b")
+    val docs = Seq(
+      ("d0", chunkZ + " " + chunkZ + " x"), // within-doc repeat: 2nd tile cut
+      ("d1", chunk + " " + a20 + " tailA"), // first occurrence of `chunk`: kept whole
+      ("d2", b20 + " " + chunk + " tailB tailB2"), // cross-doc repeat at tile 1: cut
+      ("d3", chunk + " " + chunk), // all tiles are repeats: empty
+      ("d4", "short doc kept verbatim"), // < w tokens: untouched
+      ("d5", null)).toDF("url", "text")
+    val out = graft.substring.ChunkDedup.dedupChunks(docs, w = 20)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("d0") == chunkZ + " x")
+    assert(out("d1") == chunk + " " + a20 + " tailA")
+    assert(out("d2") == b20 + " tailB tailB2")
+    assert(out("d3") == "")
+    assert(out("d4") == "short doc kept verbatim")
+    assert(out("d5") == null)
+  }
+
   test("SA-IS matches the naive suffix sort on random + degenerate strings") {
     val rnd = new scala.util.Random(7)
     val cases = Seq.fill(40)(Seq.fill(1 + rnd.nextInt(200))(
