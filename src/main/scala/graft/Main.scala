@@ -22,6 +22,11 @@ import graft.report.Report
   *   --byte-verify           append a full byte-compare level to the
   *                           cascade (Theory.pod:113-118 — closes the
   *                           hash-collision caveat; off by default)
+  *   --substring [MINSHARED] opt-in duplicated-window edge stage
+  *                           (Lee et al. partial-overlap policy)
+  *   --longrun [MINLEN]      opt-in exact-shared-run edge stage
+  *                           (winnowing candidates + LCS verify;
+  *                           default minLen 60 chars)
   *   --progress              live progress stream (CLI.pm:125-156):
   *                           df.observe taps + QueryExecutionListener
   *                           echo per completed action
@@ -41,6 +46,8 @@ object Main {
       format: String = "report",
       checkpoint: Option[String] = None,
       byteVerify: Boolean = false,
+      substring: Option[Int] = None, // minShared windows
+      longrun: Option[Int] = None, // minLen chars
       progress: Boolean = false,
       debug: Boolean = false,
       verbose: Boolean = false,
@@ -58,6 +65,12 @@ object Main {
     case "--format" :: v :: rest => parse(rest, c.copy(format = v), algsSet)
     case "--checkpoint" :: v :: rest => parse(rest, c.copy(checkpoint = Some(v)), algsSet)
     case "--byte-verify" :: rest => parse(rest, c.copy(byteVerify = true), algsSet)
+    case "--substring" :: v :: rest if v.forall(_.isDigit) && v.nonEmpty =>
+      parse(rest, c.copy(substring = Some(v.toInt)), algsSet)
+    case "--substring" :: rest => parse(rest, c.copy(substring = Some(2)), algsSet)
+    case "--longrun" :: v :: rest if v.forall(_.isDigit) && v.nonEmpty =>
+      parse(rest, c.copy(longrun = Some(v.toInt)), algsSet)
+    case "--longrun" :: rest => parse(rest, c.copy(longrun = Some(60)), algsSet)
     case "--progress" :: rest => parse(rest, c.copy(progress = true), algsSet)
     case "--debug" :: rest => parse(rest, c.copy(debug = true), algsSet)
     case "--verbose" :: rest => parse(rest, c.copy(verbose = true), algsSet)
@@ -95,7 +108,14 @@ object Main {
       algs = if (conf.byteVerify) conf.algs :+ "bytes" else conf.algs,
       ignoreEmpty = conf.ignoreEmpty,
       useMinHash = !conf.exactOnly,
-      useSimHash = !conf.exactOnly)
+      useSimHash = !conf.exactOnly,
+      useSubstring = conf.substring.isDefined,
+      substring = conf.substring.map(m =>
+        DedupPipeline.SubstringConfig(minShared = m))
+        .getOrElse(DedupPipeline.SubstringConfig()),
+      useLongRun = conf.longrun.isDefined,
+      longRun = conf.longrun.map(l => DedupPipeline.LongRunConfig(minLen = l))
+        .getOrElse(DedupPipeline.LongRunConfig()))
     val result = conf.checkpoint match {
       case Some(dir) =>
         DedupPipeline.runCheckpointed(docs, new graft.checkpoint.Catalog(dir, spark), cfg)

@@ -534,6 +534,14 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(graft.Main.parse(List("--alg", "sha")).algs == Seq("sha"))
     assert(graft.Main.parse(Nil).algs == Seq("filesize", "initial_xxhash", "sha"))
   }
+
+  test("--substring/--longrun opt-in stages parse with and without values") {
+    val c = graft.Main.parse(List("--substring", "--longrun", "90", "--verbose"))
+    assert(c.substring.contains(2) && c.longrun.contains(90) && c.verbose)
+    val d = graft.Main.parse(List("--longrun", "--substring", "3"))
+    assert(d.longrun.contains(60) && d.substring.contains(3))
+    assert(graft.Main.parse(Nil).substring.isEmpty)
+  }
 }
 
 class CheckpointSpec extends SparkSpec {
