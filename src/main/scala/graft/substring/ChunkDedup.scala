@@ -37,14 +37,18 @@ object ChunkDedup {
   def dedupChunks(docs: DataFrame, w: Int = 20, idCol: String = "url",
       textCol: String = "text"): DataFrame = {
     // (id, idx, hash) per full chunk — windowHashes with stride = w IS
-    // the tiling, and its hash is position-independent content hash
-    val ch = SubstringDedup.windowHashes(docs, w, stride = w, idCol, textCol)
-    val keeper = ch.groupBy("win_hash")
+    // the tiling, and its hash is position-independent content hash.
+    // The keeper aggregation's min-struct row IS the surviving
+    // occurrence, so no join back onto the occurrence stream is needed
+    // at all: one corpus scan, a map-side-combining min (a 10M-copy
+    // boilerplate chunk partial-aggregates instead of sorting in one
+    // task — SCALE.md invariant 5), then a re-key of the one-row-per-
+    // distinct-chunk keepers by doc.
+    val kept = SubstringDedup.windowHashes(docs, w, stride = w, idCol, textCol)
+      .groupBy(col("win_hash"))
       .agg(min(struct(col("id"), col("win_pos"))).as("k"))
-    val kept = ch.join(keeper, "win_hash")
-      .filter(col("id") === col("k.id") && col("win_pos") === col("k.win_pos"))
-      .groupBy("id")
-      .agg(sort_array(collect_list(col("win_pos"))).as("kept_idx"))
+      .groupBy(col("k.id").as("id"))
+      .agg(sort_array(collect_list(col("k.win_pos"))).as("kept_idx"))
 
     val toks = when(col(textCol).isNull || trim(col(textCol)) === "",
         array().cast("array<string>"))

@@ -360,6 +360,39 @@ class SubstringSpec extends SparkSpec {
     }
   }
 
+  test("longestCommonRun matches the naive DP longest-common-substring") {
+    val rnd = new scala.util.Random(23)
+    def naive(a: String, b: String): Int = {
+      // O(n·m) DP over suffix-match lengths
+      var best = 0
+      val dp = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        var prevDiag = 0
+        for (j <- 1 to b.length) {
+          val tmp = dp(j)
+          dp(j) = if (a(i - 1) == b(j - 1)) prevDiag + 1 else 0
+          if (dp(j) > best) best = dp(j)
+          prevDiag = tmp
+        }
+      }
+      best
+    }
+    for (_ <- 0 until 120) {
+      val a = Seq.fill(1 + rnd.nextInt(120))(('a' + rnd.nextInt(3)).toChar).mkString
+      val b = Seq.fill(1 + rnd.nextInt(120))(('a' + rnd.nextInt(3)).toChar).mkString
+      val (len, sample) = SubstringDedup.longestCommonRun(a, b)
+      assert(len == naive(a, b), s"on ($a, $b)")
+      if (len > 0) {
+        assert(sample.length == math.min(80, len))
+        assert(a.contains(sample) && b.contains(sample))
+      }
+    }
+    // edges: identical, disjoint, empty
+    assert(SubstringDedup.longestCommonRun("abc", "abc")._1 == 3)
+    assert(SubstringDedup.longestCommonRun("aaa", "bbb")._1 == 0)
+    assert(SubstringDedup.longestCommonRun("", "abc")._1 == 0)
+  }
+
   test("200KB near-identical pair verifies in bounded time (r3 VERDICT #2)") {
     // two ~200KB docs sharing a ~100KB run: the r3 comparison-sort
     // kernel was O(n·L·log n) ≈ 10^10 char ops here; the SA-IS +
