@@ -9,9 +9,12 @@ import graft.report.Report
   * option surface (P1, CLI.pm:30-39: alg/debug/dir/format/outfile/
   * progress/quiet/verbose), re-keyed for a corpus-table world:
   *
-  *   --input PATH ...        parquet path(s) of (url, warc_ts, html,
-  *                           text, lang) docs; `synth:N` generates the
-  *                           seeded corpus (repeatable, like --dir)
+  *   --input PATH ...        doc source(s), repeatable (like --dir):
+  *                           parquet (url, warc_ts, html, text, lang);
+  *                           .json / .jsonl / .csv with at least
+  *                           (url, text) — normalized into the corpus
+  *                           schema; `synth:N` generates the seeded
+  *                           corpus
   *   --alg ID ...            digest cascade selection (repeatable;
   *                           default filesize initial_xxhash sha)
   *   --ignore-empty          drop zero-byte docs (F2)
@@ -163,8 +166,31 @@ object Main {
     spark.stop()
   }
 
-  private def load(spark: SparkSession, input: String): DataFrame =
+  private[graft] def load(spark: SparkSession, input: String): DataFrame =
     if (input.startsWith("synth:"))
       graft.corpus.Corpus.docs(spark, input.stripPrefix("synth:").toLong).toDF()
+    else if (input.endsWith(".json") || input.endsWith(".jsonl"))
+      normalize(spark.read.json(input))
+    else if (input.endsWith(".csv"))
+      normalize(spark.read.option("header", "true").option("multiLine", "true")
+        .option("escape", "\"").csv(input))
     else spark.read.parquet(input)
+
+  /** Text-format sources (json/csv) carry no binary/timestamp typing;
+    * coerce into the corpus schema (html utf-8 bytes, warc_ts
+    * timestamp, lang defaulted) so every downstream stage sees one
+    * shape regardless of source format.
+    */
+  private[graft] def normalize(df: DataFrame): DataFrame = {
+    var d = df
+    if (!d.columns.contains("text")) throw new IllegalArgumentException(
+      "json/csv input needs at least (url, text) columns")
+    if (!d.columns.contains("html")) d = d.withColumn("html", col("text"))
+    if (!d.columns.contains("lang")) d = d.withColumn("lang", lit("und"))
+    if (!d.columns.contains("warc_ts"))
+      d = d.withColumn("warc_ts", lit("1970-01-01 00:00:00"))
+    d.select(col("url").cast("string"), col("warc_ts").cast("timestamp"),
+      col("html").cast("binary"), col("text").cast("string"),
+      col("lang").cast("string"))
+  }
 }

@@ -553,6 +553,37 @@ class MediaSpec extends SparkSpec {
   }
 }
 
+class SourceFormatSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("json and csv sources normalize into the corpus schema and dedup end-to-end") {
+    val rows = Seq(
+      ("https://a.example/1", "the quick brown fox jumps over the lazy dog " * 8),
+      ("https://a.example/2", "the quick brown fox jumps over the lazy dog " * 8), // exact dup
+      ("https://a.example/3", "completely different content on this page " * 8))
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    rows.toDF("url", "text").write.mode("overwrite").json(s"$dir/docs.json")
+    rows.toDF("url", "text").write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/docs.csv")
+
+    for (path <- Seq(s"$dir/docs.json", s"$dir/docs.csv")) {
+      val d = graft.Main.load(spark, path)
+      assert(d.columns.toSeq == Seq("url", "warc_ts", "html", "text", "lang"), path)
+      assert(d.schema("html").dataType == org.apache.spark.sql.types.BinaryType)
+      assert(d.schema("warc_ts").dataType == org.apache.spark.sql.types.TimestampType)
+      assert(d.count() == 3)
+      val clusters = graft.pipeline.DedupPipeline.run(d).clusters
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(clusters.size == 3, path)
+      assert(clusters("https://a.example/1") == clusters("https://a.example/2"), path)
+      assert(clusters("https://a.example/3") != clusters("https://a.example/1"), path)
+    }
+    // missing text column fails fast, not silently
+    Seq(("u", 1)).toDF("url", "n").write.mode("overwrite").json(s"$dir/bad.json")
+    intercept[IllegalArgumentException](graft.Main.load(spark, s"$dir/bad.json"))
+  }
+}
+
 class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("repeatable --alg accumulates across interleaved options (CLI.pm parity)") {
