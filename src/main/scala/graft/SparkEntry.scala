@@ -484,6 +484,21 @@ object SparkEntry {
         .orderBy("src", "dst")
     }),
 
+    // benchmark decontamination (GPT-3 appendix C / Pile methodology:
+    // 13-gram collision against an eval set, any alignment). The
+    // "benchmark" is the doc_id % 50 == 0 slice of the corpus itself
+    // (deterministic, non-vacuous: those docs at minimum collide with
+    // themselves); oracle recomputes with md5 window hashes.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      graft.text.Decontaminate.flag(d, bench, w = 13,
+          idCol = "doc_id", textCol = "text",
+          benchIdCol = "doc_id", benchTextCol = "text")
+        .select(col("id").cast("long").as("doc_id"), col("n_hits"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // chunk-level exact dedup WITH TEXT RECONSTRUCTION (the Lee et
     // al. REMOVAL policy, tiled form): every 20-token tile that is a
     // repeat of an earlier (doc, tile) occurrence is cut; each doc's
@@ -664,6 +679,18 @@ object SparkEntry {
         "JOIN dok r ON l.wh = r.wh AND l.doc_id < r.doc_id) " +
         "SELECT src, dst, count(*) AS shared_windows FROM p GROUP BY src, dst " +
         "HAVING count(*) >= 2 ORDER BY src, dst"),
+    "q_decontaminate" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "w AS (SELECT doc_id, unnest(CASE WHEN len(ts) < 13 THEN CAST([] AS VARCHAR[]) " +
+        "ELSE list_transform(range(0, len(ts) - 12), " +
+        "i -> md5(array_to_string(ts[(CAST(i AS INT)+1):(CAST(i AS INT)+13)], ' '))) END) AS wh " +
+        "FROM t), " +
+        "b AS (SELECT DISTINCT wh FROM w WHERE doc_id % 50 = 0), " +
+        "h AS (SELECT w.doc_id, count(*) AS n_hits FROM w JOIN b USING (wh) GROUP BY w.doc_id) " +
+        "SELECT t.doc_id, coalesce(h.n_hits, 0) AS n_hits, " +
+        "coalesce(h.n_hits, 0) >= 1 AS contaminated " +
+        "FROM t LEFT JOIN h USING (doc_id) ORDER BY doc_id"),
     "q_chunk_dedup" ->
       ("WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
         "ELSE string_split_regex(trim(text), '\\s+') END AS ts " +

@@ -28,6 +28,25 @@ class TextStatsSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("decontamination flags 13-gram benchmark overlap at any alignment") {
+    val run = (0 until 13).map(i => s"g$i").mkString(" ")
+    def filler(n: Int, tag: String) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val bench = Seq(("b1", "eval question prefix " + run + " answer suffix"))
+      .toDF("url", "text")
+    val docs = Seq(
+      ("t1", filler(7, "a") + " " + run + " " + filler(9, "aa")), // misaligned hit
+      ("t2", filler(30, "b")), // clean
+      ("t3", run), // exactly the 13-gram
+      ("t4", "   "), // whitespace-only: excluded
+      ("t5", null)).toDF("url", "text")
+    val out = graft.text.Decontaminate.flag(docs, bench).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out("t1")._2 && out("t1")._1 >= 1)
+    assert(out("t2") == ((0L, false)))
+    assert(out("t3") == ((1L, true)))
+    assert(!out.contains("t4") && !out.contains("t5"))
+  }
+
   test("fingerprints are whitespace/case insensitive but content sensitive") {
     val df = Seq(("A  B\tC", 1), ("a b c", 2), ("a b d", 3)).toDF("text", "i")
       .select(TextStats.fingerprintMd5(col("text")).as("fp"),
