@@ -20,7 +20,11 @@ import graft.report.Report
   *   --ignore-empty          drop zero-byte docs (F2)
   *   --exact-only            skip MinHash/SimHash/CC extensions
   *   --outfile PATH|-        tab report destination (default stdout)
-  *   --format report|clusters  output shape (P2 report vs normalized)
+  *   --format report|clusters|clean  output shape: P2 tab report,
+  *                           normalized (url, cluster_id), or the
+  *                           chunk-deduped corpus (url, clean_text) —
+  *                           the Lee et al. REMOVAL policy applied to
+  *                           the canonical doc per cluster
   *   --checkpoint DIR        materialize + resume stages via Catalog
   *   --byte-verify           append a full byte-compare level to the
   *                           cascade (Theory.pod:113-118 — closes the
@@ -127,7 +131,14 @@ object Main {
 
     val out0: DataFrame = conf.format match {
       case "clusters" => result.clusters
-      case _          => result.report
+      case "clean" =>
+        // doc-level dedup first (keep each cluster's canonical), then
+        // chunk-level span removal across the survivors
+        val canon = docs.join(
+          result.clusters.filter(col("url") === col("cluster_id")).select("url"), "url")
+        graft.substring.ChunkDedup.dedupChunks(canon)
+          .select(col("id").as("url"), col("clean_text"))
+      case _ => result.report
     }
     val out =
       if (conf.progress) graft.progress.Progress.tap(out0, "report_out") else out0

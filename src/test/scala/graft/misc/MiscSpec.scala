@@ -379,6 +379,33 @@ class SubstringSpec extends SparkSpec {
     }
   }
 
+  test("chunk dedup matches a naive in-memory reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def naive(rows: Seq[(String, String)], w: Int): Map[String, String] = {
+      val seen = scala.collection.mutable.HashSet.empty[Seq[String]]
+      rows.sortBy(_._1).map { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        val nc = toks.length / w
+        val keptChunks = (0 until nc).flatMap { i =>
+          val c = toks.slice(i * w, (i + 1) * w)
+          if (seen.add(c)) c else Nil
+        }
+        id -> (keptChunks ++ toks.drop(nc * w)).mkString(" ")
+      }.toMap
+    }
+    for (trial <- 0 until 10) {
+      val w = 3 + rnd.nextInt(3)
+      // small vocabulary → plenty of accidental exact chunk repeats
+      val rows = (0 until 20).map { i =>
+        (f"d$i%03d", Seq.fill(rnd.nextInt(30))("tok" + rnd.nextInt(4)).mkString(" "))
+      }
+      val out = graft.substring.ChunkDedup.dedupChunks(rows.toDF("url", "text"), w)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out == naive(rows, w), s"trial $trial w=$w")
+    }
+  }
+
   test("longestCommonRun matches the naive DP longest-common-substring") {
     val rnd = new scala.util.Random(23)
     def naive(a: String, b: String): Int = {
