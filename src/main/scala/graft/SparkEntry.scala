@@ -209,6 +209,19 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // ---- text analysis: within-doc repetition signals (Gopher-style
+    // repetitious-text filters, token-bigram form). Bigram array
+    // materialized as a column FIRST (invariant 7: inlined trees
+    // re-evaluate per lambda element)
+    "q_repetition" -> ((s, dir) => {
+      val feats = TextStats.repetitionFeatures(col("bgs"))
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextStats.bigrams(col("toks")).as("bgs"))
+        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis: n-gram-heuristic language id
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))),
@@ -679,6 +692,18 @@ object SparkEntry {
         "JOIN dok r ON l.wh = r.wh AND l.doc_id < r.doc_id) " +
         "SELECT src, dst, count(*) AS shared_windows FROM p GROUP BY src, dst " +
         "HAVING count(*) >= 2 ORDER BY src, dst"),
+    "q_repetition" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
+        "ELSE string_split_regex(trim(text), '\\s+') END AS ts " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "b AS (SELECT doc_id, CASE WHEN len(ts) >= 2 THEN " +
+        "list_transform(range(1, len(ts)), i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1]) " +
+        "ELSE CAST([] AS VARCHAR[]) END AS bgs FROM t) " +
+        "SELECT doc_id, len(bgs) AS n_bigrams, " +
+        "round(CASE WHEN len(bgs) > 0 THEN (len(bgs) - len(list_distinct(bgs))) / CAST(len(bgs) AS DOUBLE) ELSE 0 END, 6) AS dup_bigram_frac, " +
+        "round(CASE WHEN len(bgs) > 0 THEN list_max(list_transform(list_distinct(bgs), " +
+        "x -> len(list_filter(bgs, y -> y = x)))) / CAST(len(bgs) AS DOUBLE) ELSE 0 END, 6) AS top_bigram_frac " +
+        "FROM b ORDER BY doc_id"),
     "q_decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts " +
         "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +

@@ -41,6 +41,57 @@ object TextStats {
       "quality_score" -> score)
   }
 
+  /** Token array of `text` (whitespace split; blank → empty). */
+  def tokens(text: Column): Column = {
+    val t = coalesce(trim(text), lit(""))
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  /** Token-bigram array (adjacent-pair strings) — the input the
+    * repetition signals consume. `toks` MUST be a MATERIALIZED column
+    * (a prior select of [[tokens]]), and this result must itself be
+    * materialized before [[repetitionFeatures]] consumes it: HOF
+    * lambdas re-evaluate embedded expression trees per element
+    * (SCALE.md invariant 7) — an inlined tokenize tree here costs
+    * O(n²) regex splits per doc (measured: the sf0.1 query ran 12.5 s
+    * inlined vs 1.6 s staged).
+    */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2, transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Within-doc repetition signals (the Gopher/MassiveText-style
+    * repetitious-text quality filters, Rae et al. 2021 §A1.1, token
+    * form): duplicate-bigram instance fraction and the fraction of
+    * bigram instances claimed by the single most frequent bigram.
+    * Pure Column arithmetic over a pre-materialized bigram array.
+    */
+  def repetitionFeatures(bgs: Column): Seq[(String, Column)] = {
+    val total = size(bgs).cast("double")
+    val dis = size(array_distinct(bgs)).cast("double")
+    // most-frequent-bigram count = longest equal run of the SORTED
+    // array, one O(n log n) pass — the naive per-distinct filter() is
+    // O(distinct·n) interpreted lambda evaluations per doc (measured:
+    // that term held the sf0.1 query at 18.8 s)
+    val top = when(total > 0,
+      aggregate(array_sort(bgs),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best")).cast("double")).otherwise(lit(0.0))
+    Seq(
+      "n_bigrams" -> size(bgs).cast("long"),
+      "dup_bigram_frac" -> round(when(total > 0, (total - dis) / total)
+        .otherwise(lit(0.0)), 6),
+      "top_bigram_frac" -> round(when(total > 0, top / total)
+        .otherwise(lit(0.0)), 6))
+  }
+
   /** Stopword tables for the n-gram-heuristic language ID. Small,
     * high-frequency, language-distinctive words.
     */

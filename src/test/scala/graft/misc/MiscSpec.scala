@@ -28,6 +28,25 @@ class TextStatsSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("repetition signals: duplicate and top bigram fractions") {
+    val feats = TextStats.repetitionFeatures(col("bgs"))
+    val df = Seq(
+      "a b a b a b", // bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
+      "w x y z", // all distinct
+      "solo", // < 2 tokens
+      "").toDF("text")
+      .select(col("text"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("text"), TextStats.bigrams(col("toks")).as("bgs"))
+      .select(col("text") +: feats.map { case (n, c) => c.as(n) }: _*)
+    val rows = df.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows("a b a b a b") == ((5L, 0.6, 0.6))) // (5-2)/5, top 'a b' 3/5
+    assert(rows("w x y z") == ((3L, 0.0, round6(1.0 / 3))))
+    assert(rows("solo") == ((0L, 0.0, 0.0)))
+    assert(rows("") == ((0L, 0.0, 0.0)))
+  }
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
   test("decontamination flags 13-gram benchmark overlap at any alignment") {
     val run = (0 until 13).map(i => s"g$i").mkString(" ")
     def filler(n: Int, tag: String) = (0 until n).map(i => s"$tag$i").mkString(" ")
