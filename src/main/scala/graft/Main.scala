@@ -146,7 +146,10 @@ object Main {
       org.apache.spark.sql.execution.FormattedMode))
     conf.outfile match {
       case "-" =>
-        out.collect().foreach(r => println(r.mkString("\t")))
+        // partition-at-a-time streaming: --format clean emits whole
+        // corpus text, which a collect() would materialize on the
+        // driver in full (review finding #6)
+        out.toLocalIterator().forEachRemaining(r => println(r.mkString("\t")))
       case path =>
         out.coalesce(1).write.mode("overwrite")
           .option("sep", "\t").csv(path)
@@ -194,8 +197,9 @@ object Main {
     */
   private[graft] def normalize(df: DataFrame): DataFrame = {
     var d = df
-    if (!d.columns.contains("text")) throw new IllegalArgumentException(
-      "json/csv input needs at least (url, text) columns")
+    if (!d.columns.contains("url") || !d.columns.contains("text"))
+      throw new IllegalArgumentException(
+        "json/csv input needs at least (url, text) columns")
     if (!d.columns.contains("html")) d = d.withColumn("html", col("text"))
     if (!d.columns.contains("lang")) d = d.withColumn("lang", lit("und"))
     if (!d.columns.contains("warc_ts"))

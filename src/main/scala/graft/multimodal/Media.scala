@@ -119,6 +119,29 @@ object Media {
     else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
 
+  /** Exception-free decodability sniff for payloads whose magic
+    * `parseImageMeta` does NOT know: asks the ImageIO registry whether
+    * any installed reader claims the stream (the JDK ships BMP, WBMP
+    * and — on modern JDKs — TIFF readers beyond the png/gif/jpeg trio
+    * parseImageMeta parses). Reader SPIs probe a few header bytes and
+    * return a boolean, so unknown-magic payloads (video/audio) route
+    * to the stub tier without a thrown-and-caught exception per row
+    * (the r3 VERDICT #3 cost this gate exists to avoid). A payload a
+    * reader claims but then fails to decode (possible with WBMP's
+    * permissive header) still falls through `decodePixels`' catch to
+    * the header/stub tiers — that path pays the exception, correctly,
+    * as an error rather than routing.
+    */
+  def hasImageReader(payload: Array[Byte]): Boolean = {
+    if (payload == null || payload.length == 0) return false
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try javax.imageio.ImageIO.getImageReaders(iis).hasNext
+      finally iis.close()
+    } catch { case _: Exception => false }
+  }
+
   /** REAL frame count via the container's ImageReader (GIF animations
     * have >1; PNG/JPEG are single-frame). 1 when unreadable.
     */
@@ -247,10 +270,12 @@ object Media {
     *      place a real extra codec would swap in.
     *
     * The ImageIO attempt is MAGIC-GATED (r3 VERDICT #4): tier 1 is
-    * only tried when `parseImageMeta` recognizes the container, so an
-    * unknown-magic payload (video/audio) routes straight to the stub
-    * tier instead of paying a thrown-and-caught ImageIO exception per
-    * row — exceptions are error handling here, not routing. Callers
+    * only tried when `parseImageMeta` recognizes the container OR a
+    * registered ImageIO reader claims the stream (`hasImageReader` —
+    * keeps BMP/WBMP/TIFF on real decode), so an unknown-magic payload
+    * (video/audio) routes straight to the stub tier instead of paying
+    * a thrown-and-caught ImageIO exception per row — exceptions are
+    * error handling here, not routing. Callers
     * that only need header metadata pass `pixels = false` and skip
     * the codec entirely (one exception per valid-header/junk-body row
     * otherwise — measured on q_media_meta, 0.293 → 0.457 s).
@@ -264,7 +289,12 @@ object Media {
       it.map { m =>
         val n = if (m.payload == null) 0L else m.payload.length.toLong
         val meta = parseImageMeta(m.payload)
-        val img = if (pixels && meta.isDefined) decodePixels(m.payload) else None
+        // tier-1 gate: known container magic, or any registered
+        // ImageIO reader claiming the stream (BMP/WBMP/TIFF — formats
+        // parseImageMeta doesn't parse must not silently regress to
+        // the stub tier; round-4 review finding #2)
+        val img = if (pixels && (meta.isDefined || hasImageReader(m.payload)))
+          decodePixels(m.payload) else None
         (img, meta) match {
           case (Some(i), _) =>
             val kind = meta.map(_._1).getOrElse(m.kind)

@@ -291,26 +291,31 @@ object Ann {
     val bits = if (bits0 > 0) bits0 else adaptiveBits(n.getOrElse(corpus.count()), targetBucket)
     val tables = if (tables0 > 0) tables0 else numTables(bits, threshold, recall)
     val raw = candidatePairsAndSkips(corpus, bits, tables, seed, idCol, vecCol, maxBucket)
-    val cand = raw.filter(col("src").isNotNull).select("src", "dst").distinct()
+    // ONE consumption of the candidate pass: the groupBy dedupes pair
+    // rows across tables AND collapses the skip rows (null keys group
+    // together) into a single summed row in the same small shuffle —
+    // a filter/union split would re-run the code projection + drain
+    // subtree per branch (round-4 review finding #5)
+    val fused = raw.groupBy(col("src"), col("dst"))
+      .agg(sum(col("skipped")).as("skipped"))
     // verify join keys are the candidate pass's string ids; the output
-    // pair is re-oriented under the ORIGINAL id type's ordering
+    // pair is re-oriented under the ORIGINAL id type's ordering. LEFT
+    // joins pass the skip row (null keys match nothing) through the
+    // verify unharmed.
     val pre = prenorm(corpus.select(col(idCol).as("id0"), col(vecCol).as("v0")),
       "id0", col("v0"), "v", "nn").drop("v0")
       .withColumn("ids", col("id0").cast("string"))
-    val verified = cand
+    fused
       .join(pre.select(col("ids").as("src"), col("id0").as("src_id"),
-        col("v").as("sv"), col("nn").as("sn")), "src")
+        col("v").as("sv"), col("nn").as("sn")), Seq("src"), "left")
       .join(pre.select(col("ids").as("dst"), col("id0").as("dst_id"),
-        col("v").as("dv"), col("nn").as("dn")), "dst")
-      .withColumn("score", round(cosineFromParts(col("sv"), col("sn"), col("dv"), col("dn")), 6))
-      .filter(col("score") >= threshold)
+        col("v").as("dv"), col("nn").as("dn")), Seq("dst"), "left")
+      .withColumn("score", when(col("src").isNotNull,
+        round(cosineFromParts(col("sv"), col("sn"), col("dv"), col("dn")), 6)))
+      .filter(col("src").isNull || col("score") >= threshold)
       .select(least(col("src_id"), col("dst_id")).as("src"),
         greatest(col("src_id"), col("dst_id")).as("dst"), col("score"),
-        lit(0L).as("skipped"))
-    verified.unionByName(raw.filter(col("src").isNull)
-      .select(lit(null).cast(verified.schema("src").dataType).as("src"),
-        lit(null).cast(verified.schema("dst").dataType).as("dst"),
-        lit(null).cast("double").as("score"), col("skipped")))
+        col("skipped"))
   }
 
   /** Pairs-only view of [[embeddingDupEdgesAndSkips]]:

@@ -121,7 +121,11 @@ object StreamingDedup {
                       if (url < mu) mu else url, h)
                 }
               }
-              if (members.length < cap) members += ((url, fp))
+              // membership check: a hot url re-arriving every batch
+              // must not fill the bucket with copies of itself and
+              // lock real members out forever (review finding #3)
+              if (members.length < cap && !members.exists(_._1 == url))
+                members += ((url, fp))
             }
             state.update(members.toSeq)
             if (!ttl.isZero) state.setTimeoutDuration(ttl.toMillis)

@@ -50,9 +50,18 @@ object ChunkDedup {
       .groupBy(col("k.id").as("id"))
       .agg(sort_array(collect_list(col("k.win_pos"))).as("kept_idx"))
 
-    val toks = when(col(textCol).isNull || trim(col(textCol)) === "",
-        array().cast("array<string>"))
-      .otherwise(split(trim(col(textCol)), "\\s+"))
+    // reconstruction MUST tokenize exactly like the hashing side
+    // (Hashing.tokenize = Java String.trim — strips ALL chars
+    // <= U+0020 — then \s+ split): Spark's trim() strips spaces only
+    // and split() keeps a trailing empty token after a trailing
+    // separator, so "a b\n" would reconstruct with a phantom token,
+    // shifting every tile and silently cutting the wrong spans
+    // (round-4 review finding #1). The char class is [\x00-\x20], not
+    // \s, for exact String.trim parity on control-char edges.
+    val fullTrim = regexp_replace(coalesce(col(textCol), lit("")),
+      "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+    val toks = when(fullTrim === "", array().cast("array<string>"))
+      .otherwise(split(fullTrim, "\\s+"))
     docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .join(kept, Seq("id"), "left")
       .withColumn("toks", toks)

@@ -289,24 +289,32 @@ object SubstringDedup {
 
   /** Verified long-run dup edges + skip rows, for pipeline wiring:
     * (src, dst, skipped) where pair rows passed the exact
-    * longest-common-run verify at ≥ minLen chars and skip rows
-    * (null src/dst) carry over-cap fingerprint-bucket row counts.
+    * common-run-≥-minLen verify and skip rows (null src/dst) carry
+    * over-cap fingerprint-bucket row counts.
+    *
+    * One consumption of the candidate pass: the groupBy dedupes pair
+    * rows across fingerprints AND collapses the skip rows (null keys
+    * group together) into a single summed row in the same small
+    * shuffle — a filter/union split would re-run the winnow+drain
+    * subtree per branch (round-4 review finding #5). The verify is
+    * the single monotone probe `hasCommonRun(·,·,minLen)` — one
+    * O(|a|+|b|) rolling-hash pass — not the full binary-search
+    * `longestCommonRun`, whose exact length only `crossDocRepeats`
+    * needs (round-4 review finding #4).
     */
   def longRunEdgesAndSkips(docs: DataFrame, minLen: Int = 60,
       idCol: String = "url", textCol: String = "text",
       maxDocsPerGram: Int = 50): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val raw = repeatCandidatesAndSkips(docs, minLen, idCol, textCol, maxDocsPerGram)
-    val cand = raw.filter(col("src").isNotNull).select("src", "dst").distinct()
+    val fused = raw.groupBy(col("src"), col("dst"))
+      .agg(sum(col("skipped")).as("skipped"))
     val t = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-    val lcrLen = udf((ta: String, tb: String) => longestCommonRun(ta, tb)._1)
-    val verified = cand
-      .join(t.select(col("id").as("src"), col("t").as("ta")), "src")
-      .join(t.select(col("id").as("dst"), col("t").as("tb")), "dst")
-      .filter(lcrLen(col("ta"), col("tb")) >= minLen)
-      .select(col("src"), col("dst"), lit(0L).as("skipped"))
-    verified.unionByName(raw.filter(col("src").isNull))
+    val hasRun = udf((ta: String, tb: String) => hasCommonRun(ta, tb, minLen))
+    fused
+      .join(t.select(col("id").as("src"), col("t").as("ta")), Seq("src"), "left")
+      .join(t.select(col("id").as("dst"), col("t").as("tb")), Seq("dst"), "left")
+      .filter(col("src").isNull || hasRun(col("ta"), col("tb")))
+      .select(col("src"), col("dst"), col("skipped"))
   }
 
   /** Distinct winnowing fingerprints of `text`: rolling k-gram hashes,
@@ -360,6 +368,14 @@ object SubstringDedup {
     * prescribed kernel — the comparison-sort suffix scan this replaces
     * was O(n²·log n) char ops on near-identical doc pairs).
     */
+  /** Single monotone probe: do `a` and `b` share a common substring of
+    * length ≥ len? ONE O(|a|+|b|) rolling-hash pass (char-verified), no
+    * binary search — the filter kernel for verify stages that only need
+    * the predicate, not the exact run length.
+    */
+  def hasCommonRun(a: String, b: String, len: Int): Boolean =
+    a != null && b != null && commonRunAt(a, b, len) >= 0
+
   def longestCommonRun(a: String, b: String): (Int, String) = {
     if (a == null || b == null || a.isEmpty || b.isEmpty) return (0, "")
     var lo = 0 // always feasible

@@ -425,6 +425,37 @@ class SubstringSpec extends SparkSpec {
     }
   }
 
+  test("chunk reconstruction tokenizes exactly like the hashing side on exotic whitespace (r4 review #1)") {
+    import spark.implicits._
+    val a = (0 until 39).map("t" + _).mkString(" ")
+    val docs = Seq(
+      ("d0", a + "\n"), // trailing newline must not add a phantom token
+      ("d1", "\n\t " + a), // leading whitespace must not shift the tiles
+      ("d2", "\u0001 " + a)) // control char <= \x20: Java String.trim parity
+      .toDF("url", "text")
+    val out = graft.substring.ChunkDedup.dedupChunks(docs, w = 20)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // all three docs tokenize to the same 39 tokens → one full tile each;
+    // d0 owns the first occurrence, d1/d2 lose the tile and keep the tail
+    assert(out("d0") == a)
+    val tail = (20 until 39).map("t" + _).mkString(" ")
+    assert(out("d1") == tail)
+    assert(out("d2") == tail)
+  }
+
+  test("hasCommonRun is the single-probe predicate of longestCommonRun (r4 review #4)") {
+    import graft.substring.SubstringDedup._
+    val rnd = new scala.util.Random(5)
+    for (_ <- 0 until 30) {
+      val a = Seq.fill(40 + rnd.nextInt(80))(('a' + rnd.nextInt(3)).toChar).mkString
+      val b = Seq.fill(40 + rnd.nextInt(80))(('a' + rnd.nextInt(3)).toChar).mkString
+      val len = longestCommonRun(a, b)._1
+      for (l <- Seq(0, 1, len - 1, len, len + 1, a.length + b.length); if l >= 0)
+        assert(hasCommonRun(a, b, l) == (l <= len), s"l=$l len=$len")
+    }
+    assert(!hasCommonRun(null, "x", 1) && !hasCommonRun("x", null, 1))
+  }
+
   test("longestCommonRun matches the naive DP longest-common-substring") {
     val rnd = new scala.util.Random(23)
     def naive(a: String, b: String): Int = {
@@ -584,6 +615,26 @@ class MediaSpec extends SparkSpec {
       assert(math.abs(d.features.sum - 1.0f) < 1e-5)
       assert(d.features(math.min(15, g * 16 / 256)) == 1.0f, id)
     }
+  }
+
+  test("ImageIO-sniffed formats beyond png/gif/jpeg keep real pixel decode (r4 review #2)") {
+    import spark.implicits._
+    // BMP: parseImageMeta does NOT know the magic, but the JDK ships a
+    // decoder — the magic gate must sniff the registry, not stub it
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) img.setRGB(x, y, 0x804020)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val payload = bos.toByteArray
+    assert(Media.parseImageMeta(payload).isEmpty) // the regression's precondition
+    assert(Media.hasImageReader(payload))
+    assert(!Media.hasImageReader("plain text, no reader claims this".getBytes))
+    assert(!Media.hasImageReader(null) && !Media.hasImageReader(Array.emptyByteArray))
+    val dec = Media.decode(spark, Seq(Media.MediaRow("b", "image", payload)).toDS())
+      .collect().head
+    assert(dec.width == 8 && dec.height == 4, "real raster dims, not stub")
+    assert(dec.red_mean == 0x80.toDouble, s"real red channel, got ${dec.red_mean}")
   }
 
   test("animated GIF: real frame count drives frame sampling") {
