@@ -222,6 +222,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- canonical selection: keep the BEST-quality member of each
+    // identity group (the webtext keep-policy — min-id is the
+    // reference's resolve-aliases tie-rule, arg-max-quality is what a
+    // training-data pipeline actually keeps). Map-side-combinable
+    // max(struct) aggregation, no window sort.
+    "q_keep_best" -> ((s, dir) => {
+      val qs = TextStats.qualityFeatures(col("text"))
+        .collectFirst { case ("quality_score", c) => c }.get
+      graft.cluster.KeepBest.representatives(
+        docs(s, dir).select(col("lang"), col("n_chars"), col("doc_id"), qs.as("q")),
+        Seq("lang", "n_chars"), col("q"), "doc_id")
+    }),
+
+    // ---- url canonicalization: the webtext dedup-KEY normalization
+    // (scheme/host case, www., default ports, fragments, tracking
+    // params). The messy url is synthesized deterministically from
+    // doc_id (documents carries no url column); the operator under
+    // test is UrlNorm.canonicalUrl — same regex chain as the oracle.
+    "q_url_canon" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val messy = when(id % 5 === 0,
+          concat(lit("HTTP://WWW.EXAMPLE.COM:80/a/"), ids, lit("/?utm_source=x")))
+        .when(id % 5 === 1,
+          concat(lit("https://News.Example.com/Article?id="), ids, lit("&fbclid=zz#frag")))
+        .when(id % 5 === 2,
+          concat(lit("HTTPS://example.com:443/p?a=1&utm_medium=m&b="), ids))
+        .when(id % 5 === 3,
+          concat(lit("http://example.com/q&r/s?x="), ids, lit("&utm_a1=z")))
+        .otherwise(lit("https://www.example.com/"))
+      docs(s, dir).select(id, messy.as("url_raw"),
+        graft.text.UrlNorm.canonicalUrl(messy).as("url_canon"))
+    }),
+
     // ---- text analysis: n-gram-heuristic language id
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))),
@@ -704,6 +738,42 @@ object SparkEntry {
         "round(CASE WHEN len(bgs) > 0 THEN list_max(list_transform(list_distinct(bgs), " +
         "x -> len(list_filter(bgs, y -> y = x)))) / CAST(len(bgs) AS DOUBLE) ELSE 0 END, 6) AS top_bigram_frac " +
         "FROM b ORDER BY doc_id"),
+    "q_keep_best" ->
+      ("WITH b AS (SELECT doc_id, lang, n_chars, coalesce(trim(text), '') AS t, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks0 FROM documents), " +
+        "f AS (SELECT doc_id, lang, n_chars, CAST(length(t) AS DOUBLE) AS chars, CAST(toks0 AS DOUBLE) AS toks, " +
+        "CAST(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha, " +
+        "CAST(length(regexp_replace(t, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct FROM b), " +
+        "m AS (SELECT doc_id, lang, n_chars, " +
+        "CASE WHEN toks > 0 THEN (chars - (toks - 1)) / toks ELSE 0.0 END AS mw, " +
+        "CASE WHEN chars > 0 THEN alpha / chars ELSE 0.0 END AS ar, " +
+        "CASE WHEN chars > 0 THEN punct / chars ELSE 0.0 END AS pr, " +
+        "least(toks / 100.0, 1.0) AS ls FROM f), " +
+        "q AS (SELECT doc_id, lang, n_chars, " +
+        "round(ls * 0.4 + (CASE WHEN mw >= 2.5 AND mw <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2 + " +
+        "ar * 0.3 + (1.0 - least(pr * 5.0, 1.0)) * 0.1, 6) AS qs FROM m), " +
+        "r AS (SELECT lang, n_chars, doc_id, qs, " +
+        "row_number() OVER (PARTITION BY lang, n_chars ORDER BY qs DESC, doc_id ASC) AS rn FROM q) " +
+        "SELECT lang, n_chars, doc_id AS keep_id, qs AS best_score FROM r WHERE rn = 1"),
+    "q_url_canon" ->
+      ("WITH u AS (SELECT doc_id, CASE doc_id % 5 " +
+        "WHEN 0 THEN 'HTTP://WWW.EXAMPLE.COM:80/a/' || doc_id || '/?utm_source=x' " +
+        "WHEN 1 THEN 'https://News.Example.com/Article?id=' || doc_id || '&fbclid=zz#frag' " +
+        "WHEN 2 THEN 'HTTPS://example.com:443/p?a=1&utm_medium=m&b=' || doc_id " +
+        "WHEN 3 THEN 'http://example.com/q&r/s?x=' || doc_id || '&utm_a1=z' " +
+        "ELSE 'https://www.example.com/' END AS url_raw FROM documents), " +
+        "s1 AS (SELECT doc_id, url_raw, regexp_replace(url_raw, '#.*$', '') AS a FROM u), " +
+        "s2 AS (SELECT *, regexp_extract(a, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS hostpre FROM s1), " +
+        "s3 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(lower(hostpre), " +
+        "'^([a-z0-9+.-]+://)www\\.', '\\1'), '^(https://[^:/]+):443$', '\\1'), '^(http://[^:/]+):80$', '\\1') " +
+        "|| substr(a, length(hostpre) + 1) AS b FROM s2), " +
+        "s4 AS (SELECT *, regexp_extract(b, '^[^?]*') AS base, " +
+        "substr(b, length(regexp_extract(b, '^[^?]*')) + 2) AS q FROM s3), " +
+        "s5 AS (SELECT *, regexp_replace(regexp_replace('&' || q, " +
+        "'&(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref_src|s_kwcid)=[^&]*', '', 'g'), " +
+        "'^&', '') AS qc FROM s4) " +
+        "SELECT doc_id, url_raw, regexp_replace(CASE WHEN q = '' OR qc = '' THEN base " +
+        "ELSE base || '?' || qc END, '/$', '') AS url_canon FROM s5"),
     "q_decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts " +
         "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +

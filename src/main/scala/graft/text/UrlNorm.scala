@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the standard webtext dedup KEY
+  * normalization (CCNet / RefinedWeb-style url-level dedup keys
+  * collapse scheme/host case, `www.`, default ports, fragments and
+  * tracking parameters before hashing). Reference semantics analog:
+  * the identity stage's key extraction (Files.t:186-204) — this is
+  * the key-building half a web corpus needs before it.
+  *
+  * Pure `Column` expression composition (codegen'd, no UDF), and —
+  * deliberately — regex/substring primitives with identical
+  * semantics in DuckDB, so the operator is oracle-checkable
+  * end-to-end:
+  *
+  *   1. strip `#fragment`;
+  *   2. lowercase the `scheme://host[:port]` prefix ONLY (paths stay
+  *      case-sensitive), drop a leading `www.`, drop default ports
+  *      (`:80` http, `:443` https);
+  *   3. remove tracking parameters by exact query-string surgery:
+  *      split at the first `?`, prefix every param with `&`, delete
+  *      `&name=value` units whose name is a tracker
+  *      (utm_*, gclid, fbclid, msclkid, mc_cid/mc_eid, igshid,
+  *      ref_src, s_kwcid), re-join — a `&` in the PATH is never
+  *      touched (no lookbehind tricks, RE2-safe);
+  *   4. drop a bare trailing `?` and a trailing `/`.
+  */
+object UrlNorm {
+
+  private val Trackers =
+    "utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref_src|s_kwcid"
+
+  /** The tracker alternation (exposed so oracle SQL and tests stay in
+    * lockstep with the operator).
+    */
+  def trackerPattern: String = Trackers
+
+  /** Canonical form of `url` (null-safe: null → null). */
+  def canonicalUrl(url: Column): Column = {
+    val s1 = regexp_replace(url, "#.*$", "")
+    // scheme://host[:port] prefix; "" when the string is not a URL
+    val hostPre = regexp_extract(s1, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val rest = s1.substr(length(hostPre) + lit(1), length(s1))
+    val hp0 = lower(hostPre)
+    val hp1 = regexp_replace(hp0, "^([a-z0-9+.-]+://)www\\.", "$1")
+    val hp2 = regexp_replace(hp1, "^(https://[^:/]+):443$", "$1")
+    val hp = regexp_replace(hp2, "^(http://[^:/]+):80$", "$1")
+    val s2 = concat(hp, rest)
+    val base = regexp_extract(s2, "^[^?]*", 0)
+    val q = s2.substr(length(base) + lit(2), length(s2))
+    val qq = regexp_replace(concat(lit("&"), q), s"&($Trackers)=[^&]*", "")
+    val qClean = regexp_replace(qq, "^&", "")
+    val joined = when(q === "" || qClean === "", base)
+      .otherwise(concat(base, lit("?"), qClean))
+    when(url.isNull, lit(null).cast("string"))
+      .otherwise(regexp_replace(joined, "/$", ""))
+  }
+}

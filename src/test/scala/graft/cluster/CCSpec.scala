@@ -5,6 +5,22 @@ import graft.SparkSpec
 class CCSpec extends SparkSpec {
   import spark.implicits._
 
+  test("keep-best representatives: arg-max quality, min-id tie-break, map-side aggregate") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("g1", 10L, 0.5), ("g1", 7L, 0.9), ("g1", 3L, 0.9), // tie at 0.9 -> min id 3
+      ("g2", 1L, 0.2),
+      ("g3", 5L, 0.0), ("g3", 6L, 0.0)) // all-zero scores -> min id, +0.0 out
+      .toDF("grp", "doc_id", "q")
+    val reps = KeepBest.representatives(df, Seq("grp"), col("q"), "doc_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(reps == Map("g1" -> ((3L, 0.9)), "g2" -> ((1L, 0.2)), "g3" -> ((5L, 0.0))))
+    assert(!reps.values.exists(v => v._2.equals(-0.0))) // no negative-zero leak
+    val kept = KeepBest.markKept(df, Seq("grp"), col("q"), "doc_id")
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 1L, 5L))
+  }
+
   test("chain collapses to one component rooted at the min") {
     val e = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("e", "d")).toDF("src", "dst")
     val cc = ConnectedComponents.run(e).collect()

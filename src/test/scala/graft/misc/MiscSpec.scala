@@ -66,6 +66,32 @@ class TextStatsSpec extends SparkSpec {
     assert(!out.contains("t4") && !out.contains("t5"))
   }
 
+  test("url canonicalization: case, www, ports, fragments, tracking params, path-& safety") {
+    import graft.text.UrlNorm.canonicalUrl
+    val cases = Seq(
+      "HTTP://WWW.EXAMPLE.COM:80/a/7/?utm_source=x" -> "http://example.com/a/7",
+      "https://News.Example.com/Article?id=7&fbclid=zz#frag" ->
+        "https://news.example.com/Article?id=7",
+      "HTTPS://example.com:443/p?a=1&utm_medium=m&b=2" -> "https://example.com/p?a=1&b=2",
+      // & in the PATH must never be rewritten (query surgery is ?-anchored)
+      "http://example.com/q&r/s?x=7&utm_a1=z" -> "http://example.com/q&r/s?x=7",
+      "https://www.example.com/" -> "https://example.com",
+      // consecutive trackers, tracker-only query, dangling ?
+      "https://a.com/p?utm_a=1&utm_b=2" -> "https://a.com/p",
+      "https://a.com/p?utm_a=1&x=2&utm_b=3" -> "https://a.com/p?x=2",
+      "https://a.com/p?" -> "https://a.com/p",
+      // non-default port and a param NAMED xutm_a are preserved
+      "https://a.com:8443/p?xutm_a=1" -> "https://a.com:8443/p?xutm_a=1",
+      // http :443 / https :80 are NOT default — preserved
+      "http://a.com:443/p" -> "http://a.com:443/p",
+      "not a url at all" -> "not a url at all")
+    val df = cases.map(_._1).toDF("u").select(col("u"), canonicalUrl(col("u")).as("c"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"on $in") }
+    val n = Seq[String](null).toDF("u").select(canonicalUrl(col("u"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("fingerprints are whitespace/case insensitive but content sensitive") {
     val df = Seq(("A  B\tC", 1), ("a b c", 2), ("a b d", 3)).toDF("text", "i")
       .select(TextStats.fingerprintMd5(col("text")).as("fp"),
