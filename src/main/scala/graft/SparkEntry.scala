@@ -256,6 +256,20 @@ object SparkEntry {
         graft.text.UrlNorm.canonicalUrl(messy).as("url_canon"))
     }),
 
+    // ---- incremental (delta) dedup: the odd-doc_id half of the
+    // corpus plays "today's crawl", deduped against a digest snapshot
+    // accumulated from the even half — the snapshot is probed in ONE
+    // map-side scan against the broadcast batch digest set; it never
+    // shuffles (the continuous-ingest shape a 10^12-doc corpus runs)
+    "q_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prior = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+      val snap = graft.engine.IncrementalDedup.snapshotDelta(
+        prior, graft.engine.IncrementalDedup.emptySnapshot(prior, "doc_id"), "doc_id")
+      graft.engine.IncrementalDedup.dedupAgainst(batch, snap, "doc_id")
+    }),
+
     // ---- text analysis: n-gram-heuristic language id
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))),
@@ -738,6 +752,15 @@ object SparkEntry {
         "round(CASE WHEN len(bgs) > 0 THEN list_max(list_transform(list_distinct(bgs), " +
         "x -> len(list_filter(bgs, y -> y = x)))) / CAST(len(bgs) AS DOUBLE) ELSE 0 END, 6) AS top_bigram_frac " +
         "FROM b ORDER BY doc_id"),
+    "q_incremental" ->
+      ("WITH dg AS (SELECT doc_id, md5(coalesce(text, '')) AS g FROM documents), " +
+        "b AS (SELECT * FROM dg WHERE doc_id % 2 = 1), " +
+        "p AS (SELECT g, min(doc_id) AS keeper FROM dg WHERE doc_id % 2 = 0 GROUP BY g), " +
+        "f AS (SELECT g, min(doc_id) AS first_id FROM b GROUP BY g) " +
+        "SELECT b.doc_id, b.g AS digest, " +
+        "coalesce(p.keeper, CASE WHEN f.first_id < b.doc_id THEN f.first_id END) AS dup_of, " +
+        "coalesce(p.keeper, CASE WHEN f.first_id < b.doc_id THEN f.first_id END) IS NULL AS is_novel " +
+        "FROM b LEFT JOIN p USING (g) LEFT JOIN f USING (g)"),
     "q_keep_best" ->
       ("WITH b AS (SELECT doc_id, lang, n_chars, coalesce(trim(text), '') AS t, " +
         "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks0 FROM documents), " +

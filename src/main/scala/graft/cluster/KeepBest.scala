@@ -12,26 +12,30 @@ import org.apache.spark.sql.functions._
   * arbitrary; this operator is the policy a 10^12-doc training-data
   * pipeline actually wants.
   *
-  * Scale shape: arg-max as ONE map-side-combinable `max(struct(score,
-  * -id))` aggregation — no window function (a window sorts every
-  * group's rows and cannot partial-aggregate; the max-struct partial
-  * combines on the map side, so a 10M-row boilerplate cluster ships
-  * one struct per task, not 10M sorted rows). Integer id negation
-  * gives the ascending tie-break inside a descending max — exact,
-  * no float sign-zero hazards.
+  * Scale shape: arg-max as ONE map-side-combinable
+  * `min(struct(-score, id))` aggregation — no window function (a
+  * window sorts every group's rows and cannot partial-aggregate; the
+  * min-struct partial combines on the map side, so a 10M-row
+  * boilerplate cluster ships one struct per task, not 10M sorted
+  * rows). Works for ANY orderable id type (int doc ids, url strings):
+  * Spark's double ordering treats -0.0 = 0.0 (SQLOrderingUtil), so
+  * negation cannot perturb ties, and the emitted best_score is
+  * re-negated with a `+ 0.0` normalization so a zero score never
+  * leaks as -0.0. Scores must not be NaN or null (NaN orders above
+  * all doubles, null sorts first under min — either would win every
+  * group; coalesce upstream).
   */
 object KeepBest {
 
   /** One row per group: (groupCols..., keep_id, best_score) where
-    * keep_id maximizes `score` (ties → minimum `idCol`). `idCol` must
-    * be a signed integral column (the tie-break negates it).
+    * keep_id maximizes `score` (ties → minimum `idCol`).
     */
   def representatives(df: DataFrame, groupCols: Seq[String], score: Column,
       idCol: String): DataFrame =
     df.groupBy(groupCols.map(col): _*)
-      .agg(max(struct(score.as("q"), (-col(idCol)).as("nid"))).as("k"))
+      .agg(min(struct((-score).as("nq"), col(idCol).as("id"))).as("k"))
       .select(groupCols.map(col) :+
-        (-col("k.nid")).as("keep_id") :+ col("k.q").as("best_score"): _*)
+        col("k.id").as("keep_id") :+ (-col("k.nq") + lit(0.0)).as("best_score"): _*)
 
   /** Membership view: every row of `df` tagged with its group's
     * keep_id and whether THIS row is the kept representative —

@@ -80,6 +80,21 @@ object DedupPipeline {
       clusters.groupBy("cluster_id").agg(sort_array(collect_list(col("url"))).as("members")))
     lazy val summary: DataFrame = Report.summary(
       clusters.groupBy("cluster_id").agg(collect_list(col("url")).as("members")))
+
+    /** Quality keep-policy over the final clusters: one row per
+      * cluster — (cluster_id, keep_id = best-scoring member url,
+      * best_score) — the CCNet/RefinedWeb-style alternative to the
+      * min-id canonical (ties → min url). `scored` supplies
+      * (urlCol, scoreCol) for every clustered url; score must be
+      * non-null/non-NaN. One map-side-combinable aggregate
+      * (graft.cluster.KeepBest), no window sort.
+      */
+    def keepBestCanonical(scored: DataFrame, urlCol: String = "url",
+        scoreCol: String = "score"): DataFrame =
+      graft.cluster.KeepBest.representatives(
+        clusters.join(
+          scored.select(col(urlCol).as("url"), col(scoreCol).as("__q")), "url"),
+        Seq("cluster_id"), col("__q"), "url")
   }
 
   def run(docsRaw: DataFrame, cfg: Config = Config()): Result = {

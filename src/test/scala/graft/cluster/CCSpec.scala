@@ -21,6 +21,18 @@ class CCSpec extends SparkSpec {
     assert(kept == Set(3L, 1L, 5L))
   }
 
+  test("keep-best works for string ids (url clusters) with zero-score groups") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("c1", "u-b", 0.4), ("c1", "u-a", 0.4), ("c1", "u-z", 0.1), // tie -> min url
+      ("c2", "u-x", 0.0)) // zero score must emit +0.0, not -0.0
+      .toDF("cid", "url", "q")
+    val reps = KeepBest.representatives(df, Seq("cid"), col("q"), "url")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(reps == Map("c1" -> (("u-a", 0.4)), "c2" -> (("u-x", 0.0))))
+    assert(java.lang.Double.doubleToRawLongBits(reps("c2")._2) == 0L) // bitwise +0.0
+  }
+
   test("chain collapses to one component rooted at the min") {
     val e = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("e", "d")).toDF("src", "dst")
     val cc = ConnectedComponents.run(e).collect()

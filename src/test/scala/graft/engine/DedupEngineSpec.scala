@@ -141,4 +141,30 @@ class DedupEngineSpec extends SparkSpec {
     val hot = r.blockMeta.filter(col("size") > 1).collect()
     assert(hot.length == 1 && hot.head.getAs[Long]("size") == 199990L)
   }
+
+  test("incremental dedup: batch vs snapshot, bootstrap, append-only delta") {
+    import graft.engine.IncrementalDedup._
+    val b1 = Seq(("A", "x"), ("B", "x"), ("C", "y")).toDF("url", "text")
+    val empty = emptySnapshot(b1)
+    // bootstrap verdicts: first occurrences novel, B dups A in-batch
+    val v1 = dedupAgainst(b1, empty).collect()
+      .map(r => r.getString(0) -> ((Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(v1 == Map("A" -> ((None, true)), "B" -> ((Some("A"), false)),
+      "C" -> ((None, true))))
+    val snap = snapshotDelta(b1, empty)
+    assert(snap.collect().map(r => r.getString(1)).toSet == Set("A", "C"))
+    // next crawl: prior keeper wins over in-batch first occurrence
+    val b2 = Seq(("D", "x"), ("E", "z"), ("F", "z"), ("G", "y")).toDF("url", "text")
+    val v2 = dedupAgainst(b2, snap).collect()
+      .map(r => r.getString(0) -> ((Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(v2 == Map("D" -> ((Some("A"), false)), "E" -> ((None, true)),
+      "F" -> ((Some("E"), false)), "G" -> ((Some("C"), false))))
+    // append-only delta: only the digest the snapshot lacks
+    val d2 = snapshotDelta(b2, snap).collect()
+    assert(d2.length == 1 && d2.head.getString(1) == "E")
+    // big-batch fallback (no broadcast) is plan-different, result-equal
+    val v2s = dedupAgainst(b2, snap, broadcastBatch = false).collect()
+      .map(r => r.getString(0) -> ((Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(v2s == v2)
+  }
 }

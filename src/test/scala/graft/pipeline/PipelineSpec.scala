@@ -126,6 +126,28 @@ class PipelineSpec extends SparkSpec {
     assert(onR.skippedBucketRows.get("longrun").contains(0L))
   }
 
+  test("keepBestCanonical picks the highest-quality cluster member, not min-id") {
+    import spark.implicits._
+    // u1 < u2 lexically, but u2 carries the higher score — the quality
+    // policy must pick u2 where the min-id canonical picks u1
+    val docs = Seq(
+      ("https://a.example/1", "dup dup dup"),
+      ("https://a.example/2", "dup dup dup"),
+      ("https://z.example/9", "unique text here")).toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    val r = DedupPipeline.run(docs)
+    val scored = docs.select(col("url"),
+      when(col("url") === "https://a.example/2", 0.9).otherwise(0.2).as("score"))
+    val best = r.keepBestCanonical(scored).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    val cid = r.clusters.filter(col("url") === "https://a.example/1")
+      .head().getString(1)
+    assert(best(cid) == "https://a.example/2") // quality beats min-id
+    assert(best.size == r.clusters.select("cluster_id").distinct().count())
+  }
+
   test("substring stage surfaces over-cap window skips (ADVICE r3 #2)") {
     import spark.implicits._
     // 6 docs all sharing one 25-token window with cap 3 → the window is
