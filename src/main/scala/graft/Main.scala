@@ -25,6 +25,13 @@ import graft.report.Report
   *                           chunk-deduped corpus (url, clean_text) —
   *                           the Lee et al. REMOVAL policy applied to
   *                           the canonical doc per cluster
+  *   --snapshot DIR          incremental mode: dedup the --input batch
+  *                           against the (digest, keeper) snapshot
+  *                           parquet at DIR (bootstrapped if absent),
+  *                           emit per-doc verdicts (url, digest,
+  *                           dup_of, is_novel), and append the
+  *                           snapshot delta so the next run sees this
+  *                           batch — the prior corpus is never re-read
   *   --checkpoint DIR        materialize + resume stages via Catalog
   *   --byte-verify           append a full byte-compare level to the
   *                           cascade (Theory.pod:113-118 — closes the
@@ -52,6 +59,7 @@ object Main {
       outfile: String = "-",
       format: String = "report",
       checkpoint: Option[String] = None,
+      snapshot: Option[String] = None,
       byteVerify: Boolean = false,
       substring: Option[Int] = None, // minShared windows
       longrun: Option[Int] = None, // minLen chars
@@ -71,6 +79,7 @@ object Main {
     case "--outfile" :: v :: rest => parse(rest, c.copy(outfile = v), algsSet)
     case "--format" :: v :: rest => parse(rest, c.copy(format = v), algsSet)
     case "--checkpoint" :: v :: rest => parse(rest, c.copy(checkpoint = Some(v)), algsSet)
+    case "--snapshot" :: v :: rest => parse(rest, c.copy(snapshot = Some(v)), algsSet)
     case "--byte-verify" :: rest => parse(rest, c.copy(byteVerify = true), algsSet)
     case "--substring" :: v :: rest if v.forall(_.isDigit) && v.nonEmpty =>
       parse(rest, c.copy(substring = Some(v.toInt)), algsSet)
@@ -111,6 +120,24 @@ object Main {
       if (conf.progress) graft.progress.Progress.tap(docs0, "scan_docs", Some("html"))
       else docs0
 
+    // incremental mode short-circuits the clustering pipeline: the
+    // batch is judged against the accumulated digest snapshot only
+    conf.snapshot.foreach { dir =>
+      val verdicts = runIncremental(spark, docs, dir)
+      val out = if (conf.progress)
+        graft.progress.Progress.tap(verdicts, "report_out") else verdicts
+      if (conf.debug) System.err.println(out.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      emit(conf.outfile, out)
+      if (conf.verbose) {
+        val n = verdicts.agg(
+          sum(when(col("is_novel"), 1L).otherwise(0L)), count(lit(1))).head()
+        System.err.println(s"novel: ${n.getLong(0)} of ${n.getLong(1)} batch docs")
+      }
+      spark.stop()
+      return
+    }
+
     val cfg = DedupPipeline.Config(
       algs = if (conf.byteVerify) conf.algs :+ "bytes" else conf.algs,
       ignoreEmpty = conf.ignoreEmpty,
@@ -144,16 +171,7 @@ object Main {
       if (conf.progress) graft.progress.Progress.tap(out0, "report_out") else out0
     if (conf.debug) System.err.println(out.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
-    conf.outfile match {
-      case "-" =>
-        // partition-at-a-time streaming: --format clean emits whole
-        // corpus text, which a collect() would materialize on the
-        // driver in full (review finding #6)
-        out.toLocalIterator().forEachRemaining(r => println(r.mkString("\t")))
-      case path =>
-        out.coalesce(1).write.mode("overwrite")
-          .option("sep", "\t").csv(path)
-    }
+    emit(conf.outfile, out)
 
     // observed progress metrics land in the checkpoint catalog's
     // metrics table (S5: metrics stream → metrics sink)
@@ -178,6 +196,37 @@ object Main {
       }
     }
     spark.stop()
+  }
+
+  /** Tab output to stdout or a csv path. Stdout streams
+    * partition-at-a-time: corpus-sized formats (clean) would OOM the
+    * driver under collect() (review finding #6).
+    */
+  private def emit(outfile: String, out: DataFrame): Unit = outfile match {
+    case "-" =>
+      out.toLocalIterator().forEachRemaining(r => println(r.mkString("\t")))
+    case path =>
+      out.coalesce(1).write.mode("overwrite").option("sep", "\t").csv(path)
+  }
+
+  /** Incremental mode (--snapshot DIR): per-doc verdicts for the batch
+    * against the digest snapshot parquet at DIR (bootstrapped empty
+    * when DIR has no snapshot yet), with the batch's novel digests
+    * appended back so the next run's snapshot includes this batch.
+    * The snapshot file listing is fixed BEFORE the append, so the
+    * returned verdicts frame never sees the delta it produced.
+    */
+  private[graft] def runIncremental(spark: SparkSession, docs: DataFrame,
+      dir: String): DataFrame = {
+    import graft.engine.IncrementalDedup._
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(path) && fs.listStatus(path).exists(
+      s => s.getPath.getName.endsWith(".parquet"))
+    val snap = if (exists) spark.read.parquet(dir) else emptySnapshot(docs)
+    val verdicts = dedupAgainst(docs, snap)
+    snapshotDelta(docs, snap).write.mode("append").parquet(dir)
+    verdicts
   }
 
   private[graft] def load(spark: SparkSession, input: String): DataFrame =

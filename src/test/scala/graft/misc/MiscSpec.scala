@@ -726,7 +726,38 @@ class SourceFormatSpec extends SparkSpec {
   }
 }
 
+class IncrementalCliSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("--snapshot mode: second run sees the first batch's digests (append-only)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/snap"
+    def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    // bootstrap run: no snapshot dir yet
+    val v1 = graft.Main.runIncremental(spark, mk(Seq(
+        ("A", "alpha text"), ("B", "alpha text"), ("C", "beta text"))), dir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(v1 == Map("A" -> true, "B" -> false, "C" -> true))
+    // second crawl: dup of A resolves to A (prior keeper), new text novel
+    val v2 = graft.Main.runIncremental(spark, mk(Seq(
+        ("D", "alpha text"), ("E", "gamma text"))), dir)
+      .collect().map(r => r.getString(0) -> ((Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(v2 == Map("D" -> ((Some("A"), false)), "E" -> ((None, true))))
+    // snapshot accumulated exactly the three distinct digests' keepers
+    val snap = spark.read.parquet(dir).collect().map(_.getString(1)).toSet
+    assert(snap == Set("A", "C", "E"))
+  }
+}
+
 class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("--snapshot parses a directory argument") {
+    val c = graft.Main.parse(List("--input", "x.parquet", "--snapshot", "/tmp/s"))
+    assert(c.snapshot.contains("/tmp/s"))
+    assert(graft.Main.parse(List("--input", "x.parquet")).snapshot.isEmpty)
+  }
 
   test("repeatable --alg accumulates across interleaved options (CLI.pm parity)") {
     val c = graft.Main.parse(List(
