@@ -256,6 +256,26 @@ object SparkEntry {
         graft.text.UrlNorm.canonicalUrl(messy).as("url_canon"))
     }),
 
+    // ---- line-level dedup (CCNet policy): the synthetic corpus has
+    // no newlines, so the query deterministically re-lines the text
+    // (5-token lines — same regexp in the oracle), then keeps each
+    // distinct line's globally first occurrence
+    "q_line_dedup" -> ((s, dir) => {
+      val lined = docs(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1\n").as("text"))
+      graft.substring.LineDedup.dedupLines(lined, "doc_id")
+        .select(col("id").as("doc_id"), col("clean_text"))
+    }),
+
+    // ---- boilerplate line removal: every copy of a line appearing in
+    // >= 5 distinct docs is dropped (the CCNet common-line rule)
+    "q_boilerplate" -> ((s, dir) => {
+      val lined = docs(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1\n").as("text"))
+      graft.substring.LineDedup.dropCommonLines(lined, minDocs = 5, "doc_id")
+        .select(col("id").as("doc_id"), col("clean_text"))
+    }),
+
     // ---- incremental (delta) dedup: the odd-doc_id half of the
     // corpus plays "today's crawl", deduped against a digest snapshot
     // accumulated from the even half — the snapshot is probed in ONE
@@ -752,6 +772,35 @@ object SparkEntry {
         "round(CASE WHEN len(bgs) > 0 THEN list_max(list_transform(list_distinct(bgs), " +
         "x -> len(list_filter(bgs, y -> y = x)))) / CAST(len(bgs) AS DOUBLE) ELSE 0 END, 6) AS top_bigram_frac " +
         "FROM b ORDER BY doc_id"),
+    "q_line_dedup" ->
+      ("WITH s AS (SELECT doc_id, regexp_replace(text, '((?:\\S+ ){4}\\S+) ', '\\1' || chr(10), 'g') AS text FROM documents), " +
+        "s2 AS (SELECT doc_id, text, string_split(coalesce(text, ''), chr(10)) AS lns FROM s), " +
+        "x AS (SELECT doc_id, unnest(list_transform(range(1, len(lns) + 1), " +
+        "i -> {'idx': CAST(i AS INT), 'line': lns[CAST(i AS INT)]})) AS u FROM s2), " +
+        "e AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM x), " +
+        "c AS (SELECT * FROM e WHERE trim(line) <> ''), " +
+        "k AS (SELECT doc_id, idx FROM (SELECT doc_id, idx, " +
+        "row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM c) WHERE rn = 1), " +
+        "keep AS (SELECT e.doc_id, e.idx, e.line FROM e LEFT JOIN " +
+        "(SELECT doc_id, idx, 1 AS kk FROM k) k2 USING (doc_id, idx) " +
+        "WHERE trim(e.line) = '' OR k2.kk = 1), " +
+        "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS ct FROM keep GROUP BY doc_id) " +
+        "SELECT s2.doc_id, CASE WHEN s2.text IS NULL THEN NULL ELSE coalesce(agg.ct, '') END AS clean_text " +
+        "FROM s2 LEFT JOIN agg USING (doc_id)"),
+    "q_boilerplate" ->
+      ("WITH s AS (SELECT doc_id, regexp_replace(text, '((?:\\S+ ){4}\\S+) ', '\\1' || chr(10), 'g') AS text FROM documents), " +
+        "s2 AS (SELECT doc_id, text, string_split(coalesce(text, ''), chr(10)) AS lns FROM s), " +
+        "x AS (SELECT doc_id, unnest(list_transform(range(1, len(lns) + 1), " +
+        "i -> {'idx': CAST(i AS INT), 'line': lns[CAST(i AS INT)]})) AS u FROM s2), " +
+        "e AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM x), " +
+        "c AS (SELECT * FROM e WHERE trim(line) <> ''), " +
+        "dfreq AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM c GROUP BY line) WHERE df >= 5), " +
+        "rm AS (SELECT c.doc_id, c.idx FROM c JOIN dfreq USING (line)), " +
+        "keep AS (SELECT e.doc_id, e.idx, e.line FROM e LEFT JOIN " +
+        "(SELECT doc_id, idx, 1 AS r FROM rm) r2 USING (doc_id, idx) WHERE r2.r IS NULL), " +
+        "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS ct FROM keep GROUP BY doc_id) " +
+        "SELECT s2.doc_id, CASE WHEN s2.text IS NULL THEN NULL ELSE coalesce(agg.ct, '') END AS clean_text " +
+        "FROM s2 LEFT JOIN agg USING (doc_id)"),
     "q_incremental" ->
       ("WITH dg AS (SELECT doc_id, md5(coalesce(text, '')) AS g FROM documents), " +
         "b AS (SELECT * FROM dg WHERE doc_id % 2 = 1), " +

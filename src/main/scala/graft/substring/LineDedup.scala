@@ -1,0 +1,95 @@
+package graft.substring
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Line-level dedup WITH TEXT RECONSTRUCTION — the CCNet-style policy
+  * (Wenzek et al. LREC'20 dedup lines by hash across shards; C4 and
+  * Dolma apply the same shape at span granularity). Complements
+  * [[ChunkDedup]]: chunks are token tiles (boilerplate-span removal
+  * at a fixed width), lines are the natural unit of web boilerplate
+  * (nav bars, cookie banners, footers repeat as whole lines).
+  * Reference analog: the whole-content identity stage (Files.pm
+  * digest cascade) applied per line instead of per doc.
+  *
+  * Two policies:
+  *   - [[dedupLines]]: keep each distinct non-blank line's globally
+  *     FIRST occurrence (ordering (id, line index) — deterministic at
+  *     any cluster size), remove later copies, including within one
+  *     doc.
+  *   - [[dropCommonLines]]: remove EVERY copy of a line appearing in
+  *     ≥ minDocs distinct docs (the boilerplate rule — a line that
+  *     common is noise even at its first occurrence).
+  *
+  * Blank/whitespace-only lines are structural, not content: they
+  * never hash, are never removed, and reassembly preserves them
+  * verbatim (paragraph breaks survive dedup).
+  *
+  * Scale shape (the ChunkDedup contract): line TEXT never rides a
+  * shuffle — occurrences travel as (md5, id, idx) and the keeper
+  * aggregation is a map-side-combinable min(struct) (md5, not a
+  * 64-bit hash: 10^12+ distinct lines sit past the 64-bit birthday
+  * bound, same reason CC uses string ids). Reconstruction re-splits
+  * map-side and filters by the doc's own kept/removed index list
+  * (≤ lines ints per doc on the join).
+  */
+object LineDedup {
+
+  private def splitLines(textCol: String) =
+    split(coalesce(col(textCol), lit("")), "\n")
+
+  /** (id, idx, h): one row per NON-BLANK line occurrence. */
+  private def occurrences(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("id"),
+        posexplode(splitLines(textCol)).as(Seq("idx", "line")))
+      .filter(trim(col("line")) =!= "")
+      .select(col("id"), col("idx"), md5(col("line").cast("binary")).as("h"))
+
+  /** Reassemble docs keeping line i ⟺ it is blank OR `keep(i)`;
+    * null text passes through as null clean_text.
+    */
+  private def reassemble(docs: DataFrame, idxLists: DataFrame, listCol: String,
+      keepWhenListed: Boolean, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(idxLists, Seq("id"), "left")
+      .withColumn("lns", splitLines("text"))
+      .withColumn("ix", coalesce(col(listCol), array().cast("array<int>")))
+      .withColumn("clean_text",
+        when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(array_join(filter(col("lns"), (x, i) =>
+            trim(x) === "" ||
+              (if (keepWhenListed) array_contains(col("ix"), i)
+               else !array_contains(col("ix"), i))), "\n")))
+      .select(col("id"), col("clean_text"))
+
+  /** (id, clean_text): every non-blank line kept exactly once
+    * corpus-wide, at its globally first (id, idx) occurrence.
+    */
+  def dedupLines(docs: DataFrame, idCol: String = "url",
+      textCol: String = "text"): DataFrame = {
+    val kept = occurrences(docs, idCol, textCol)
+      .groupBy(col("h"))
+      .agg(min(struct(col("id"), col("idx"))).as("k"))
+      .groupBy(col("k.id").as("id"))
+      .agg(sort_array(collect_list(col("k.idx"))).as("kept_idx"))
+    reassemble(docs, kept, "kept_idx", keepWhenListed = true, idCol, textCol)
+  }
+
+  /** (id, clean_text) with every copy of a ≥-minDocs-docs line
+    * removed. The doc-frequency count is exact ((h, id) distinct →
+    * count — two shuffles); at 10^12 docs an approx_count_distinct
+    * pre-filter can shed the unique-line mass first, same contract.
+    */
+  def dropCommonLines(docs: DataFrame, minDocs: Int = 10, idCol: String = "url",
+      textCol: String = "text"): DataFrame = {
+    val occ = occurrences(docs, idCol, textCol)
+    val common = occ.select(col("h"), col("id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+    val removed = occ.join(common, "h")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("idx"))).as("rm_idx"))
+    reassemble(docs, removed, "rm_idx", keepWhenListed = false, idCol, textCol)
+  }
+}

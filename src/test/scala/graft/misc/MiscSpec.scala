@@ -482,6 +482,37 @@ class SubstringSpec extends SparkSpec {
     assert(!hasCommonRun(null, "x", 1) && !hasCommonRun("x", null, 1))
   }
 
+  test("line dedup: first occurrence kept, blanks preserved, within-doc repeats cut") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", "common line\nunique one\n\nafter blank"),
+      ("d2", "common line\nunique two"),
+      ("d3", "common line"),
+      ("d4", "x\nx"), // within-doc repeat
+      ("d5", null)).toDF("url", "text")
+    val out = graft.substring.LineDedup.dedupLines(docs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("d1") == "common line\nunique one\n\nafter blank")
+    assert(out("d2") == "unique two")
+    assert(out("d3") == "")
+    assert(out("d4") == "x")
+    assert(out("d5") == null)
+  }
+
+  test("boilerplate lines (>= minDocs docs) are removed everywhere, blanks survive") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", "common line\nunique one\n\nafter blank"),
+      ("d2", "common line\nunique two"),
+      ("d3", "common line")).toDF("url", "text")
+    val at3 = graft.substring.LineDedup.dropCommonLines(docs, minDocs = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(at3 == Map("d1" -> "unique one\n\nafter blank", "d2" -> "unique two", "d3" -> ""))
+    val at4 = graft.substring.LineDedup.dropCommonLines(docs, minDocs = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(at4("d1") == "common line\nunique one\n\nafter blank") // below threshold
+  }
+
   test("longestCommonRun matches the naive DP longest-common-substring") {
     val rnd = new scala.util.Random(23)
     def naive(a: String, b: String): Int = {
