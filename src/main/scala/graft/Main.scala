@@ -20,11 +20,13 @@ import graft.report.Report
   *   --ignore-empty          drop zero-byte docs (F2)
   *   --exact-only            skip MinHash/SimHash/CC extensions
   *   --outfile PATH|-        tab report destination (default stdout)
-  *   --format report|clusters|clean  output shape: P2 tab report,
-  *                           normalized (url, cluster_id), or the
-  *                           chunk-deduped corpus (url, clean_text) —
-  *                           the Lee et al. REMOVAL policy applied to
-  *                           the canonical doc per cluster
+  *   --format report|clusters|clean|lines  output shape: P2 tab
+  *                           report, normalized (url, cluster_id),
+  *                           the chunk-deduped corpus (url,
+  *                           clean_text — the Lee et al. REMOVAL
+  *                           policy over the canonical doc per
+  *                           cluster), or the line-deduped corpus
+  *                           (CCNet first-occurrence line policy)
   *   --snapshot DIR          incremental mode: dedup the --input batch
   *                           against the (digest, keeper) snapshot
   *                           parquet at DIR (bootstrapped if absent),
@@ -164,6 +166,12 @@ object Main {
         val canon = docs.join(
           result.clusters.filter(col("url") === col("cluster_id")).select("url"), "url")
         graft.substring.ChunkDedup.dedupChunks(canon)
+          .select(col("id").as("url"), col("clean_text"))
+      case "lines" =>
+        // same survivor set, line-granularity removal (CCNet policy)
+        val canon = docs.join(
+          result.clusters.filter(col("url") === col("cluster_id")).select("url"), "url")
+        graft.substring.LineDedup.dedupLines(canon)
           .select(col("id").as("url"), col("clean_text"))
       case _ => result.report
     }

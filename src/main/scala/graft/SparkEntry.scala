@@ -199,9 +199,11 @@ object SparkEntry {
         sum(octet_length(col("text").cast("binary"))).cast("long").as("bytes_count"),
         sum(when(col("text").isNull, 1L).otherwise(0L)).as("unreadable_count"))),
 
-    // ---- text analysis: token count
+    // ---- text analysis: token counts (whitespace + BPE-ish classes)
     "q_token_count" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))),
+      docs(s, dir).select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextStats.bpeTokenCount(col("text")).as("n_bpe"))),
 
     // ---- text analysis: quality features + composite score
     "q_quality" -> ((s, dir) => {
@@ -970,7 +972,9 @@ object SparkEntry {
         "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unreadable_count FROM documents"),
     "q_token_count" ->
       ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) " +
-        "AS n_tokens FROM documents"),
+        "AS n_tokens, " +
+        "CAST(CASE WHEN text IS NULL THEN 0 ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) END AS BIGINT) " +
+        "AS n_bpe FROM documents"),
     "q_quality" ->
       ("WITH b AS (SELECT doc_id, coalesce(trim(text), '') AS t, " +
         "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks0 FROM documents), " +

@@ -15,6 +15,16 @@ object TextStats {
     when(text.isNull || trim(text) === "", lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** BPE-ish subword-boundary token count: maximal letter runs, digit
+    * runs, and symbol runs — the GPT-2 pre-tokenizer's coarse classes
+    * without its lookahead (RE2-safe by construction, so the oracle
+    * counts with the IDENTICAL pattern). Whitespace never tokenizes;
+    * null/blank → 0. A codegen'd regexp_count, no UDF.
+    */
+  def bpeTokenCount(text: Column): Column =
+    coalesce(regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")), lit(0))
+      .cast("long")
+
   /** Quality-scoring features + a composite score in [0,1]:
     * length signal, mean word length sanity, alphabetic ratio,
     * punctuation ratio. Deterministic arithmetic only.

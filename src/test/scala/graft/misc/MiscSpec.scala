@@ -17,6 +17,13 @@ class TextStatsSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 0, 0, 1))
   }
 
+  test("BPE-ish token count: letter/digit/symbol runs, whitespace never tokenizes") {
+    val df = Seq("a b2c, don't!", "", "   ", null.asInstanceOf[String], "abc123")
+      .toDF("text").select(TextStats.bpeTokenCount(col("text")).as("n"))
+    // a | b | 2 | c | , | don | ' | t | !  ->  9
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(9L, 0L, 0L, 0L, 2L))
+  }
+
   test("language id picks the stopword-dominant language") {
     val df = Seq(
       "the cat and the dog is that with the house",
