@@ -123,19 +123,23 @@ object Main {
       else docs0
 
     // incremental mode short-circuits the clustering pipeline: the
-    // batch is judged against the accumulated digest snapshot only
+    // batch is judged against the accumulated digest snapshot only.
+    // The sink (emit + stats) runs BEFORE the snapshot append, so a
+    // failed emit never poisons the snapshot (a retry stays correct).
     conf.snapshot.foreach { dir =>
-      val verdicts = runIncremental(spark, docs, dir)
-      val out = if (conf.progress)
-        graft.progress.Progress.tap(verdicts, "report_out") else verdicts
-      if (conf.debug) System.err.println(out.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      emit(conf.outfile, out)
-      if (conf.verbose) {
-        val n = verdicts.agg(
-          sum(when(col("is_novel"), 1L).otherwise(0L)), count(lit(1))).head()
-        System.err.println(s"novel: ${n.getLong(0)} of ${n.getLong(1)} batch docs")
-      }
+      runIncremental(spark, docs, dir, verdicts => {
+        val out = if (conf.progress)
+          graft.progress.Progress.tap(verdicts, "report_out") else verdicts
+        if (conf.debug) System.err.println(out.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        emit(conf.outfile, out)
+        if (conf.verbose) {
+          val n = verdicts.agg(
+            coalesce(sum(when(col("is_novel"), 1L).otherwise(0L)), lit(0L)),
+            count(lit(1))).head()
+          System.err.println(s"novel: ${n.getLong(0)} of ${n.getLong(1)} batch docs")
+        }
+      })
       spark.stop()
       return
     }
@@ -168,11 +172,17 @@ object Main {
         graft.substring.ChunkDedup.dedupChunks(canon)
           .select(col("id").as("url"), col("clean_text"))
       case "lines" =>
-        // same survivor set, line-granularity removal (CCNet policy)
+        // same survivor set, line-granularity removal (CCNet policy).
+        // clean_text legitimately CONTAINS newlines here (it keeps the
+        // doc's line structure), so the emitted column escapes
+        // \ tab newline as \\ \t \n — one physical TSV line per doc,
+        // reversible by the consumer
         val canon = docs.join(
           result.clusters.filter(col("url") === col("cluster_id")).select("url"), "url")
+        val escaped = regexp_replace(regexp_replace(regexp_replace(
+          col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
         graft.substring.LineDedup.dedupLines(canon)
-          .select(col("id").as("url"), col("clean_text"))
+          .select(col("id").as("url"), escaped.as("clean_text"))
       case _ => result.report
     }
     val out =
@@ -221,19 +231,31 @@ object Main {
     * against the digest snapshot parquet at DIR (bootstrapped empty
     * when DIR has no snapshot yet), with the batch's novel digests
     * appended back so the next run's snapshot includes this batch.
-    * The snapshot file listing is fixed BEFORE the append, so the
-    * returned verdicts frame never sees the delta it produced.
+    * `sink` receives the verdicts BEFORE the append — a failed emit
+    * must not leave the snapshot poisoned — and the verdicts are
+    * eagerly `localCheckpoint`ed: the batch is read and digested
+    * ONCE, shared by sink + delta + return, and the TRUNCATED lineage
+    * means no later consumer can ever recompute through the snapshot
+    * scan and see the delta this run appended (a plain persist is not
+    * enough — an unpersisted recompute re-lists the snapshot
+    * directory, measured in IncrementalCliSpec). The delta is the
+    * verdicts' own novel rows (one per new digest by construction:
+    * only a digest's first occurrence is novel) — no second pass over
+    * the batch.
     */
   private[graft] def runIncremental(spark: SparkSession, docs: DataFrame,
-      dir: String): DataFrame = {
+      dir: String, sink: DataFrame => Unit = _ => ()): DataFrame = {
     import graft.engine.IncrementalDedup._
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(path) && fs.listStatus(path).exists(
       s => s.getPath.getName.endsWith(".parquet"))
     val snap = if (exists) spark.read.parquet(dir) else emptySnapshot(docs)
-    val verdicts = dedupAgainst(docs, snap)
-    snapshotDelta(docs, snap).write.mode("append").parquet(dir)
+    val verdicts = dedupAgainst(docs, snap).localCheckpoint(true)
+    sink(verdicts)
+    verdicts.filter(col("is_novel"))
+      .select(col("digest"), col("url").as("keeper"))
+      .write.mode("append").parquet(dir)
     verdicts
   }
 

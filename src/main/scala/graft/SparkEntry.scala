@@ -264,7 +264,7 @@ object SparkEntry {
     // distinct line's globally first occurrence
     "q_line_dedup" -> ((s, dir) => {
       val lined = docs(s, dir).select(col("doc_id"),
-        regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1\n").as("text"))
+        regexp_replace(col("text"), "((?:[^ \\t\\n\\x0B\\f\\r]+ ){4}[^ \\t\\n\\x0B\\f\\r]+) ", "$1\n").as("text"))
       graft.substring.LineDedup.dedupLines(lined, "doc_id")
         .select(col("id").as("doc_id"), col("clean_text"))
     }),
@@ -273,7 +273,7 @@ object SparkEntry {
     // >= 5 distinct docs is dropped (the CCNet common-line rule)
     "q_boilerplate" -> ((s, dir) => {
       val lined = docs(s, dir).select(col("doc_id"),
-        regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1\n").as("text"))
+        regexp_replace(col("text"), "((?:[^ \\t\\n\\x0B\\f\\r]+ ){4}[^ \\t\\n\\x0B\\f\\r]+) ", "$1\n").as("text"))
       graft.substring.LineDedup.dropCommonLines(lined, minDocs = 5, "doc_id")
         .select(col("id").as("doc_id"), col("clean_text"))
     }),
@@ -775,7 +775,7 @@ object SparkEntry {
         "x -> len(list_filter(bgs, y -> y = x)))) / CAST(len(bgs) AS DOUBLE) ELSE 0 END, 6) AS top_bigram_frac " +
         "FROM b ORDER BY doc_id"),
     "q_line_dedup" ->
-      ("WITH s AS (SELECT doc_id, regexp_replace(text, '((?:\\S+ ){4}\\S+) ', '\\1' || chr(10), 'g') AS text FROM documents), " +
+      ("WITH s AS (SELECT doc_id, regexp_replace(text, '((?:[^ \\t\\n\\x0B\\f\\r]+ ){4}[^ \\t\\n\\x0B\\f\\r]+) ', '\\1' || chr(10), 'g') AS text FROM documents), " +
         "s2 AS (SELECT doc_id, text, string_split(coalesce(text, ''), chr(10)) AS lns FROM s), " +
         "x AS (SELECT doc_id, unnest(list_transform(range(1, len(lns) + 1), " +
         "i -> {'idx': CAST(i AS INT), 'line': lns[CAST(i AS INT)]})) AS u FROM s2), " +
@@ -790,7 +790,7 @@ object SparkEntry {
         "SELECT s2.doc_id, CASE WHEN s2.text IS NULL THEN NULL ELSE coalesce(agg.ct, '') END AS clean_text " +
         "FROM s2 LEFT JOIN agg USING (doc_id)"),
     "q_boilerplate" ->
-      ("WITH s AS (SELECT doc_id, regexp_replace(text, '((?:\\S+ ){4}\\S+) ', '\\1' || chr(10), 'g') AS text FROM documents), " +
+      ("WITH s AS (SELECT doc_id, regexp_replace(text, '((?:[^ \\t\\n\\x0B\\f\\r]+ ){4}[^ \\t\\n\\x0B\\f\\r]+) ', '\\1' || chr(10), 'g') AS text FROM documents), " +
         "s2 AS (SELECT doc_id, text, string_split(coalesce(text, ''), chr(10)) AS lns FROM s), " +
         "x AS (SELECT doc_id, unnest(list_transform(range(1, len(lns) + 1), " +
         "i -> {'idx': CAST(i AS INT), 'line': lns[CAST(i AS INT)]})) AS u FROM s2), " +
@@ -973,7 +973,7 @@ object SparkEntry {
     "q_token_count" ->
       ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) " +
         "AS n_tokens, " +
-        "CAST(CASE WHEN text IS NULL THEN 0 ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) END AS BIGINT) " +
+        "CAST(CASE WHEN text IS NULL THEN 0 ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+')) END AS BIGINT) " +
         "AS n_bpe FROM documents"),
     "q_quality" ->
       ("WITH b AS (SELECT doc_id, coalesce(trim(text), '') AS t, " +

@@ -39,10 +39,19 @@ object KeepBest {
 
   /** Membership view: every row of `df` tagged with its group's
     * keep_id and whether THIS row is the kept representative —
-    * the filterable form (`kept = true` IS the deduped corpus).
+    * the filterable form (`kept = true` IS the deduped corpus). The
+    * join back is NULL-SAFE on the group keys: groupBy treats null as
+    * a group, so an equi-join would silently drop every null-keyed
+    * row from the membership view.
     */
   def markKept(df: DataFrame, groupCols: Seq[String], score: Column,
-      idCol: String): DataFrame =
-    df.join(representatives(df, groupCols, score, idCol), groupCols)
+      idCol: String): DataFrame = {
+    val reps = representatives(df, groupCols, score, idCol)
+      .select(groupCols.map(c => col(c).as(s"__r_$c")) :+
+        col("keep_id") :+ col("best_score"): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    df.join(reps, cond)
+      .drop(groupCols.map(c => s"__r_$c"): _*)
       .withColumn("kept", col(idCol) === col("keep_id"))
+  }
 }

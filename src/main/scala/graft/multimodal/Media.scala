@@ -126,19 +126,32 @@ object Media {
     * parseImageMeta parses). Reader SPIs probe a few header bytes and
     * return a boolean, so unknown-magic payloads (video/audio) route
     * to the stub tier without a thrown-and-caught exception per row
-    * (the r3 VERDICT #3 cost this gate exists to avoid). A payload a
-    * reader claims but then fails to decode (possible with WBMP's
-    * permissive header) still falls through `decodePixels`' catch to
-    * the header/stub tiers — that path pays the exception, correctly,
-    * as an error rather than routing.
+    * (the r3 VERDICT #3 cost this gate exists to avoid). The WBMP SPI
+    * is EXCLUDED: WBMP has no magic and its sniff accepts vast swaths
+    * of arbitrary binary (type 0x00 + plausible varints), which would
+    * route non-image payloads into a garbage 'successful' decode or a
+    * huge-dimension raster allocation — so WBMP payloads honestly
+    * land on the stub tier (documented limitation of a magic-less
+    * format). A payload a real reader claims but then fails to decode
+    * still falls through `decodePixels`' catch to the header/stub
+    * tiers — that path pays the exception, correctly, as an error
+    * rather than routing.
     */
   def hasImageReader(payload: Array[Byte]): Boolean = {
     if (payload == null || payload.length == 0) return false
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      try javax.imageio.ImageIO.getImageReaders(iis).hasNext
-      finally iis.close()
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        var ok = false
+        while (!ok && readers.hasNext) {
+          val r = readers.next()
+          try ok = r.getFormatName.toLowerCase != "wbmp"
+          finally r.dispose()
+        }
+        ok
+      } finally iis.close()
     } catch { case _: Exception => false }
   }
 

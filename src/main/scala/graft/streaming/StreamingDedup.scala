@@ -123,9 +123,13 @@ object StreamingDedup {
               }
               // membership check: a hot url re-arriving every batch
               // must not fill the bucket with copies of itself and
-              // lock real members out forever (review finding #3)
-              if (members.length < cap && !members.exists(_._1 == url))
-                members += ((url, fp))
+              // lock real members out forever — and a re-arrival with
+              // CHANGED content must refresh the stored fingerprint,
+              // or every future Hamming verify runs against stale
+              // bits (review findings #3, r4b #5)
+              val at = members.indexWhere(_._1 == url)
+              if (at >= 0) members(at) = ((url, fp))
+              else if (members.length < cap) members += ((url, fp))
             }
             state.update(members.toSeq)
             if (!ttl.isZero) state.setTimeoutDuration(ttl.toMillis)

@@ -18,12 +18,16 @@ object TextStats {
   /** BPE-ish subword-boundary token count: maximal letter runs, digit
     * runs, and symbol runs — the GPT-2 pre-tokenizer's coarse classes
     * without its lookahead (RE2-safe by construction, so the oracle
-    * counts with the IDENTICAL pattern). Whitespace never tokenizes;
-    * null/blank → 0. A codegen'd regexp_count, no UDF.
+    * counts with the IDENTICAL pattern). The whitespace class is
+    * EXPLICIT, not \s: Java's \s includes \x0B where RE2's does not,
+    * and parity must hold on every input, not just inputs without
+    * vertical tabs. Whitespace never tokenizes; null/blank → 0. A
+    * codegen'd regexp_count, no UDF.
     */
   def bpeTokenCount(text: Column): Column =
-    coalesce(regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")), lit(0))
-      .cast("long")
+    coalesce(
+      regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+")),
+      lit(0)).cast("long")
 
   /** Quality-scoring features + a composite score in [0,1]:
     * length signal, mean word length sanity, alphabetic ratio,

@@ -33,6 +33,16 @@ class CCSpec extends SparkSpec {
     assert(java.lang.Double.doubleToRawLongBits(reps("c2")._2) == 0L) // bitwise +0.0
   }
 
+  test("markKept keeps null-group rows (null-safe join back)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((Option("g"), 1L, 0.5), (Option.empty[String], 2L, 0.7),
+      (Option.empty[String], 3L, 0.9)).toDF("grp", "doc_id", "q")
+    val kept = KeepBest.markKept(df, Seq("grp"), col("q"), "doc_id")
+    assert(kept.count() == 3) // null-group rows must not vanish
+    assert(kept.filter(col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("chain collapses to one component rooted at the min") {
     val e = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("e", "d")).toDF("src", "dst")
     val cc = ConnectedComponents.run(e).collect()

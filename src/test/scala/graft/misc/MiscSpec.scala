@@ -22,6 +22,11 @@ class TextStatsSpec extends SparkSpec {
       .toDF("text").select(TextStats.bpeTokenCount(col("text")).as("n"))
     // a | b | 2 | c | , | don | ' | t | !  ->  9
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(9L, 0L, 0L, 0L, 2L))
+    // vertical tab: Java \s includes \x0B, RE2 does not — the explicit
+    // class makes both engines see "a" and "b" as two letter runs
+    val vt = Seq("a\u000Bb").toDF("text")
+      .select(TextStats.bpeTokenCount(col("text"))).head().getLong(0)
+    assert(vt == 2L)
   }
 
   test("language id picks the stopword-dominant language") {
@@ -694,6 +699,9 @@ class MediaSpec extends SparkSpec {
     assert(Media.parseImageMeta(payload).isEmpty) // the regression's precondition
     assert(Media.hasImageReader(payload))
     assert(!Media.hasImageReader("plain text, no reader claims this".getBytes))
+    // WBMP's magic-less permissive sniff is excluded: 0x00 0x00 junk
+    // must not route into a garbage decode (r4b review #2)
+    assert(!Media.hasImageReader(Array[Byte](0, 0, 24, 24, 0, 0, 0, 0)))
     assert(!Media.hasImageReader(null) && !Media.hasImageReader(Array.emptyByteArray))
     val dec = Media.decode(spark, Seq(Media.MediaRow("b", "image", payload)).toDS())
       .collect().head
@@ -786,6 +794,20 @@ class IncrementalCliSpec extends SparkSpec {
     // snapshot accumulated exactly the three distinct digests' keepers
     val snap = spark.read.parquet(dir).collect().map(_.getString(1)).toSet
     assert(snap == Set("A", "C", "E"))
+  }
+
+  test("a failing emit sink leaves the snapshot unpoisoned (append runs after sink)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap2").toString + "/snap"
+    def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    intercept[RuntimeException](graft.Main.runIncremental(
+      spark, mk(Seq(("A", "x text"))), dir, _ => throw new RuntimeException("emit failed")))
+    // nothing was appended: the retried run still reports A as novel
+    val v = graft.Main.runIncremental(spark, mk(Seq(("A", "x text"))), dir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(v == Map("A" -> true))
   }
 }
 
