@@ -80,4 +80,30 @@ object IncrementalDedup {
     */
   def emptySnapshot(like: DataFrame, idCol: String = "url"): DataFrame =
     like.select(lit("").as("digest"), col(idCol).as("keeper")).limit(0)
+
+  /** Middle path between broadcast and full shuffle: when the batch's
+    * digest set is too big for a broadcast hash join but still fits a
+    * Bloom filter (a 100M-digest batch at 1% fpp is ~115 MB — fine to
+    * broadcast; its exact strings are not), pre-filter the snapshot
+    * MAP-SIDE with a Bloom over the batch digests, so only candidate
+    * rows (hits + fpp false positives) enter the snapshot-side
+    * shuffle of the verdict join. False positives cannot corrupt
+    * results — the exact join after the filter discards them; they
+    * only cost shuffle rows. Returns the same frame contract as
+    * [[dedupAgainst]].
+    */
+  def dedupAgainstBloom(batch: DataFrame, snapshot: DataFrame,
+      idCol: String = "url",
+      digest: org.apache.spark.sql.Column = md5(coalesce(col("text"), lit("")).cast("binary")),
+      fpp: Double = 0.01): DataFrame = {
+    val spark = batch.sparkSession
+    val bd = batch.select(col(idCol).as("id"), digest.as("digest"))
+    // sizing count runs on the (smaller) batch only, never the snapshot
+    val n = math.max(1L, bd.select("digest").distinct().count())
+    val bloom = bd.stat.bloomFilter("digest", n, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((d: String) => d != null && bc.value.mightContainString(d))
+    dedupAgainst(batch, snapshot.filter(mightContain(col("digest"))),
+      idCol, digest, broadcastBatch = false)
+  }
 }

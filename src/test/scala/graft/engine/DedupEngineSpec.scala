@@ -166,5 +166,10 @@ class DedupEngineSpec extends SparkSpec {
     val v2s = dedupAgainst(b2, snap, broadcastBatch = false).collect()
       .map(r => r.getString(0) -> ((Option(r.get(2)), r.getBoolean(3)))).toMap
     assert(v2s == v2)
+    // bloom middle path: map-side snapshot pre-filter, result-equal
+    // (false positives are discarded by the exact join)
+    val v2b = dedupAgainstBloom(b2, snap).collect()
+      .map(r => r.getString(0) -> ((Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(v2b == v2)
   }
 }
