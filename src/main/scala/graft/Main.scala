@@ -33,7 +33,10 @@ import graft.report.Report
   *                           emit per-doc verdicts (url, digest,
   *                           dup_of, is_novel), and append the
   *                           snapshot delta so the next run sees this
-  *                           batch — the prior corpus is never re-read
+  *                           batch — the prior corpus is never
+  *                           re-read; with --checkpoint DIR the
+  *                           per-crawl (batch_docs, novel, duplicates)
+  *                           counts land in the Catalog metrics table
   *   --checkpoint DIR        materialize + resume stages via Catalog
   *   --byte-verify           append a full byte-compare level to the
   *                           cascade (Theory.pod:113-118 — closes the
@@ -133,11 +136,22 @@ object Main {
         if (conf.debug) System.err.println(out.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
         emit(conf.outfile, out)
-        if (conf.verbose) {
+        if (conf.verbose || conf.checkpoint.isDefined) {
           val n = verdicts.agg(
             coalesce(sum(when(col("is_novel"), 1L).otherwise(0L)), lit(0L)),
             count(lit(1))).head()
-          System.err.println(s"novel: ${n.getLong(0)} of ${n.getLong(1)} batch docs")
+          val (novel, total) = (n.getLong(0), n.getLong(1))
+          if (conf.verbose)
+            System.err.println(s"novel: $novel of $total batch docs")
+          // incremental runs feed the same metrics sink as pipeline
+          // stages (S5/S6): per-crawl novelty is the number an
+          // operator of a continuously-fed corpus actually watches
+          conf.checkpoint.foreach { cdir =>
+            new graft.checkpoint.Catalog(cdir, spark).recordMetrics(
+              "incremental",
+              Map("batch_docs" -> total, "novel" -> novel,
+                "duplicates" -> (total - novel)))
+          }
         }
       })
       spark.stop()

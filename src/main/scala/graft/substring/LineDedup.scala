@@ -64,15 +64,24 @@ object LineDedup {
 
   /** (id, clean_text): every non-blank line kept exactly once
     * corpus-wide, at its globally first (id, idx) occurrence.
+    *
+    * Reassembly filters by the REMOVED index list, not the kept one:
+    * the per-line membership scan costs O(|list|) each, and for a
+    * mostly-unique doc the removed list is tiny where the kept list
+    * is every line — the kept-list form was O(lines²) per doc on
+    * exactly the clean docs that dominate a corpus. Costs one extra
+    * join of the (hash-sized) occurrence stream against the winners.
     */
   def dedupLines(docs: DataFrame, idCol: String = "url",
       textCol: String = "text"): DataFrame = {
-    val kept = occurrences(docs, idCol, textCol)
-      .groupBy(col("h"))
+    val occ = occurrences(docs, idCol, textCol)
+    val winners = occ.groupBy(col("h"))
       .agg(min(struct(col("id"), col("idx"))).as("k"))
-      .groupBy(col("k.id").as("id"))
-      .agg(sort_array(collect_list(col("k.idx"))).as("kept_idx"))
-    reassemble(docs, kept, "kept_idx", keepWhenListed = true, idCol, textCol)
+    val removed = occ.join(winners, "h")
+      .filter(col("id") =!= col("k.id") || col("idx") =!= col("k.idx"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("idx"))).as("rm_idx"))
+    reassemble(docs, removed, "rm_idx", keepWhenListed = false, idCol, textCol)
   }
 
   /** (id, clean_text) with every copy of a ≥-minDocs-docs line
