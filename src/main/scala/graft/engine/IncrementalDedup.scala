@@ -91,6 +91,16 @@ object IncrementalDedup {
     * results — the exact join after the filter discards them; they
     * only cost shuffle rows. Returns the same frame contract as
     * [[dedupAgainst]].
+    *
+    * Costs: two sizing/sketch passes over the batch (a map-only
+    * count — NOT a distinct, which would shuffle the very digest set
+    * this path exists to keep off the wire; intra-batch dups merely
+    * oversize the ~1.2 B/item sketch — then the bloomFilter
+    * aggregate), plus dedupAgainst's own passes. The sketch broadcast
+    * lives until the SparkContext's ContextCleaner reclaims it after
+    * the returned frame is GC'd — a long-running ingest driver
+    * calling this per crawl should let each batch's frames go out of
+    * scope promptly (r4c review #3/#4).
     */
   def dedupAgainstBloom(batch: DataFrame, snapshot: DataFrame,
       idCol: String = "url",
@@ -98,8 +108,7 @@ object IncrementalDedup {
       fpp: Double = 0.01): DataFrame = {
     val spark = batch.sparkSession
     val bd = batch.select(col(idCol).as("id"), digest.as("digest"))
-    // sizing count runs on the (smaller) batch only, never the snapshot
-    val n = math.max(1L, bd.select("digest").distinct().count())
+    val n = math.max(1L, bd.count())
     val bloom = bd.stat.bloomFilter("digest", n, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((d: String) => d != null && bc.value.mightContainString(d))

@@ -63,12 +63,17 @@ object QualityModel {
       bins: Int = 1 << 15, maxTrainRows: Long = 100000L): LogisticRegressionModel = {
     // deterministic bounded sample (the IVF recipe: one sizing count
     // on the TRAINING path only — the model is an artifact, not the
-    // data path): admit ids whose hash falls in the cap's fraction
+    // data path): admit ids whose hash falls in the cap's fraction.
+    // 2^30 modulus granularity (~1e-9) with a floor of 1 so the
+    // admitted set can never truncate to EMPTY — an integer-division
+    // threshold over 1e6 went to zero past n = 1e6·cap, exactly the
+    // 10^12-row regime this cap exists for (r4c review #1)
     val base0 = docs.filter(col(textCol).isNotNull)
     val n = base0.count()
+    val mod = 1L << 30
     val base = if (n <= maxTrainRows) base0
-      else base0.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
-        lit((1000000L * maxTrainRows.toDouble / n).toLong))
+      else base0.filter(pmod(xxhash64(col(idCol)), lit(mod)) <
+        lit(math.max(1L, (mod * (maxTrainRows.toDouble / n)).toLong)))
     val pos = base.select(col(idCol), col(textCol)).withColumn("label", lit(1.0))
     val neg = corrupt(base, idCol, textCol).withColumn("label", lit(0.0))
     val feats = featurize(pos.unionByName(neg), textCol, bins)
@@ -78,16 +83,22 @@ object QualityModel {
   }
 
   /** (idCol, quality_prob): P(real | doc) under `model` — map-only,
-    * coefficients broadcast.
+    * coefficients broadcast. The feature width comes from the MODEL
+    * (`model.numFeatures`), never a separate parameter a caller could
+    * let drift from training (r4c review #5). Null-text docs pass
+    * through with null quality_prob — no row vanishes (the LineDedup/
+    * ChunkDedup convention), so a quarantined doc's missing verdict is
+    * explicit, not a silent drop.
     */
   def score(model: LogisticRegressionModel, docs: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text",
-      bins: Int = 1 << 15): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val feats = featurize(
       docs.filter(col(textCol).isNotNull).select(col(idCol), col(textCol)),
-      textCol, bins)
+      textCol, model.numFeatures)
     val p1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
     model.transform(feats)
       .select(col(idCol), p1(col("probability")).as("quality_prob"))
+      .unionByName(docs.filter(col(textCol).isNull)
+        .select(col(idCol), lit(null).cast("double").as("quality_prob")))
   }
 }

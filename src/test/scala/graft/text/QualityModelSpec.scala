@@ -70,4 +70,17 @@ class QualityModelSpec extends SparkSpec {
       .agg(avg(col("quality_prob"))).head().getDouble(0)
     assert(p > n, f"capped-fit model lost the signal: pos $p%.3f <= neg $n%.3f")
   }
+
+  test("score() passes null-text docs through with null prob; bins come from the model") {
+    val model = QualityModel.train(corpus(0L until 100L), bins = 1 << 12)
+    val withNull = corpus(500L until 505L)
+      .unionByName(Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    // scoring derives the feature width from the model (1<<12), so a
+    // train/score bins mismatch cannot exist by construction
+    val out = QualityModel.score(model, withNull).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out.size == 6) // no row vanished
+    assert(out(999L).isEmpty) // null text -> explicit null verdict
+    assert((500L until 505L).forall(i => out(i).exists(v => v >= 0 && v <= 1)))
+  }
 }
