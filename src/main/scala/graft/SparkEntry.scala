@@ -642,6 +642,33 @@ object SparkEntry {
           col("width"), col("height"), col("red_mean"))
     }),
 
+    // multimodal: REAL resize (Graphics2D bilinear → PNG re-encode)
+    // then REAL re-decode of the resized payload — solid gray
+    // survives the whole resize→encode→decode chain bit-exact, and
+    // the output dims are integer-floor arithmetic, so the oracle is
+    // closed-form (same fixture geometry as q_media_pixels)
+    "q_media_resize" -> ((s, dir) => {
+      import s.implicits._
+      val payloadUdf = udf((id: Long) => {
+        val w = 16 + (id * 7 % 120).toInt
+        val h = 16 + (id * 13 % 90).toInt
+        val gray = 32 * (1 + (id % 7).toInt)
+        val kind = (id % 3) match {
+          case 0 => "png"
+          case 1 => "gif"
+          case _ => "jpeg"
+        }
+        graft.multimodal.Media.encodedBytes(kind, w, h, gray)
+      })
+      val d = docs(s, dir).select(col("doc_id")).withColumn("bin", payloadUdf(col("doc_id")))
+      val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
+      val resized = graft.multimodal.Media.resize(s, media, maxDim = 32)
+        .map(r => graft.multimodal.Media.MediaRow(r.media_id, r.kind, r.payload))
+      graft.multimodal.Media.decode(s, resized).toDF()
+        .select(col("media_id").cast("long").as("doc_id"),
+          col("width"), col("height"), col("red_mean"))
+    }),
+
     // ---- the reference report over the SYNTH corpus (which, unlike
     // the driver documents table at sf0.01, HAS exact duplicates —
     // r01's q_dup_report was a vacuous 0=0). Oracle = VALUES literal
@@ -891,6 +918,15 @@ object SparkEntry {
         "CAST(16 + (doc_id * 7) % 120 AS INT) AS width, " +
         "CAST(16 + (doc_id * 13) % 90 AS INT) AS height, " +
         "CAST(32 * (1 + doc_id % 7) AS INT) AS red_mean FROM documents"),
+    "q_media_resize" ->
+      ("WITH g AS (SELECT doc_id, CAST(16 + (doc_id * 7) % 120 AS BIGINT) AS w, " +
+        "CAST(16 + (doc_id * 13) % 90 AS BIGINT) AS h, " +
+        "CAST(32 * (1 + doc_id % 7) AS INT) AS gray FROM documents), " +
+        "m AS (SELECT doc_id, w, h, gray, greatest(w, h) AS mx FROM g) " +
+        "SELECT doc_id, " +
+        "CAST(CASE WHEN mx <= 32 THEN w ELSE greatest(1, (w * 32) // mx) END AS INT) AS width, " +
+        "CAST(CASE WHEN mx <= 32 THEN h ELSE greatest(1, (h * 32) // mx) END AS INT) AS height, " +
+        "gray AS red_mean FROM m"),
     "q_media_meta" ->
       ("SELECT doc_id, " +
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS kind, " +

@@ -324,6 +324,53 @@ object Media {
     }
   }
 
+  /** Resized media row: PNG re-encoding of the scaled raster for
+    * decodable payloads, the original payload untouched (resized =
+    * false) otherwise — no row vanishes.
+    */
+  case class Resized(media_id: String, kind: String, width: Int, height: Int,
+      resized: Boolean, payload: Array[Byte])
+
+  /** REAL raster resize (JDK Graphics2D bilinear), aspect-preserving
+    * to a `maxDim` bound, never upscaling; output re-encoded as PNG
+    * (the JDK's lossless writer, so a solid color survives
+    * resize→encode→decode bit-exact — the q_media_resize oracle).
+    * Target dims use INTEGER floor division (`w·maxDim / max(w,h)`),
+    * not rounding — round-half modes differ across engines and the
+    * oracle must reproduce the arithmetic exactly. Same per-partition
+    * codec init and sniff-gated decode as [[decode]].
+    */
+  def resize(spark: SparkSession, media: Dataset[MediaRow],
+      maxDim: Int = 32): Dataset[Resized] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = if (parseImageMeta(m.payload).isDefined || hasImageReader(m.payload))
+          decodePixels(m.payload) else None
+        img match {
+          case Some(src) =>
+            val (w, h) = (src.getWidth, src.getHeight)
+            val mx = math.max(w, h)
+            val (w2, h2) = if (mx <= maxDim) (w, h)
+              else (math.max(1, w * maxDim / mx), math.max(1, h * maxDim / mx))
+            val dst = new java.awt.image.BufferedImage(w2, h2,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w2, h2, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            Resized(m.media_id, "png", w2, h2, resized = true, bos.toByteArray)
+          case None =>
+            Resized(m.media_id, m.kind, -1, -1, resized = false, m.payload)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: every `stride`-th frame index of a decoded video
     * row — pure column arithmetic over n_frames.
     */

@@ -709,6 +709,23 @@ class MediaSpec extends SparkSpec {
     assert(dec.red_mean == 0x80.toDouble, s"real red channel, got ${dec.red_mean}")
   }
 
+  test("resize: bilinear downscale preserves solid gray, floor dims, passthrough (r4 multimodal op)") {
+    import spark.implicits._
+    val rows = Seq(
+      Media.MediaRow("big", "image", Media.encodedBytes("png", 40, 20, 96)),
+      Media.MediaRow("small", "image", Media.encodedBytes("gif", 8, 4, 64)),
+      Media.MediaRow("junk", "blob", "not an image".getBytes)).toDS()
+    val out = Media.resize(spark, rows, maxDim = 10).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out("big").width == 10 && out("big").height == 5 && out("big").resized)
+    assert(out("small").width == 8 && out("small").height == 4) // no upscale
+    assert(!out("junk").resized && out("junk").payload.sameElements("not an image".getBytes))
+    // the resized payload is REAL png: re-decode recovers dims + exact gray
+    val dec = Media.decode(spark,
+      Seq(Media.MediaRow("big", "png", out("big").payload)).toDS()).collect().head
+    assert(dec.width == 10 && dec.height == 5 && dec.red_mean == 96)
+  }
+
   test("animated GIF: real frame count drives frame sampling") {
     import spark.implicits._
     val anim = Media.animatedGifBytes(24, 16, Seq(32, 96, 160, 224, 32, 96, 160))
