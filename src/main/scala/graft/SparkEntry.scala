@@ -23,6 +23,24 @@ import graft.text.TextStats
   */
 object SparkEntry {
 
+  /** Closed-form solid-gray fixture payload — ONE geometry with FOUR
+    * consumers (q_media_pixels, q_media_resize, and their two DuckDB
+    * oracles): w = 16+(id*7)%120, h = 16+(id*13)%90,
+    * gray = 32*(1+id%7), kind = id%3 -> png/gif/jpeg. Editing the
+    * geometry means editing all four in lockstep.
+    */
+  private val mediaFixtureUdf = udf((id: Long) => {
+    val w = 16 + (id * 7 % 120).toInt
+    val h = 16 + (id * 13 % 90).toInt
+    val gray = 32 * (1 + (id % 7).toInt)
+    val kind = (id % 3) match {
+      case 0 => "png"
+      case 1 => "gif"
+      case _ => "jpeg"
+    }
+    graft.multimodal.Media.encodedBytes(kind, w, h, gray)
+  })
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -624,18 +642,7 @@ object SparkEntry {
     // (MediaSpec pins this), so the decoded red-channel mean has a
     // pure-arithmetic oracle.
     "q_media_pixels" -> ((s, dir) => {
-      val payloadUdf = udf((id: Long) => {
-        val w = 16 + (id * 7 % 120).toInt
-        val h = 16 + (id * 13 % 90).toInt
-        val gray = 32 * (1 + (id % 7).toInt)
-        val kind = (id % 3) match {
-          case 0 => "png"
-          case 1 => "gif"
-          case _ => "jpeg"
-        }
-        graft.multimodal.Media.encodedBytes(kind, w, h, gray)
-      })
-      val d = docs(s, dir).select(col("doc_id")).withColumn("bin", payloadUdf(col("doc_id")))
+      val d = docs(s, dir).select(col("doc_id")).withColumn("bin", mediaFixtureUdf(col("doc_id")))
       val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
       graft.multimodal.Media.decode(s, media).toDF()
         .select(col("media_id").cast("long").as("doc_id"), col("kind"),
@@ -649,18 +656,7 @@ object SparkEntry {
     // closed-form (same fixture geometry as q_media_pixels)
     "q_media_resize" -> ((s, dir) => {
       import s.implicits._
-      val payloadUdf = udf((id: Long) => {
-        val w = 16 + (id * 7 % 120).toInt
-        val h = 16 + (id * 13 % 90).toInt
-        val gray = 32 * (1 + (id % 7).toInt)
-        val kind = (id % 3) match {
-          case 0 => "png"
-          case 1 => "gif"
-          case _ => "jpeg"
-        }
-        graft.multimodal.Media.encodedBytes(kind, w, h, gray)
-      })
-      val d = docs(s, dir).select(col("doc_id")).withColumn("bin", payloadUdf(col("doc_id")))
+      val d = docs(s, dir).select(col("doc_id")).withColumn("bin", mediaFixtureUdf(col("doc_id")))
       val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
       val resized = graft.multimodal.Media.resize(s, media, maxDim = 32)
         .map(r => graft.multimodal.Media.MediaRow(r.media_id, r.kind, r.payload))

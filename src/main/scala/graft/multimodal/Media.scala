@@ -302,12 +302,7 @@ object Media {
       it.map { m =>
         val n = if (m.payload == null) 0L else m.payload.length.toLong
         val meta = parseImageMeta(m.payload)
-        // tier-1 gate: known container magic, or any registered
-        // ImageIO reader claiming the stream (BMP/WBMP/TIFF — formats
-        // parseImageMeta doesn't parse must not silently regress to
-        // the stub tier; round-4 review finding #2)
-        val img = if (pixels && (meta.isDefined || hasImageReader(m.payload)))
-          decodePixels(m.payload) else None
+        val img = if (pixels) gatedDecodePixels(m.payload, meta) else None
         (img, meta) match {
           case (Some(i), _) =>
             val kind = meta.map(_._1).getOrElse(m.kind)
@@ -324,6 +319,17 @@ object Media {
     }
   }
 
+  /** The tier-1 decode gate, shared by [[decode]] and [[resize]] so
+    * the two operators can never route the same payload differently:
+    * attempt ImageIO only for a known container magic OR a stream
+    * some registered reader claims (`hasImageReader` — BMP/TIFF;
+    * WBMP excluded, see there), never as exception routing
+    * (r3 VERDICT #3/#4, r4 review #2).
+    */
+  private def gatedDecodePixels(payload: Array[Byte],
+      meta: Option[(String, Int, Int)]): Option[java.awt.image.BufferedImage] =
+    if (meta.isDefined || hasImageReader(payload)) decodePixels(payload) else None
+
   /** Resized media row: PNG re-encoding of the scaled raster for
     * decodable payloads, the original payload untouched (resized =
     * false) otherwise — no row vanishes.
@@ -331,14 +337,58 @@ object Media {
   case class Resized(media_id: String, kind: String, width: Int, height: Int,
       resized: Boolean, payload: Array[Byte])
 
+  /** One frame scaled to (w2, h2) with Graphics2D bilinear. */
+  private def scaleFrame(src: java.awt.image.BufferedImage, w2: Int,
+      h2: Int): java.awt.image.BufferedImage = {
+    val dst = new java.awt.image.BufferedImage(w2, h2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, w2, h2, null)
+    g.dispose()
+    dst
+  }
+
+  /** Every frame of an animated payload scaled and re-written as a
+    * GIF sequence — an animation is NOT flattened to frame 0.
+    */
+  private def resizeAnimated(payload: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val frames = try {
+      val r = javax.imageio.ImageIO.getImageReaders(iis).next()
+      try {
+        r.setInput(iis)
+        (0 until r.getNumImages(true)).map(r.read)
+      } finally r.dispose()
+    } finally iis.close()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new javax.imageio.IIOImage(scaleFrame(f, w2, h2), null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** REAL raster resize (JDK Graphics2D bilinear), aspect-preserving
-    * to a `maxDim` bound, never upscaling; output re-encoded as PNG
-    * (the JDK's lossless writer, so a solid color survives
-    * resize→encode→decode bit-exact — the q_media_resize oracle).
-    * Target dims use INTEGER floor division (`w·maxDim / max(w,h)`),
-    * not rounding — round-half modes differ across engines and the
-    * oracle must reproduce the arithmetic exactly. Same per-partition
-    * codec init and sniff-gated decode as [[decode]].
+    * to a `maxDim` bound, never upscaling; a scaled still is
+    * re-encoded as PNG (the JDK's lossless writer, so a solid color
+    * survives resize→encode→decode bit-exact — the q_media_resize
+    * oracle), an ANIMATION has every frame scaled and re-written as a
+    * GIF sequence, and an already-within-bound image passes through
+    * with its ORIGINAL payload untouched (resized = false — no decode
+    * churn, no lossless-reencode size blowup, and the flag really
+    * means "bytes changed"). Target dims use Long-safe INTEGER floor
+    * division (`w·maxDim / max(w,h)`), not rounding — round-half
+    * modes differ across engines and the oracle must reproduce the
+    * arithmetic exactly. Same per-partition codec init and the same
+    * sniff gate as [[decode]] (`gatedDecodePixels`).
     */
   def resize(spark: SparkSession, media: Dataset[MediaRow],
       maxDim: Int = 32): Dataset[Resized] = {
@@ -346,24 +396,26 @@ object Media {
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val img = if (parseImageMeta(m.payload).isDefined || hasImageReader(m.payload))
-          decodePixels(m.payload) else None
-        img match {
+        val meta = parseImageMeta(m.payload)
+        gatedDecodePixels(m.payload, meta) match {
           case Some(src) =>
             val (w, h) = (src.getWidth, src.getHeight)
             val mx = math.max(w, h)
-            val (w2, h2) = if (mx <= maxDim) (w, h)
-              else (math.max(1, w * maxDim / mx), math.max(1, h * maxDim / mx))
-            val dst = new java.awt.image.BufferedImage(w2, h2,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = dst.createGraphics()
-            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(src, 0, 0, w2, h2, null)
-            g.dispose()
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(dst, "png", bos)
-            Resized(m.media_id, "png", w2, h2, resized = true, bos.toByteArray)
+            if (mx <= maxDim)
+              Resized(m.media_id, meta.map(_._1).getOrElse(m.kind), w, h,
+                resized = false, m.payload)
+            else {
+              val w2 = math.max(1, (w.toLong * maxDim / mx).toInt)
+              val h2 = math.max(1, (h.toLong * maxDim / mx).toInt)
+              if (frameCount(m.payload) > 1)
+                Resized(m.media_id, "gif", w2, h2, resized = true,
+                  resizeAnimated(m.payload, w2, h2))
+              else {
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(scaleFrame(src, w2, h2), "png", bos)
+                Resized(m.media_id, "png", w2, h2, resized = true, bos.toByteArray)
+              }
+            }
           case None =>
             Resized(m.media_id, m.kind, -1, -1, resized = false, m.payload)
         }

@@ -711,19 +711,29 @@ class MediaSpec extends SparkSpec {
 
   test("resize: bilinear downscale preserves solid gray, floor dims, passthrough (r4 multimodal op)") {
     import spark.implicits._
+    val smallBytes = Media.encodedBytes("gif", 8, 4, 64)
     val rows = Seq(
       Media.MediaRow("big", "image", Media.encodedBytes("png", 40, 20, 96)),
-      Media.MediaRow("small", "image", Media.encodedBytes("gif", 8, 4, 64)),
+      Media.MediaRow("small", "image", smallBytes),
+      Media.MediaRow("anim", "image", Media.animatedGifBytes(24, 16, Seq(32, 96, 160))),
       Media.MediaRow("junk", "blob", "not an image".getBytes)).toDS()
     val out = Media.resize(spark, rows, maxDim = 10).collect()
       .map(r => r.media_id -> r).toMap
     assert(out("big").width == 10 && out("big").height == 5 && out("big").resized)
-    assert(out("small").width == 8 && out("small").height == 4) // no upscale
+    // within-bound: original payload passes through UNTOUCHED
+    assert(out("small").width == 8 && out("small").height == 4)
+    assert(!out("small").resized && out("small").payload.sameElements(smallBytes))
     assert(!out("junk").resized && out("junk").payload.sameElements("not an image".getBytes))
     // the resized payload is REAL png: re-decode recovers dims + exact gray
     val dec = Media.decode(spark,
       Seq(Media.MediaRow("big", "png", out("big").payload)).toDS()).collect().head
     assert(dec.width == 10 && dec.height == 5 && dec.red_mean == 96)
+    // an ANIMATION keeps all frames, scaled (not flattened to frame 0)
+    assert(out("anim").width == 10 && out("anim").height == 6 && out("anim").resized)
+    assert(Media.frameCount(out("anim").payload) == 3)
+    val da = Media.decode(spark,
+      Seq(Media.MediaRow("anim", "gif", out("anim").payload)).toDS()).collect().head
+    assert(da.width == 10 && da.height == 6 && da.red_mean == 32 && da.n_frames == 3)
   }
 
   test("animated GIF: real frame count drives frame sampling") {
