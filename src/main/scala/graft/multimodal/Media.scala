@@ -407,13 +407,21 @@ object Media {
             else {
               val w2 = math.max(1, (w.toLong * maxDim / mx).toInt)
               val h2 = math.max(1, (h.toLong * maxDim / mx).toInt)
-              if (frameCount(m.payload) > 1)
-                Resized(m.media_id, "gif", w2, h2, resized = true,
-                  resizeAnimated(m.payload, w2, h2))
-              else {
-                val bos = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(scaleFrame(src, w2, h2), "png", bos)
-                Resized(m.media_id, "png", w2, h2, resized = true, bos.toByteArray)
+              // a frame body can still be corrupt after frameCount's
+              // successful metadata scan — degrade to the first-frame
+              // still rather than failing the task (exceptions are
+              // error handling, not routing)
+              val animated = if (frameCount(m.payload) > 1)
+                try Some(resizeAnimated(m.payload, w2, h2))
+                catch { case _: Exception => None }
+              else None
+              animated match {
+                case Some(bytes) =>
+                  Resized(m.media_id, "gif", w2, h2, resized = true, bytes)
+                case None =>
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(scaleFrame(src, w2, h2), "png", bos)
+                  Resized(m.media_id, "png", w2, h2, resized = true, bos.toByteArray)
               }
             }
           case None =>
