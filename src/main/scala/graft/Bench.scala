@@ -92,9 +92,16 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }
       }
+    // per-query best-of-N (default 2, SPARK_GRAFT_QUERY_REPS): the r4
+    // verdict's false-regression finding — single-shot per-query numbers
+    // swung ±30-70% on unchanged code on this shared host, while the
+    // min-of-reps estimator (already standard for pipeline_synth and
+    // every BASELINE.md number) reads the noise-free cost
+    val qReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     picked.foreach { case (name, fn) =>
-      results(name) = try time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      results(name) = try (1 to qReps).map(_ =>
+        time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())).min
       catch { case _: Throwable => -1.0 }
     }
     if (sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE")) {

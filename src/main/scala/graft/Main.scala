@@ -86,10 +86,13 @@ object Main {
     case "--checkpoint" :: v :: rest => parse(rest, c.copy(checkpoint = Some(v)), algsSet)
     case "--snapshot" :: v :: rest => parse(rest, c.copy(snapshot = Some(v)), algsSet)
     case "--byte-verify" :: rest => parse(rest, c.copy(byteVerify = true), algsSet)
-    case "--substring" :: v :: rest if v.forall(_.isDigit) && v.nonEmpty =>
+    // length <= 9 keeps v.toInt in range — an over-Int literal like
+    // 99999999999 falls through to the usage error, not a raw
+    // NumberFormatException (ADVICE r4 #5)
+    case "--substring" :: v :: rest if v.forall(_.isDigit) && v.nonEmpty && v.length <= 9 =>
       parse(rest, c.copy(substring = Some(v.toInt)), algsSet)
     case "--substring" :: rest => parse(rest, c.copy(substring = Some(2)), algsSet)
-    case "--longrun" :: v :: rest if v.forall(_.isDigit) && v.nonEmpty =>
+    case "--longrun" :: v :: rest if v.forall(_.isDigit) && v.nonEmpty && v.length <= 9 =>
       parse(rest, c.copy(longrun = Some(v.toInt)), algsSet)
     case "--longrun" :: rest => parse(rest, c.copy(longrun = Some(60)), algsSet)
     case "--progress" :: rest => parse(rest, c.copy(progress = true), algsSet)

@@ -263,9 +263,15 @@ object Ann {
       .select("src", "dst")
       .distinct()
 
-  /** Aggregate count of rows in over-capacity hyperplane buckets (skip
-    * metric — capped AND surfaced, SCALE.md invariant 3). A view over
+  /** Rows in over-capacity hyperplane buckets (skip metric — capped
+    * AND surfaced, SCALE.md invariant 3). A view over
     * [[candidatePairsAndSkips]]'s skip rows, no separate code scan.
+    * Schema: a single `skipped` column, one row per over-cap bucket
+    * (per-bucket (table_id, code) attribution is intentionally not
+    * carried — the fused candidate pass keys skip rows on null
+    * (src, dst), which is what lets ONE shuffle serve pairs and
+    * metric; callers needing per-bucket detail should group the code
+    * projection directly).
     */
   def skippedBucketRows(corpus: DataFrame, bits: Int, tables: Int, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -275,9 +281,12 @@ object Ann {
       .select(col("skipped"))
 
   /** Embedding near-duplicate edges + skip rows: verified pairs with
-    * cosine ≥ threshold (skipped = 0) plus one (null, null, null, n)
-    * row per over-cap hyperplane bucket — capped AND surfaced, same
-    * pass as candidate generation. Banded-LSH candidates (tables sized
+    * cosine ≥ threshold (skipped = 0) plus AT MOST ONE aggregated
+    * (null, null, null, n) skip row — the groupBy(src, dst) that
+    * dedups pair rows across tables also collapses every over-cap
+    * bucket's skip row into a single summed count (null keys group
+    * together) — capped AND surfaced, same pass as candidate
+    * generation. Banded-LSH candidates (tables sized
     * from the threshold itself: a pair AT the threshold is found w.p.
     * ≥ `recall` at any corpus size), exact cosine verify on the
     * (small) candidate set — vectors join back onto candidates rather

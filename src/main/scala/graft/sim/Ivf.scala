@@ -153,17 +153,26 @@ object Ivf {
   def assign(corpus: DataFrame, centroids: Array[Array[Double]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cs = centroids
-    val cellU = udf((v: Seq[Double]) => argmaxCell(cs, v))
-    // null / zero-norm embeddings normalize to null and are filtered
-    // BEFORE the (primitive-returning) argmax — they cannot be
-    // assigned a direction cell (ADVICE r3 #1: the old post-hoc
-    // .filter(cell.isNotNull) was dead code reached only after an NPE)
+    // normalize + argmax FUSED in one nullable-Integer UDF: the previous
+    // withColumn("nv", normUdf0(v)).filter(nv.isNotNull).withColumn(
+    // "cell", cellU(nv)) shape let predicate pushdown rewrite the filter
+    // to filter(normUdf0(v).isNotNull) BELOW the collapsed project that
+    // recomputed normUdf0(v) for the argmax — every vector normalized
+    // (and allocated) twice on the hot assignment path (ADVICE r4 #2).
+    // Null / zero-norm embeddings yield a null cell and are filtered
+    // (same semantics as the r3 fix; arithmetic identical to
+    // normUdf0-then-argmaxCell, so cell ids are unchanged).
+    val cellU = udf((v: Seq[Double]) =>
+      if (v == null || v.isEmpty) null
+      else {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n <= 0) null
+        else java.lang.Integer.valueOf(argmaxCell(cs, v.map(_ / n)))
+      })
     Ann.prenorm(corpus.select(col(idCol).as("id"), col(vecCol).as("v0")),
         "id", col("v0"), "v", "nn").drop("v0")
-      .withColumn("nv", normUdf0(col("v")))
-      .filter(col("nv").isNotNull)
-      .withColumn("cell", cellU(col("nv")))
-      .drop("nv")
+      .withColumn("cell", cellU(col("v")))
+      .filter(col("cell").isNotNull)
   }
 
   // normalize an already-double vector (prenorm output)

@@ -87,10 +87,21 @@ object StreamingDedup {
     * downstream consumers dedup, exactly like the batch `.distinct()`.
     * `ttl` bounds state lifetime as in [[assign]] (same
     * ProcessingTimeTimeout pacing caveat).
+    *
+    * Cap BLIND SPOT, surfaced (ADVICE r4 #1 — the batch path caps AND
+    * surfaces, invariant 3; the streaming analog must too): a doc that
+    * probes a saturated bucket is never stored there, so two
+    * POST-saturation near-dups whose only shared bucket is saturated
+    * are never linked. Every such unstored arrival increments
+    * `skippedAcc` (one count per (doc, saturated bucket) event — the
+    * streaming analog of the batch skip row), so an operator watching
+    * the accumulator knows the store is refusing membership instead of
+    * silently degrading recall.
     */
   def nearDupEdges(spark: SparkSession, docs: Dataset[FpDoc],
       cfg: graft.near.SimHash.Config = graft.near.SimHash.Config(),
-      ttl: java.time.Duration = java.time.Duration.ZERO): Dataset[NearEdge] = {
+      ttl: java.time.Duration = java.time.Duration.ZERO,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[NearEdge] = {
     import spark.implicits._
     val timeout =
       if (ttl.isZero) GroupStateTimeout.NoTimeout()
@@ -130,6 +141,7 @@ object StreamingDedup {
               val at = members.indexWhere(_._1 == url)
               if (at >= 0) members(at) = ((url, fp))
               else if (members.length < cap) members += ((url, fp))
+              else skippedAcc.foreach(_.add(1L)) // saturated: probed, not stored
             }
             state.update(members.toSeq)
             if (!ttl.isZero) state.setTimeoutDuration(ttl.toMillis)
