@@ -652,6 +652,26 @@ object SparkEntry {
         .orderBy("src", "dst")
     }),
 
+    // exact-span removal WITH reconstruction (the FULL Lee et al.
+    // policy — arbitrary alignment, not ChunkDedup's fixed tiles):
+    // every character inside a ≥60-char run shared with an EARLIER
+    // doc is cut; the remainder reassembles into clean_text. The
+    // oracle recomputes the per-position policy directly in SQL —
+    // position p removed iff some 60-char window containing p occurs
+    // in the concatenated earlier corpus (separator-joined, so no
+    // phantom cross-doc matches) — and the compare is full-text
+    // hash-exact, so candidate completeness (winnow guarantee), the
+    // char-verified coverage kernel AND the reconstruction are all
+    // driver-checked. Gram cap lifted: engine ≡ oracle exactly.
+    "q_span_removal" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .select(lpad(col("doc_id").cast("string"), 12, "0").as("url"), col("text"))
+      graft.substring.SpanRemoval.removeSharedRuns(d, minLen = 60,
+          maxDocsPerGram = 1000000)
+        .select(col("id").cast("long").as("doc_id"), col("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal: REAL pixel decode (JDK ImageIO) over REAL encoded
     // fixture images — solid-gray PNG/GIF/JPEG whose dimensions and
     // gray level are closed forms of doc_id. Solid gray at multiples
@@ -925,6 +945,20 @@ object SparkEntry {
         "unnest(generate_series(1, length(ta) - 59)) AS i FROM pairs)) " +
         "SELECT sa AS src, sb AS dst FROM ex WHERE contains(tb, sl) " +
         "GROUP BY sa, sb ORDER BY src, dst"),
+    "q_span_removal" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
+        "blob AS (SELECT a.doc_id, a.text, " +
+        "(SELECT coalesce(string_agg(b.text, chr(1) ORDER BY b.doc_id), '') " +
+        "FROM d b WHERE b.doc_id < a.doc_id) AS eb FROM d a), " +
+        "fl AS (SELECT doc_id, text, " +
+        "CASE WHEN length(text) < 60 THEN CAST([] AS BIGINT[]) " +
+        "ELSE list_filter(generate_series(1, length(text) - 59), " +
+        "i -> contains(eb, substr(text, CAST(i AS INT), 60))) END AS flagged FROM blob) " +
+        "SELECT doc_id, coalesce(array_to_string(list_transform(" +
+        "list_filter(generate_series(1, length(text)), " +
+        "p -> len(list_filter(flagged, i -> i <= p AND p < i + 60)) = 0), " +
+        "p -> substr(text, CAST(p AS INT), 1)), ''), '') AS clean_text " +
+        "FROM fl ORDER BY doc_id"),
     "q_media_pixels" ->
       ("SELECT doc_id, " +
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS kind, " +
