@@ -317,6 +317,31 @@ object SparkEntry {
       graft.engine.IncrementalDedup.dedupAgainst(batch, snap, "doc_id")
     }),
 
+    // ---- incremental NEAR-dup (r4 VERDICT missing #2): the odd half
+    // is "today's crawl", checked against the even half's MinHash/LSH
+    // band + shingle SNAPSHOT — the prior corpus is probed in two
+    // map-side scans (bands vs broadcast batch band keys, sigs vs
+    // broadcast candidate keepers) and never shuffles. Policy mirrors
+    // q_incremental: prior keeper wins, else min earlier batch doc,
+    // else novel. Oracle: brute-force exact shingle Jaccard >= 0.5
+    // across and within the split (the q_simhash determinism
+    // argument: planted pairs sit at J >= 0.875, next candidate at
+    // 0.13, so LSH recall is total on this data).
+    "q_incremental_near" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), lpad(col("doc_id").cast("string"), 12, "0").as("url"), col("text"))
+      val prior = d.filter(col("doc_id") % 2 === 0).select("url", "text")
+      val batch = d.filter(col("doc_id") % 2 === 1).select("url", "text")
+      val cfg = graft.near.MinHashLSH.Config(jaccardThreshold = 0.5, maxBucket = 1000000)
+      val snap = graft.engine.IncrementalNearDup.bootstrap(prior, cfg)
+      graft.engine.IncrementalNearDup.dedupAgainst(batch, snap, cfg)
+        .select(col("url").cast("long").as("doc_id"),
+          col("near_dup_of").cast("long").as("near_dup_of"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis: n-gram-heuristic language id
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))),
@@ -777,6 +802,30 @@ object SparkEntry {
         "SELECT a AS src, b AS dst, " +
         "round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard " +
         "FROM pr WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5 ORDER BY src, dst"),
+    "q_incremental_near" ->
+      (s"WITH $shingleCte, " +
+        "pr AS (SELECT doc_id, sh FROM sgl WHERE doc_id % 2 = 0), " +
+        "ba AS (SELECT doc_id, sh FROM sgl WHERE doc_id % 2 = 1), " +
+        "pj0 AS (SELECT ba.doc_id AS id, pr.doc_id AS pid, " +
+        "len(list_intersect(ba.sh, pr.sh)) AS inter, len(ba.sh) AS n1, len(pr.sh) AS n2 " +
+        "FROM ba CROSS JOIN pr), " +
+        "pj AS (SELECT id, pid, CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS j FROM pj0 " +
+        "WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5), " +
+        "pb AS (SELECT id, min(pid) AS prior_of FROM pj GROUP BY id), " +
+        "pbj AS (SELECT pb.id, pb.prior_of, pj.j AS pj FROM pb " +
+        "JOIN pj ON pj.id = pb.id AND pj.pid = pb.prior_of), " +
+        "bj0 AS (SELECT r.doc_id AS id, l.doc_id AS aid, " +
+        "len(list_intersect(l.sh, r.sh)) AS inter, len(l.sh) AS n1, len(r.sh) AS n2 " +
+        "FROM ba l JOIN ba r ON l.doc_id < r.doc_id), " +
+        "bj AS (SELECT id, aid, CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS j FROM bj0 " +
+        "WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5), " +
+        "bb AS (SELECT id, min(aid) AS batch_of FROM bj GROUP BY id), " +
+        "bbj AS (SELECT bb.id, bb.batch_of, bj.j AS bj FROM bb " +
+        "JOIN bj ON bj.id = bb.id AND bj.aid = bb.batch_of) " +
+        "SELECT ba.doc_id, coalesce(pbj.prior_of, bbj.batch_of) AS near_dup_of, " +
+        "round(CASE WHEN pbj.prior_of IS NOT NULL THEN pbj.pj ELSE bbj.bj END, 6) AS jaccard " +
+        "FROM ba LEFT JOIN pbj ON pbj.id = ba.doc_id " +
+        "LEFT JOIN bbj ON bbj.id = ba.doc_id ORDER BY doc_id"),
     "q_minhash_sigs" -> {
       val perms = verifPerms.zipWithIndex
         .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")

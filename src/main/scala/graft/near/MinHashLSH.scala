@@ -139,6 +139,13 @@ object MinHashLSH {
     })
   private val jaccardUdf = udf((x: Array[Long], y: Array[Long]) => Hashing.jaccard(x, y))
 
+  /** Band-hash array Column of a signature Column — the banding step
+    * exposed for row-level consumers (the incremental near-dup
+    * snapshot builds its band table from this).
+    */
+  def bandHashes(sig: Column, cfg: Config): Column =
+    bandsUdf(sig, lit(cfg.bands), lit(cfg.rowsPerBand))
+
   /** (url, shingles, sig) — one scan, all map-side. */
   def signatures(docs: DataFrame, cfg: Config = Config(), textCol: String = "text",
       idCol: String = "url"): DataFrame =
