@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.{Dataset, Encoder}
+
 /** Bounded group draining for streamed bucket aggregation (SCALE.md
   * invariant 3, round-3 rev).
   *
@@ -37,5 +39,51 @@ object CappedGroups {
       n += 1
     }
     (n, buf)
+  }
+
+  /** Two-round SALTED capped drain — the generalization of the r4
+    * MinHash-band mechanism to every pairing stage (r4 VERDICT #4).
+    *
+    * The single-round `groupByKey(...).flatMapGroups(drain)` streams a
+    * whole bucket through ONE task. That is O(cap) memory and surfaced
+    * by its skip row, but a corpus dominated by a single pathological
+    * key (every doc sharing one boilerplate band/gram/code) serializes
+    * on that one task's O(rows) scan. Here round 1 groups by
+    * (key, salt(member) mod salts) — the hot key's rows spread over
+    * `salts` parallel tasks, each draining to a BOUNDED partial
+    * (count, ≤ cap+1 members) — and round 2 merges the ≤
+    * salts·(cap+1)-member partials per key and hands (total, members)
+    * to `emit`. When total ≤ cap every row survived its partial, so
+    * the merged member list is the complete bucket and the output is
+    * IDENTICAL to the single-round path; when total > cap the caller
+    * emits its skip row exactly as before. Salting on the MEMBER (not
+    * the row) keeps duplicate-member rows of one key in one
+    * sub-bucket, so member-distinct inputs stay distinct per partial.
+    *
+    * `rows` must be (key, member) pairs; encoders resolve at the call
+    * site via `spark.implicits._`.
+    */
+  def saltedDrain[K, V, O](rows: Dataset[(K, V)], cap: Int, salts: Int,
+      salt: V => Int, emit: (K, Long, collection.IndexedSeq[V]) => Iterator[O])(
+      implicit ek: Encoder[(K, Int)], ekk: Encoder[K],
+      ep: Encoder[(K, Long, Seq[V])], eo: Encoder[O]): Dataset[O] = {
+    require(salts >= 1, "salts must be >= 1")
+    rows
+      .groupByKey(r => (r._1, math.floorMod(salt(r._2), salts)))
+      .mapGroups { (key, it) =>
+        val (n, sample) = drain(it.map(_._2), cap)
+        (key._1, n, sample.toSeq)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (k, parts) =>
+        var total = 0L
+        val buf = new scala.collection.mutable.ArrayBuffer[V](16)
+        while (parts.hasNext) {
+          val (_, n, sample) = parts.next()
+          total += n
+          if (buf.length <= cap) buf ++= sample
+        }
+        emit(k, total, buf)
+      }
   }
 }

@@ -222,26 +222,26 @@ object MinHashLSH {
     * contract, but a single pathological over-cap key (one band bucket
     * holding ~the whole corpus — the one-task O(rows) stream the
     * CappedGroups skew note documents) is split across `cfg.salts`
-    * round-1 tasks; round 2 merges the BOUNDED partials (≤
-    * salts·(cap+1) ids per key) and emits either the pairs (total ≤
-    * cap ⇒ every row survived its partial, so the merged sample is
-    * the complete bucket and the output is identical to the
-    * single-round path) or one (null, null, total) skip row.
+    * round-1 tasks via the shared [[graft.functions.CappedGroups
+    * .saltedDrain]] mechanism (round-5: ONE implementation serves all
+    * five pairing stages — bands here, SimHash tables, substring
+    * windows, winnowing grams, hyperplane buckets).
     */
   def candidatesAndSkipsSalted(sigs: DataFrame, cfg: Config): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
     val cap = cfg.maxBucket
-    saltedPartials(sigs, cfg)
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_, parts) =>
-        var total = 0L
-        val ids = new scala.collection.mutable.ArrayBuffer[String](16)
-        while (parts.hasNext) {
-          val (_, _, n, sample) = parts.next()
-          total += n
-          if (ids.length <= cap) ids ++= sample
-        }
+    val banded = sigs
+      .filter(col("sig").isNotNull)
+      .select(col("id"),
+        posexplode(bandsUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)))
+          .as(Seq("band_id", "band_hash")))
+      .as[(String, Int, Long)]
+      .map(r => ((r._2, r._3), r._1))
+    graft.functions.CappedGroups.saltedDrain[(Int, Long), String, (String, String, Long)](
+      banded, cap, cfg.salts,
+      id => scala.util.hashing.MurmurHash3.stringHash(id),
+      (_, total, ids) =>
         if (total > cap) Iterator.single((null: String, null: String, total))
         else if (ids.length < 2) Iterator.empty
         else {
@@ -250,8 +250,7 @@ object MinHashLSH {
             i <- s.indices.iterator
             j <- ((i + 1) until s.length).iterator
           } yield (s(i), s(j), 0L)
-        }
-      }
+        })
       .toDF("src", "dst", "skipped")
   }
 

@@ -40,8 +40,14 @@ object SimHash {
       maxHamming: Int = 3,
       shingleK: Int = 5,
       seed: Long = 42L,
-      maxBucket: Int = 200) {
+      maxBucket: Int = 200,
+      /** > 1 enables the salted two-round drain (shared
+        * CappedGroups.saltedDrain): a corpus dominated by ONE probe
+        * bucket streams through `salts` round-1 tasks instead of one.
+        */
+      salts: Int = 1) {
     require(maxHamming < blocks && blocks <= 64, "pigeonhole needs maxHamming < blocks <= 64")
+    require(salts >= 1, "salts must be >= 1")
     /** blocks that must agree = key blocks per table */
     def keyBlocks: Int = blocks - maxHamming
     /** (offset, width) of each block, widths differing by ≤1 */
@@ -160,25 +166,36 @@ object SimHash {
     import spark.implicits._
     val cap = cfg.maxBucket
     val maxHam = cfg.maxHamming
-    probed(fp0.filter(col("simhash").isNotNull), cfg)
+    def emit(n: Long, ms0: collection.IndexedSeq[(String, Long)]): Iterator[(String, String, Int, Long)] =
+      if (n > cap) Iterator.single((null: String, null: String, 0, n))
+      else if (ms0.length < 2) Iterator.empty
+      else {
+        val s = ms0.sortBy(_._1)
+        for {
+          i <- s.indices.iterator
+          j <- ((i + 1) until s.length).iterator
+          h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
+          if h <= maxHam
+        } yield (s(i)._1, s(j)._1, h, 0L)
+      }
+    val rows = probed(fp0.filter(col("simhash").isNotNull), cfg)
       .select(col("table_id"), col("key"), col("id"), col("simhash"))
       .as[(Int, Long, String, Long)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_, rows) =>
-        val (n, ms0) = graft.functions.CappedGroups.drain(rows.map(r => (r._3, r._4)), cap)
-        if (n > cap) Iterator.single((null: String, null: String, 0, n))
-        else if (n < 2) Iterator.empty
-        else {
-          val s = ms0.sortBy(_._1)
-          for {
-            i <- s.indices.iterator
-            j <- ((i + 1) until s.length).iterator
-            h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
-            if h <= maxHam
-          } yield (s(i)._1, s(j)._1, h, 0L)
-        }
-      }
-      .toDF("src", "dst", "hamming", "skipped")
+    val out =
+      if (cfg.salts > 1)
+        // salted two-round drain (shared mechanism — see CappedGroups):
+        // a corpus-dominating probe bucket spreads over `salts` tasks
+        graft.functions.CappedGroups.saltedDrain[(Int, Long), (String, Long), (String, String, Int, Long)](
+          rows.map(r => ((r._1, r._2), (r._3, r._4))), cap, cfg.salts,
+          m => scala.util.hashing.MurmurHash3.stringHash(m._1),
+          (_, n, ms) => emit(n, ms))
+      else
+        rows.groupByKey(r => (r._1, r._2))
+          .flatMapGroups { (_, rs) =>
+            val (n, ms0) = graft.functions.CappedGroups.drain(rs.map(r => (r._3, r._4)), cap)
+            emit(n, ms0)
+          }
+    out.toDF("src", "dst", "hamming", "skipped")
   }
 
   /** Edges from precomputed (id, simhash) — see fingerprintsFromShingles. */

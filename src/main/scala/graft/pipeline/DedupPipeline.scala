@@ -34,7 +34,11 @@ object DedupPipeline {
       w: Int = 20,
       stride: Int = 10,
       minShared: Int = 2,
-      maxDocsPerWindow: Int = 50)
+      maxDocsPerWindow: Int = 50,
+      /** > 1 spreads a corpus-dominating window hash over this many
+        * round-1 tasks (shared CappedGroups.saltedDrain mechanism).
+        */
+      salts: Int = 1)
 
   /** Long-run stage knobs (Lee et al.'s policy: link docs sharing one
     * exact run of ≥ minLen chars, any alignment, any partition
@@ -42,7 +46,11 @@ object DedupPipeline {
     */
   case class LongRunConfig(
       minLen: Int = 60,
-      maxDocsPerGram: Int = 50)
+      maxDocsPerGram: Int = 50,
+      /** > 1 spreads a corpus-dominating winnow gram over this many
+        * round-1 tasks (shared CappedGroups.saltedDrain mechanism).
+        */
+      salts: Int = 1)
 
   case class Config(
       algs: Seq[String] = Seq("filesize", "initial_xxhash", "sha"),
@@ -161,7 +169,8 @@ object DedupPipeline {
     val subOut = if (cfg.useSubstring)
       Some(graft.substring.SubstringDedup.edgesAndSkips(textDocs,
           cfg.substring.w, cfg.substring.stride, cfg.substring.minShared,
-          maxDocsPerWindow = cfg.substring.maxDocsPerWindow).persist())
+          maxDocsPerWindow = cfg.substring.maxDocsPerWindow,
+          salts = cfg.substring.salts).persist())
     else None
     val sub = subOut.map(_.filter(col("src").isNotNull).select("src", "dst")
       .withColumn("kind", lit("substring")))
@@ -169,7 +178,8 @@ object DedupPipeline {
     // shared run ≥ minLen chars links the pair, verified by LCS
     val lrOut = if (cfg.useLongRun)
       Some(graft.substring.SubstringDedup.longRunEdgesAndSkips(textDocs,
-        cfg.longRun.minLen, maxDocsPerGram = cfg.longRun.maxDocsPerGram).persist())
+        cfg.longRun.minLen, maxDocsPerGram = cfg.longRun.maxDocsPerGram,
+        salts = cfg.longRun.salts).persist())
     else None
     val lr = lrOut.map(_.filter(col("src").isNotNull).select("src", "dst")
       .withColumn("kind", lit("longrun")))
@@ -254,11 +264,13 @@ object DedupPipeline {
       val subOut = if (cfg.useSubstring)
         Some(graft.substring.SubstringDedup.edgesAndSkips(textDocs,
             cfg.substring.w, cfg.substring.stride, cfg.substring.minShared,
-            maxDocsPerWindow = cfg.substring.maxDocsPerWindow).persist())
+            maxDocsPerWindow = cfg.substring.maxDocsPerWindow,
+            salts = cfg.substring.salts).persist())
       else None
       val lrOut = if (cfg.useLongRun)
         Some(graft.substring.SubstringDedup.longRunEdgesAndSkips(textDocs,
-          cfg.longRun.minLen, maxDocsPerGram = cfg.longRun.maxDocsPerGram).persist())
+          cfg.longRun.minLen, maxDocsPerGram = cfg.longRun.maxDocsPerGram,
+          salts = cfg.longRun.salts).persist())
       else None
       toRelease = (sigsMh.toSeq ++ sigsSh.toSeq).distinct ++ mhOut.toSeq ++
         shOut.toSeq ++ subOut.toSeq ++ lrOut.toSeq

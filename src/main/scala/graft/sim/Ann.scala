@@ -229,36 +229,47 @@ object Ann {
     * capped AND surfaced in the same pass, no second corpus scan.
     */
   def candidatePairsAndSkips(corpus: DataFrame, bits: Int, tables: Int, seed: Long,
-      idCol: String, vecCol: String, maxBucket: Int): DataFrame = {
+      idCol: String, vecCol: String, maxBucket: Int, salts: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cap = maxBucket
-    codes(corpus.select(col(idCol).cast("string").as(idCol), col(vecCol)),
+    def emit(n: Long, ids0: collection.IndexedSeq[String]): Iterator[(String, String, Long)] =
+      if (n > cap) Iterator.single((null: String, null: String, n))
+      else if (ids0.length < 2) Iterator.empty
+      else {
+        val ids = ids0.sorted
+        for {
+          i <- ids.indices.iterator
+          j <- ((i + 1) until ids.length).iterator
+        } yield (ids(i), ids(j), 0L)
+      }
+    val rows = codes(corpus.select(col(idCol).cast("string").as(idCol), col(vecCol)),
         tables, bits, seed, idCol, col(vecCol), "id")
       .select(col("id"), col("table_id"), col("code"))
       .as[(String, Int, Long)]
-      .groupByKey(r => (r._2, r._3))
-      .flatMapGroups { (_, rows) =>
-        val (n, ids0) = graft.functions.CappedGroups.drain(rows.map(_._1), cap)
-        if (n > cap) Iterator.single((null: String, null: String, n))
-        else if (n < 2) Iterator.empty
-        else {
-          val ids = ids0.sorted
-          for {
-            i <- ids.indices.iterator
-            j <- ((i + 1) until ids.length).iterator
-          } yield (ids(i), ids(j), 0L)
+    val out =
+      if (salts > 1)
+        // salted two-round drain (shared CappedGroups mechanism): a
+        // corpus-dominating hyperplane bucket spreads over `salts` tasks
+        graft.functions.CappedGroups.saltedDrain[(Int, Long), String, (String, String, Long)](
+          rows.map(r => ((r._2, r._3), r._1)), cap, salts,
+          id => scala.util.hashing.MurmurHash3.stringHash(id),
+          (_, n, ids) => emit(n, ids))
+      else rows
+        .groupByKey(r => (r._2, r._3))
+        .flatMapGroups { (_, rs) =>
+          val (n, ids0) = graft.functions.CappedGroups.drain(rs.map(_._1), cap)
+          emit(n, ids0)
         }
-      }
-      .toDF("src", "dst", "skipped")
+    out.toDF("src", "dst", "skipped")
   }
 
   /** Distinct candidate pairs (pairs-only view of
     * [[candidatePairsAndSkips]]).
     */
   def candidatePairs(corpus: DataFrame, bits: Int, tables: Int, seed: Long,
-      idCol: String, vecCol: String, maxBucket: Int): DataFrame =
-    candidatePairsAndSkips(corpus, bits, tables, seed, idCol, vecCol, maxBucket)
+      idCol: String, vecCol: String, maxBucket: Int, salts: Int = 1): DataFrame =
+    candidatePairsAndSkips(corpus, bits, tables, seed, idCol, vecCol, maxBucket, salts)
       .filter(col("src").isNotNull)
       .select("src", "dst")
       .distinct()
@@ -296,10 +307,10 @@ object Ann {
       tables0: Int = 0, seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", targetBucket: Int = 64,
       n: Option[Long] = None, recall: Double = 0.99,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096, salts: Int = 1): DataFrame = {
     val bits = if (bits0 > 0) bits0 else adaptiveBits(n.getOrElse(corpus.count()), targetBucket)
     val tables = if (tables0 > 0) tables0 else numTables(bits, threshold, recall)
-    val raw = candidatePairsAndSkips(corpus, bits, tables, seed, idCol, vecCol, maxBucket)
+    val raw = candidatePairsAndSkips(corpus, bits, tables, seed, idCol, vecCol, maxBucket, salts)
     // ONE consumption of the candidate pass: the groupBy dedupes pair
     // rows across tables AND collapses the skip rows (null keys group
     // together) into a single summed row in the same small shuffle —
@@ -334,9 +345,9 @@ object Ann {
       tables0: Int = 0, seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", targetBucket: Int = 64,
       n: Option[Long] = None, recall: Double = 0.99,
-      maxBucket: Int = 4096): DataFrame =
+      maxBucket: Int = 4096, salts: Int = 1): DataFrame =
     embeddingDupEdgesAndSkips(corpus, threshold, bits0, tables0, seed, idCol,
-        vecCol, targetBucket, n, recall, maxBucket)
+        vecCol, targetBucket, n, recall, maxBucket, salts)
       .filter(col("src").isNotNull)
       .select("src", "dst", "score")
 }

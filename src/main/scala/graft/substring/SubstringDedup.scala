@@ -28,29 +28,30 @@ object SubstringDedup {
 
   private val Sep = '\u0000' // sentinel: never occurs in extracted text
 
+  /** Hash array of every w-token window (stride s) of a text Column. */
+  private def windowHashUdf(w: Int, stride: Int) = udf { (text: String) =>
+    val toks = Hashing.tokenize(text)
+    if (toks.length < w) Array.empty[Long]
+    else Array.range(0, (toks.length - w) / stride + 1).map { i =>
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < w) {
+        val tok = toks(i * stride + j)
+        var sh = 0xcbf29ce484222325L
+        var p = 0
+        while (p < tok.length) { sh = (sh ^ tok.charAt(p)) * 0x100000001b3L; p += 1 }
+        h = Hashing.mix64(h ^ sh ^ j.toLong)
+        j += 1
+      }
+      h
+    }
+  }
+
   /** (id, win_pos, win_hash) for every w-token window (stride s). */
   def windowHashes(docs: DataFrame, w: Int = 20, stride: Int = 10,
-      idCol: String = "url", textCol: String = "text"): DataFrame = {
-    val winUdf = udf { (text: String) =>
-      val toks = Hashing.tokenize(text)
-      if (toks.length < w) Array.empty[Long]
-      else Array.range(0, (toks.length - w) / stride + 1).map { i =>
-        var h = 0x9e3779b97f4a7c15L
-        var j = 0
-        while (j < w) {
-          val tok = toks(i * stride + j)
-          var sh = 0xcbf29ce484222325L
-          var p = 0
-          while (p < tok.length) { sh = (sh ^ tok.charAt(p)) * 0x100000001b3L; p += 1 }
-          h = Hashing.mix64(h ^ sh ^ j.toLong)
-          j += 1
-        }
-        h
-      }
-    }
-    docs.select(col(idCol).as("id"), posexplode(winUdf(col(textCol)))
+      idCol: String = "url", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"), posexplode(windowHashUdf(w, stride)(col(textCol)))
       .as(Seq("win_pos", "win_hash")))
-  }
 
   /** Duplicated w-token windows: win_hash groups spanning ≥2 distinct
     * docs. Output (win_hash, n_docs, doc_ids sample). Streamed over
@@ -97,36 +98,57 @@ object SubstringDedup {
     */
   def edgesAndSkips(docs: DataFrame, w: Int = 20, stride: Int = 10,
       minShared: Int = 2, idCol: String = "url", textCol: String = "text",
-      maxDocsPerWindow: Int = 50): DataFrame = {
+      maxDocsPerWindow: Int = 50, salts: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val cap = maxDocsPerWindow
-    windowHashes(docs, w, stride, idCol, textCol)
-      .select(col("win_hash"), col("id"))
-      .as[(Long, String)]
-      .groupByKey(_._1)
-      .flatMapSortedGroups(col("id")) { (_, rows) =>
-        // sorted stream → distinct ids arrive as runs; keep ≤ cap+1
-        val ids = new scala.collection.mutable.ArrayBuffer[String](16)
-        var nDocs = 0L
-        var prev: String = null
-        while (rows.hasNext) {
-          val id = rows.next()._2
-          if (id != prev) {
-            nDocs += 1
-            if (ids.length <= cap) ids += id
-            prev = id
+    val base =
+      if (salts > 1)
+        // salted two-round drain (shared CappedGroups mechanism): the
+        // per-doc array_distinct makes (win_hash, id) pairs unique, so
+        // round-1 row counts ARE distinct-doc counts; salting on the
+        // id keeps each doc's row in one sub-bucket.
+        graft.functions.CappedGroups.saltedDrain[Long, String, (String, String, Long)](
+          docs.select(col(idCol).as("id"),
+              explode(array_distinct(windowHashUdf(w, stride)(col(textCol)))).as("win_hash"))
+            .as[(String, Long)].map(r => (r._2, r._1)),
+          cap, salts, id => scala.util.hashing.MurmurHash3.stringHash(id),
+          (_, nDocs, ids0) =>
+            if (nDocs > cap) Iterator.single((null: String, null: String, nDocs))
+            else if (ids0.length < 2) Iterator.empty
+            else {
+              val ids = ids0.sorted
+              for {
+                i <- ids.indices.iterator
+                j <- ((i + 1) until ids.length).iterator
+              } yield (ids(i), ids(j), 0L)
+            })
+      else windowHashes(docs, w, stride, idCol, textCol)
+        .select(col("win_hash"), col("id"))
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .flatMapSortedGroups(col("id")) { (_, rows) =>
+          // sorted stream → distinct ids arrive as runs; keep ≤ cap+1
+          val ids = new scala.collection.mutable.ArrayBuffer[String](16)
+          var nDocs = 0L
+          var prev: String = null
+          while (rows.hasNext) {
+            val id = rows.next()._2
+            if (id != prev) {
+              nDocs += 1
+              if (ids.length <= cap) ids += id
+              prev = id
+            }
           }
+          if (nDocs > cap) Iterator.single((null: String, null: String, nDocs))
+          else if (ids.length < 2) Iterator.empty
+          else
+            for {
+              i <- ids.indices.iterator
+              j <- ((i + 1) until ids.length).iterator
+            } yield (ids(i), ids(j), 0L)
         }
-        if (nDocs > cap) Iterator.single((null: String, null: String, nDocs))
-        else if (ids.length < 2) Iterator.empty
-        else
-          for {
-            i <- ids.indices.iterator
-            j <- ((i + 1) until ids.length).iterator
-          } yield (ids(i), ids(j), 0L)
-      }
-      .toDF("src", "dst", "skipped")
+    base.toDF("src", "dst", "skipped")
       // one aggregation serves both outputs: pair rows count their
       // shared windows; the all-null skip group sums its doc counts
       .groupBy("src", "dst")
@@ -139,8 +161,8 @@ object SubstringDedup {
     */
   def substringDupEdges(docs: DataFrame, w: Int = 20, stride: Int = 10,
       minShared: Int = 2, idCol: String = "url", textCol: String = "text",
-      maxDocsPerWindow: Int = 50): DataFrame =
-    edgesAndSkips(docs, w, stride, minShared, idCol, textCol, maxDocsPerWindow)
+      maxDocsPerWindow: Int = 50, salts: Int = 1): DataFrame =
+    edgesAndSkips(docs, w, stride, minShared, idCol, textCol, maxDocsPerWindow, salts)
       .filter(col("src").isNotNull)
       .select(col("src"), col("dst"), col("shared_windows"))
 
@@ -238,9 +260,9 @@ object SubstringDedup {
     */
   def crossDocRepeats(spark: SparkSession, docs: DataFrame, minLen: Int = 60,
       idCol: String = "url", textCol: String = "text",
-      maxDocsPerGram: Int = 50): Dataset[Repeat] = {
+      maxDocsPerGram: Int = 50, salts: Int = 1): Dataset[Repeat] = {
     import spark.implicits._
-    val cand = repeatCandidatesAndSkips(docs, minLen, idCol, textCol, maxDocsPerGram)
+    val cand = repeatCandidatesAndSkips(docs, minLen, idCol, textCol, maxDocsPerGram, salts)
       .filter(col("src").isNotNull).select("src", "dst").distinct()
     val t = docs.select(col(idCol).as("id"), col(textCol).as("t"))
     cand
@@ -262,29 +284,41 @@ object SubstringDedup {
     */
   def repeatCandidatesAndSkips(docs: DataFrame, minLen: Int,
       idCol: String = "url", textCol: String = "text",
-      maxDocsPerGram: Int = 50): DataFrame = {
+      maxDocsPerGram: Int = 50, salts: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = math.max(8, minLen / 2)
     val s = minLen - k + 1 // winnow window: guarantee kicks in at k+s−1 = minLen
     val fpUdf = udf((text: String) => winnowFingerprints(text, k, s))
     val cap = maxDocsPerGram
-    docs.select(col(idCol).as("id"), explode(fpUdf(col(textCol))).as("fp"))
-      .as[(String, Long)]
-      .groupByKey(_._2)
-      .flatMapGroups { (_, rows) =>
-        val (n, ids0) = graft.functions.CappedGroups.drain(rows.map(_._1), cap)
-        if (n > cap) Iterator.single((null: String, null: String, n))
-        else if (n < 2) Iterator.empty
-        else {
-          val ids = ids0.distinct.sorted
-          for {
-            i <- ids.indices.iterator
-            j <- ((i + 1) until ids.length).iterator
-          } yield (ids(i), ids(j), 0L)
-        }
+    def emit(n: Long, ids0: collection.IndexedSeq[String]): Iterator[(String, String, Long)] =
+      if (n > cap) Iterator.single((null: String, null: String, n))
+      else if (ids0.length < 2) Iterator.empty
+      else {
+        val ids = ids0.distinct.sorted
+        for {
+          i <- ids.indices.iterator
+          j <- ((i + 1) until ids.length).iterator
+        } yield (ids(i), ids(j), 0L)
       }
-      .toDF("src", "dst", "skipped")
+    val rows = docs.select(col(idCol).as("id"), explode(fpUdf(col(textCol))).as("fp"))
+      .as[(String, Long)]
+    val out =
+      if (salts > 1)
+        // salted two-round drain (shared CappedGroups mechanism);
+        // winnowFingerprints is distinct per doc, so round-1 row
+        // counts are distinct-doc counts
+        graft.functions.CappedGroups.saltedDrain[Long, String, (String, String, Long)](
+          rows.map(r => (r._2, r._1)), cap, salts,
+          id => scala.util.hashing.MurmurHash3.stringHash(id),
+          (_, n, ids) => emit(n, ids))
+      else rows
+        .groupByKey(_._2)
+        .flatMapGroups { (_, rs) =>
+          val (n, ids0) = graft.functions.CappedGroups.drain(rs.map(_._1), cap)
+          emit(n, ids0)
+        }
+    out.toDF("src", "dst", "skipped")
   }
 
   /** Verified long-run dup edges + skip rows, for pipeline wiring:
@@ -304,8 +338,8 @@ object SubstringDedup {
     */
   def longRunEdgesAndSkips(docs: DataFrame, minLen: Int = 60,
       idCol: String = "url", textCol: String = "text",
-      maxDocsPerGram: Int = 50): DataFrame = {
-    val raw = repeatCandidatesAndSkips(docs, minLen, idCol, textCol, maxDocsPerGram)
+      maxDocsPerGram: Int = 50, salts: Int = 1): DataFrame = {
+    val raw = repeatCandidatesAndSkips(docs, minLen, idCol, textCol, maxDocsPerGram, salts)
     val fused = raw.groupBy(col("src"), col("dst"))
       .agg(sum(col("skipped")).as("skipped"))
     val t = docs.select(col(idCol).as("id"), col(textCol).as("t"))
