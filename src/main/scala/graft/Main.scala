@@ -27,6 +27,17 @@ import graft.report.Report
   *                           policy over the canonical doc per
   *                           cluster), or the line-deduped corpus
   *                           (CCNet first-occurrence line policy)
+  *   --keep-policy P         canonical selection for clusters/clean/
+  *                           lines output: `min` (default — min-url,
+  *                           the reference's resolve-aliases policy),
+  *                           `quality` (argmax of the hand-crafted
+  *                           TextStats quality score — the CCNet/
+  *                           RefinedWeb keep-best policy), or
+  *                           `quality:model` (argmax of the trained
+  *                           QualityModel discriminator probability);
+  *                           with --checkpoint the kept_by_quality /
+  *                           changed_from_min counts land in the
+  *                           Catalog metrics table
   *   --snapshot DIR          incremental mode: dedup the --input batch
   *                           against the (digest, keeper) snapshot
   *                           parquet at DIR (bootstrapped if absent),
@@ -65,6 +76,7 @@ object Main {
       format: String = "report",
       checkpoint: Option[String] = None,
       snapshot: Option[String] = None,
+      keepPolicy: String = "min",
       byteVerify: Boolean = false,
       substring: Option[Int] = None, // minShared windows
       longrun: Option[Int] = None, // minLen chars
@@ -85,6 +97,10 @@ object Main {
     case "--format" :: v :: rest => parse(rest, c.copy(format = v), algsSet)
     case "--checkpoint" :: v :: rest => parse(rest, c.copy(checkpoint = Some(v)), algsSet)
     case "--snapshot" :: v :: rest => parse(rest, c.copy(snapshot = Some(v)), algsSet)
+    case "--keep-policy" :: v :: rest if Seq("min", "quality", "quality:model").contains(v) =>
+      parse(rest, c.copy(keepPolicy = v), algsSet)
+    case "--keep-policy" :: v :: _ =>
+      throw new IllegalArgumentException(s"unknown --keep-policy: $v (min|quality|quality:model)")
     case "--byte-verify" :: rest => parse(rest, c.copy(byteVerify = true), algsSet)
     // length <= 9 keeps v.toInt in range — an over-Int literal like
     // 99999999999 falls through to the usage error, not a raw
@@ -179,29 +195,13 @@ object Main {
       case None => DedupPipeline.run(docs, cfg)
     }
 
-    val out0: DataFrame = conf.format match {
-      case "clusters" => result.clusters
-      case "clean" =>
-        // doc-level dedup first (keep each cluster's canonical), then
-        // chunk-level span removal across the survivors
-        val canon = docs.join(
-          result.clusters.filter(col("url") === col("cluster_id")).select("url"), "url")
-        graft.substring.ChunkDedup.dedupChunks(canon)
-          .select(col("id").as("url"), col("clean_text"))
-      case "lines" =>
-        // same survivor set, line-granularity removal (CCNet policy).
-        // clean_text legitimately CONTAINS newlines here (it keeps the
-        // doc's line structure), so the emitted column escapes
-        // \ tab newline as \\ \t \n — one physical TSV line per doc,
-        // reversible by the consumer
-        val canon = docs.join(
-          result.clusters.filter(col("url") === col("cluster_id")).select("url"), "url")
-        val escaped = regexp_replace(regexp_replace(regexp_replace(
-          col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
-        graft.substring.LineDedup.dedupLines(canon)
-          .select(col("id").as("url"), escaped.as("clean_text"))
-      case _ => result.report
-    }
+    // quality keep-policy (r4 VERDICT #5): the cluster survivor is the
+    // argmax-quality member instead of the min-url canonical. Keepers
+    // are one small row per cluster — persisted so survivor joins and
+    // the metrics count share one computation.
+    val keepers = keepPolicyKeepers(docs, result, conf.keepPolicy)
+    keepers.foreach(_.persist())
+    val out0 = formatOutput(docs, result, conf.format, keepers)
     val out =
       if (conf.progress) graft.progress.Progress.tap(out0, "report_out") else out0
     if (conf.debug) System.err.println(out.queryExecution.explainString(
@@ -216,6 +216,16 @@ object Main {
         cat.recordMetrics(s"observe:${o.name}",
           o.metrics.collect { case (k, v: Long) => k -> v })
       }
+    }
+
+    // quality keep-policy metrics (S5/S6 sink): how many clusters got
+    // a quality-selected keeper, and how many differ from the min-url
+    // canonical the default policy would have kept
+    keepers.foreach { k =>
+      conf.checkpoint.foreach { dir =>
+        recordKeepPolicyMetrics(k, new graft.checkpoint.Catalog(dir, spark))
+      }
+      k.unpersist()
     }
 
     if (conf.verbose) {
@@ -275,6 +285,99 @@ object Main {
       .write.mode("append").parquet(dir)
     verdicts
   }
+
+  /** One (cluster_id, keep_id, best_score) row per cluster under a
+    * non-default keep policy, or None for `min` (the pipeline's
+    * min-url canonical already IS the keeper — no extra pass).
+    */
+  private[graft] def keepPolicyKeepers(docs: DataFrame,
+      result: DedupPipeline.Result, policy: String): Option[DataFrame] =
+    if (policy == "min") None
+    else Some(result.keepBestCanonical(qualityScores(docs, policy)))
+
+  /** The CLI output frame for a --format under an optional quality
+    * keeper set. Corpus-shaped formats (clean/lines) dedup to the
+    * keeper survivors; `clusters` re-keys every member to its
+    * cluster's keeper id.
+    */
+  private[graft] def formatOutput(docs: DataFrame,
+      result: DedupPipeline.Result, format: String,
+      keepers: Option[DataFrame]): DataFrame = {
+    // survivor set for the corpus-shaped formats: one url per cluster
+    def survivors: DataFrame = keepers match {
+      case Some(k) => k.select(col("keep_id").as("url"))
+      case None => result.clusters.filter(col("url") === col("cluster_id")).select("url")
+    }
+    format match {
+      case "clusters" => keepers match {
+        case Some(k) =>
+          // re-key every member to its cluster's quality keeper (left
+          // join: a cluster that somehow lost its keeper keeps the
+          // min-id label rather than dropping rows)
+          result.clusters
+            .join(k.select(col("cluster_id"), col("keep_id")), Seq("cluster_id"), "left")
+            .select(col("url"), coalesce(col("keep_id"), col("cluster_id")).as("cluster_id"))
+        case None => result.clusters
+      }
+      case "clean" =>
+        // doc-level dedup first (keep each cluster's canonical), then
+        // chunk-level span removal across the survivors
+        val canon = docs.join(survivors, "url")
+        graft.substring.ChunkDedup.dedupChunks(canon)
+          .select(col("id").as("url"), col("clean_text"))
+      case "lines" =>
+        // same survivor set, line-granularity removal (CCNet policy).
+        // clean_text legitimately CONTAINS newlines here (it keeps the
+        // doc's line structure), so the emitted column escapes
+        // \ tab newline as \\ \t \n — one physical TSV line per doc,
+        // reversible by the consumer
+        val canon = docs.join(survivors, "url")
+        val escaped = regexp_replace(regexp_replace(regexp_replace(
+          col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
+        graft.substring.LineDedup.dedupLines(canon)
+          .select(col("id").as("url"), escaped.as("clean_text"))
+      case _ => result.report
+    }
+  }
+
+  /** keep-policy metrics (S5/S6 sink): how many clusters got a
+    * quality-selected keeper, and how many differ from the min-url
+    * canonical the default policy would have kept.
+    */
+  private[graft] def recordKeepPolicyMetrics(keepers: DataFrame,
+      cat: graft.checkpoint.Catalog): Unit = {
+    val m = keepers.agg(count(lit(1)),
+      coalesce(sum(when(col("keep_id") =!= col("cluster_id"), 1L).otherwise(0L)),
+        lit(0L))).head()
+    cat.recordMetrics("keep_policy",
+      Map("kept_by_quality" -> m.getLong(0), "changed_from_min" -> m.getLong(1)))
+  }
+
+  /** (url, score) for every decodable doc under the given keep
+    * policy: `quality` = the hand-crafted composite quality score
+    * (TextStats, pure codegen'd Columns, map-only); `quality:model` =
+    * P(real | doc) under a QualityModel discriminator trained on this
+    * corpus (bounded deterministic fit, map-only scoring). Scores are
+    * coalesced non-null (null-text docs score -1) so KeepBest's
+    * argmax is total — a cluster can never lose its keeper to a null.
+    */
+  private[graft] def qualityScores(docs: DataFrame, policy: String): DataFrame =
+    policy match {
+      case "quality:model" =>
+        val model = graft.text.QualityModel.train(
+          docs.filter(col("text").isNotNull), "url", "text")
+        graft.text.QualityModel.score(model, docs, "url", "text")
+          .select(col("url"),
+            coalesce(col("quality_prob"), lit(-1.0)).as("score"))
+      case _ =>
+        // qualityFeatures coalesces null text to "" (scoring it 0.1 on
+        // the punct term) — an undecodable doc must rank BELOW every
+        // real doc, so gate on text nullness before the score
+        val q = graft.text.TextStats.qualityFeatures(col("text"))
+          .toMap.apply("quality_score")
+        docs.select(col("url"), when(col("text").isNull, lit(-1.0))
+          .otherwise(coalesce(q, lit(-1.0))).as("score"))
+    }
 
   private[graft] def load(spark: SparkSession, input: String): DataFrame =
     if (input.startsWith("synth:"))

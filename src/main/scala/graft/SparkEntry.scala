@@ -41,6 +41,24 @@ object SparkEntry {
     graft.multimodal.Media.encodedBytes(kind, w, h, gray)
   })
 
+  /** Deterministic REAL animated-GIF fixture, closed-form per doc_id
+    * (shared with the q_media_frames DuckDB oracle): 20×10 canvas,
+    * 1 + id%4 frames; frame 0 full-canvas gray 32·(1+id%7), frame k≥1
+    * a 10×10 patch at (10,0) with gray 32·(1+(id+k)%7), disposal
+    * `none` — so the COMPOSITED frame-k red mean is the exact integer
+    * (g0+gk)/2 (both multiples of 32). Editing the geometry means
+    * editing the oracle in lockstep.
+    */
+  private val mediaAnimFixtureUdf = udf((id: Long) => {
+    val g0 = 32 * (1 + (id % 7).toInt)
+    val specs = graft.multimodal.Media.GifFrameSpec(g0, 0, 0, 20, 10) +:
+      (1 to (id % 4).toInt).map { k =>
+        graft.multimodal.Media.GifFrameSpec(
+          32 * (1 + ((id + k) % 7).toInt), 10, 0, 10, 10)
+      }
+    graft.multimodal.Media.animatedGifBytesAt(20, 10, specs)
+  })
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -727,6 +745,19 @@ object SparkEntry {
           col("width"), col("height"), col("red_mean"))
     }),
 
+    // multimodal: per-frame features over COMPOSITED animation frames
+    // (r4 VERDICT #7 — decode featurizes frame 0 only). Frame k of the
+    // fixture composites a half-canvas patch over frame 0, so its red
+    // mean is the exact integer (g0+gk)/2 — closed-form oracle.
+    "q_media_frames" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+        .withColumn("bin", mediaAnimFixtureUdf(col("doc_id")))
+      val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
+      graft.multimodal.Media.frameFeatures(s, media).toDF()
+        .select(col("media_id").cast("long").as("doc_id"),
+          col("frame_idx"), col("red_mean"))
+    }),
+
     // ---- the reference report over the SYNTH corpus (which, unlike
     // the driver documents table at sf0.01, HAS exact duplicates —
     // r01's q_dup_report was a vacuous 0=0). Oracle = VALUES literal
@@ -1023,6 +1054,14 @@ object SparkEntry {
         "CAST(CASE WHEN mx <= 32 THEN w ELSE greatest(1, (w * 32) // mx) END AS INT) AS width, " +
         "CAST(CASE WHEN mx <= 32 THEN h ELSE greatest(1, (h * 32) // mx) END AS INT) AS height, " +
         "gray AS red_mean FROM m"),
+    "q_media_frames" ->
+      ("WITH f AS (SELECT doc_id, " +
+        "unnest(generate_series(0, CAST(doc_id % 4 AS INT))) AS frame_idx " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, " +
+        "CAST(CASE WHEN frame_idx = 0 THEN 32 * (1 + doc_id % 7) " +
+        "ELSE (32 * (1 + doc_id % 7) + 32 * (1 + (doc_id + frame_idx) % 7)) // 2 " +
+        "END AS INT) AS red_mean FROM f"),
     "q_media_meta" ->
       ("SELECT doc_id, " +
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS kind, " +
