@@ -591,6 +591,17 @@ class SubstringSpec extends SparkSpec {
     val at4 = graft.substring.LineDedup.dropCommonLines(docs, minDocs = 4)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(at4("d1") == "common line\nunique one\n\nafter blank") // below threshold
+
+    // a line repeated 5× inside ONE doc passes the total-occurrence
+    // pre-filter (count ≥ minDocs) but fails the exact distinct-doc
+    // count — the boilerplate rule is per-DOC, so it must survive
+    // (pins the r4 VERDICT #8 pre-filter as a superset, not a verdict)
+    val rep = Seq(
+      ("r1", "spam\nspam\nspam\nspam\nspam\nkeep me"),
+      ("r2", "other text")).toDF("url", "text")
+    val kept = graft.substring.LineDedup.dropCommonLines(rep, minDocs = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kept("r1") == "spam\nspam\nspam\nspam\nspam\nkeep me")
   }
 
   test("longestCommonRun matches the naive DP longest-common-substring") {

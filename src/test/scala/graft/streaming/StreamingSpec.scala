@@ -107,6 +107,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Set(("a", "b", 3)))
   }
 
+  test("saturated-bucket arrivals are counted on skippedAcc, not silently dropped (r4 advice)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDedup.FpDoc
+    // maxBucket=1: the second distinct doc per bucket saturates every
+    // bucket it probes; with identical fingerprints all docs share all
+    // probe buckets
+    val cfg = graft.near.SimHash.Config(maxBucket = 1)
+    val acc = spark.sparkContext.longAccumulator("neardup_skipped")
+    val in = MemoryStream[FpDoc]
+    val q = StreamingDedup.nearDupEdges(spark, in.toDS(), cfg, skippedAcc = Some(acc))
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("neardup_sat").start()
+    val fp = 0x0123456789abcdefL
+    in.addData(FpDoc("a", fp))
+    q.processAllAvailable()
+    assert(acc.value == 0L, "first member stores everywhere")
+    in.addData(FpDoc("b", fp)) // links to a AND saturates every bucket
+    q.processAllAvailable()
+    val afterB = acc.value
+    assert(afterB > 0L, "unstored arrivals in saturated buckets are surfaced")
+    in.addData(FpDoc("c", fp)) // post-saturation: probes (links to a) but never stored
+    q.processAllAvailable()
+    assert(acc.value > afterB)
+    // the blind spot this metric surfaces: c still linked to the STORED
+    // member a, but b–c (both unstored) is invisible to the store
+    val edges = spark.table("neardup_sat").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(edges == Set(("a", "b"), ("a", "c")))
+  }
+
   test("watermarked event dedup + windowed counts over the events table") {
     val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
     val stream = spark.readStream.schema(schema)
