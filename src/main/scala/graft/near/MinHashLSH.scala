@@ -90,6 +90,21 @@ object Hashing {
     y.foreach(v => if (s.contains(v)) inter += 1)
     inter.toDouble / (x.length + y.length - inter)
   }
+
+  /** Broder's MinHash estimator: the fraction of agreeing signature
+    * components is an unbiased estimate of the Jaccard similarity
+    * (stderr ≈ sqrt(J(1−J)/n) — ~0.04 at n = 128, J = 0.7). The
+    * verify step for consumers that hold SIGNATURES but not shingle
+    * sets (the streaming state store); the batch path exact-verifies
+    * with [[jaccard]] on shingles instead.
+    */
+  def sigEstimate(x: Array[Long], y: Array[Long]): Double = {
+    if (x == null || y == null || x.length == 0 || x.length != y.length) return 0.0
+    var agree = 0
+    var i = 0
+    while (i < x.length) { if (x(i) == y(i)) agree += 1; i += 1 }
+    agree.toDouble / x.length
+  }
 }
 
 /** MinHash + LSH near-duplicate detection [EXT] (SURVEY §7.1 module 7):
@@ -129,14 +144,21 @@ object MinHashLSH {
     Hashing.shingleHashes(Hashing.tokenize(text), k))
   private val minhashUdf = udf((sh: Array[Long], perms: Int, seed: Long) =>
     Hashing.minhash(sh, perms, seed))
-  private val bandsUdf = udf((sig: Array[Long], bands: Int, r: Int) =>
-    if (sig == null) null
-    else Array.tabulate(bands) { b =>
+  /** Row-level band hashes — the ONE banding arithmetic, shared by the
+    * batch udf and row-at-a-time consumers (streaming state store,
+    * incremental snapshot probes) so a streamed doc lands in exactly
+    * the bucket its batch plan would.
+    */
+  private[graft] def bandHashesLocal(sig: Array[Long], bands: Int, r: Int): Array[Long] =
+    Array.tabulate(bands) { b =>
       var h = 0x9e3779b97f4a7c15L ^ b
       var i = 0
       while (i < r) { h = Hashing.mix64(h ^ sig(b * r + i)); i += 1 }
       h
-    })
+    }
+
+  private val bandsUdf = udf((sig: Array[Long], bands: Int, r: Int) =>
+    if (sig == null) null else bandHashesLocal(sig, bands, r))
   private val jaccardUdf = udf((x: Array[Long], y: Array[Long]) => Hashing.jaccard(x, y))
 
   /** Band-hash array Column of a signature Column — the banding step

@@ -150,6 +150,74 @@ object StreamingDedup {
       }
   }
 
+  case class SigDoc(url: String, sig: Array[Long])
+  case class JaccardEdge(src: String, dst: String, est_jaccard: Double)
+
+  /** Streaming MinHash near-dup — the banded-LSH analog of
+    * [[nearDupEdges]] for Jaccard similarity, completing the streaming
+    * family (exact [[assign]], Hamming [[nearDupEdges]], Jaccard
+    * here). Each arriving doc's 128-perm signature is banded with THE
+    * SAME arithmetic as the batch plan (`MinHashLSH.bandHashesLocal`,
+    * shared code, not a reimplementation), the state store keys on
+    * (band_id, band_hash) with capped first-seen membership, and a
+    * colliding pair is verified by SIGNATURE-ESTIMATED Jaccard ≥
+    * cfg.jaccardThreshold (`Hashing.sigEstimate` — the state cannot
+    * hold shingle sets; stderr ≈ 0.04 at 128 perms, so re-verify
+    * streamed edges exactly offline where the threshold is a hard
+    * contract; the batch path exact-verifies). Same contracts as
+    * [[nearDupEdges]]: multi-band collisions emit one edge per band
+    * (downstream dedups, like the batch `.distinct()`), re-arrival
+    * refreshes the stored signature, saturation counts on
+    * `skippedAcc`, `ttl` bounds state lifetime.
+    */
+  def minHashNearDupEdges(spark: SparkSession, docs: Dataset[SigDoc],
+      cfg: graft.near.MinHashLSH.Config = graft.near.MinHashLSH.Config(),
+      ttl: java.time.Duration = java.time.Duration.ZERO,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[JaccardEdge] = {
+    import spark.implicits._
+    val timeout =
+      if (ttl.isZero) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.ProcessingTimeTimeout()
+    val threshold = cfg.jaccardThreshold
+    val cap = cfg.maxBucket
+    val (bands, r) = (cfg.bands, cfg.rowsPerBand)
+    docs
+      .flatMap(d =>
+        if (d.sig == null) Iterator.empty
+        else graft.near.MinHashLSH.bandHashesLocal(d.sig, bands, r)
+          .iterator.zipWithIndex.map { case (h, b) => (b, h, d.url, d.sig) })
+      .groupByKey(r0 => (r0._1, r0._2))
+      .flatMapGroupsWithState(OutputMode.Update(), timeout) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, String, Array[Long])],
+            state: GroupState[Seq[(String, Array[Long])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // eager (state must not be touched from a lazy iterator)
+            val members = state.getOption.getOrElse(Seq.empty).toBuffer
+            val out = scala.collection.mutable.ArrayBuffer.empty[JaccardEdge]
+            rows.foreach { case (_, _, url, sig) =>
+              members.foreach { case (mu, ms) =>
+                if (mu != url) {
+                  val est = graft.near.Hashing.sigEstimate(sig, ms)
+                  if (est >= threshold)
+                    out += JaccardEdge(if (url < mu) url else mu,
+                      if (url < mu) mu else url, est)
+                }
+              }
+              val at = members.indexWhere(_._1 == url)
+              if (at >= 0) members(at) = ((url, sig)) // content refresh
+              else if (members.length < cap) members += ((url, sig))
+              else skippedAcc.foreach(_.add(1L)) // saturated: probed, not stored
+            }
+            state.update(members.toSeq)
+            if (!ttl.isZero) state.setTimeoutDuration(ttl.toMillis)
+            out.iterator
+          }
+      }
+  }
+
   /** Watermarked event-stream dedup + windowed counts: first event per
     * event_id within the watermark, then 5-minute windowed counts per
     * type (the readStream → watermark → window → agg shape).

@@ -138,6 +138,41 @@ class StreamingSpec extends SparkSpec {
     assert(edges == Set(("a", "b"), ("a", "c")))
   }
 
+  test("streaming MinHash near-dup: banded state store links a Jaccard pair across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingDedup.SigDoc
+    val cfg = graft.near.MinHashLSH.Config()
+    // near pair: 200 shared tokens, 5 perturbed → shingle Jaccard ≫ 0.7
+    val base = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val near = (0 until 200).map(i => if (i % 40 == 39) s"alt$i" else s"tok$i").mkString(" ")
+    val far = (0 until 200).map(i => s"other$i").mkString(" ")
+    val docs = Seq(("a", base), ("b", near), ("z", far)).toDF("url", "text")
+    // signatures from the BATCH plan — the stream consumes the same bits
+    val sigs = graft.near.MinHashLSH.signatures(docs, cfg)
+      .collect().map(r => SigDoc(r.getString(0), r.getSeq[Long](2).toArray)).toList
+    val byId = sigs.map(s => s.url -> s).toMap
+    val in = MemoryStream[SigDoc]
+    val q = StreamingDedup.minHashNearDupEdges(spark, in.toDS(), cfg)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("minhash_stream").start()
+    in.addData(byId("a"), byId("z"))
+    q.processAllAvailable()
+    assert(spark.table("minhash_stream").count() == 0) // nothing near yet
+    in.addData(byId("b")) // LATER micro-batch — state store links it
+    q.processAllAvailable()
+    val edges = spark.table("minhash_stream").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val ests = spark.table("minhash_stream").collect().map(_.getDouble(2))
+    q.stop()
+    assert(edges == Set(("a", "b"))) // per-band dups collapse; z never linked
+    assert(ests.forall(_ >= cfg.jaccardThreshold))
+    // batch agreement: the exact-verify batch plan finds the same pair
+    val batch = graft.near.MinHashLSH.edges(docs, cfg)
+      .select("src", "dst").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(batch == Set(("a", "b")))
+  }
+
   test("watermarked event dedup + windowed counts over the events table") {
     val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
     val stream = spark.readStream.schema(schema)
