@@ -20,13 +20,17 @@ import graft.report.Report
   *   --ignore-empty          drop zero-byte docs (F2)
   *   --exact-only            skip MinHash/SimHash/CC extensions
   *   --outfile PATH|-        tab report destination (default stdout)
-  *   --format report|clusters|clean|lines  output shape: P2 tab
+  *   --format report|clusters|clean|lines|spans  output shape: P2 tab
   *                           report, normalized (url, cluster_id),
   *                           the chunk-deduped corpus (url,
-  *                           clean_text — the Lee et al. REMOVAL
-  *                           policy over the canonical doc per
-  *                           cluster), or the line-deduped corpus
-  *                           (CCNet first-occurrence line policy)
+  *                           clean_text — the TILED Lee et al.
+  *                           removal policy over the canonical doc
+  *                           per cluster), the line-deduped corpus
+  *                           (CCNet first-occurrence line policy), or
+  *                           the span-removed corpus (url, clean_text,
+  *                           n_removed — the FULL Lee et al. policy:
+  *                           exact shared runs ≥ 60 chars cut at any
+  *                           alignment, first occurrence kept)
   *   --keep-policy P         canonical selection for clusters/clean/
   *                           lines output: `min` (default — min-url,
   *                           the reference's resolve-aliases policy),
@@ -48,6 +52,16 @@ import graft.report.Report
   *                           re-read; with --checkpoint DIR the
   *                           per-crawl (batch_docs, novel, duplicates)
   *                           counts land in the Catalog metrics table
+  *   --near-snapshot DIR     incremental NEAR-dup mode: judge the
+  *                           batch against the MinHash band+shingle
+  *                           signature snapshot at DIR (tables
+  *                           DIR/bands, DIR/sigs; bootstrapped if
+  *                           absent), emit (url, near_dup_of,
+  *                           jaccard, is_novel), append the band+sig
+  *                           delta for retained docs — the prior
+  *                           corpus is never re-read (the exact
+  *                           --snapshot's contract at Jaccard
+  *                           granularity); same --checkpoint metrics
   *   --checkpoint DIR        materialize + resume stages via Catalog
   *   --byte-verify           append a full byte-compare level to the
   *                           cascade (Theory.pod:113-118 — closes the
@@ -76,6 +90,7 @@ object Main {
       format: String = "report",
       checkpoint: Option[String] = None,
       snapshot: Option[String] = None,
+      nearSnapshot: Option[String] = None,
       keepPolicy: String = "min",
       byteVerify: Boolean = false,
       substring: Option[Int] = None, // minShared windows
@@ -97,6 +112,7 @@ object Main {
     case "--format" :: v :: rest => parse(rest, c.copy(format = v), algsSet)
     case "--checkpoint" :: v :: rest => parse(rest, c.copy(checkpoint = Some(v)), algsSet)
     case "--snapshot" :: v :: rest => parse(rest, c.copy(snapshot = Some(v)), algsSet)
+    case "--near-snapshot" :: v :: rest => parse(rest, c.copy(nearSnapshot = Some(v)), algsSet)
     case "--keep-policy" :: v :: rest if Seq("min", "quality", "quality:model").contains(v) =>
       parse(rest, c.copy(keepPolicy = v), algsSet)
     case "--keep-policy" :: v :: _ =>
@@ -149,30 +165,13 @@ object Main {
     // The sink (emit + stats) runs BEFORE the snapshot append, so a
     // failed emit never poisons the snapshot (a retry stays correct).
     conf.snapshot.foreach { dir =>
-      runIncremental(spark, docs, dir, verdicts => {
-        val out = if (conf.progress)
-          graft.progress.Progress.tap(verdicts, "report_out") else verdicts
-        if (conf.debug) System.err.println(out.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
-        emit(conf.outfile, out)
-        if (conf.verbose || conf.checkpoint.isDefined) {
-          val n = verdicts.agg(
-            coalesce(sum(when(col("is_novel"), 1L).otherwise(0L)), lit(0L)),
-            count(lit(1))).head()
-          val (novel, total) = (n.getLong(0), n.getLong(1))
-          if (conf.verbose)
-            System.err.println(s"novel: $novel of $total batch docs")
-          // incremental runs feed the same metrics sink as pipeline
-          // stages (S5/S6): per-crawl novelty is the number an
-          // operator of a continuously-fed corpus actually watches
-          conf.checkpoint.foreach { cdir =>
-            new graft.checkpoint.Catalog(cdir, spark).recordMetrics(
-              "incremental",
-              Map("batch_docs" -> total, "novel" -> novel,
-                "duplicates" -> (total - novel)))
-          }
-        }
-      })
+      runIncremental(spark, docs, dir, incrementalSink(spark, conf, "incremental"))
+      spark.stop()
+      return
+    }
+    conf.nearSnapshot.foreach { dir =>
+      runIncrementalNear(spark, docs, dir,
+        incrementalSink(spark, conf, "incremental_near"))
       spark.stop()
       return
     }
@@ -286,6 +285,67 @@ object Main {
     verdicts
   }
 
+  /** The shared incremental-mode sink: emit verdicts (progress-tapped,
+    * debug-explained), then route per-crawl novelty counts to stderr
+    * and/or the Catalog metrics table (S5/S6 — per-crawl novelty is
+    * the number an operator of a continuously-fed corpus watches).
+    * Both verdict shapes carry `is_novel`, so one sink serves the
+    * exact (--snapshot) and near (--near-snapshot) modes.
+    */
+  private def incrementalSink(spark: SparkSession, conf: Conf,
+      stage: String)(verdicts: DataFrame): Unit = {
+    val out = if (conf.progress)
+      graft.progress.Progress.tap(verdicts, "report_out") else verdicts
+    if (conf.debug) System.err.println(out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    emit(conf.outfile, out)
+    if (conf.verbose || conf.checkpoint.isDefined) {
+      val n = verdicts.agg(
+        coalesce(sum(when(col("is_novel"), 1L).otherwise(0L)), lit(0L)),
+        count(lit(1))).head()
+      val (novel, total) = (n.getLong(0), n.getLong(1))
+      if (conf.verbose)
+        System.err.println(s"novel: $novel of $total batch docs")
+      conf.checkpoint.foreach { cdir =>
+        new graft.checkpoint.Catalog(cdir, spark).recordMetrics(stage,
+          Map("batch_docs" -> total, "novel" -> novel,
+            "duplicates" -> (total - novel)))
+      }
+    }
+  }
+
+  /** Incremental NEAR-dup mode (--near-snapshot): judge the batch
+    * against the persisted MinHash band+shingle signature snapshot at
+    * `dir` (parquet tables dir/bands, dir/sigs; bootstrapped from an
+    * empty prior when absent — the first batch is intra-batch-deduped
+    * and becomes the snapshot), sink the verdicts FIRST (a failed emit
+    * never poisons the snapshot — the --snapshot crash-safety
+    * contract), then append the band+sig delta for retained docs.
+    */
+  private[graft] def runIncrementalNear(spark: SparkSession, docs: DataFrame,
+      dir: String, sink: DataFrame => Unit = _ => ()): DataFrame = {
+    import graft.engine.IncrementalNearDup
+    val cfg = graft.near.MinHashLSH.Config()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasTable(name: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    }
+    val snap =
+      if (hasTable("bands") && hasTable("sigs"))
+        IncrementalNearDup.Snapshot(
+          spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sigs"))
+      else IncrementalNearDup.bootstrap(docs.limit(0), cfg)
+    val verdicts = IncrementalNearDup.dedupAgainst(docs, snap, cfg)
+      .localCheckpoint(true)
+    sink(verdicts)
+    val delta = IncrementalNearDup.snapshotDelta(docs, verdicts, cfg)
+    delta.bands.write.mode("append").parquet(s"$dir/bands")
+    delta.sigs.write.mode("append").parquet(s"$dir/sigs")
+    verdicts
+  }
+
   /** One (cluster_id, keep_id, best_score) row per cluster under a
     * non-default keep policy, or None for `min` (the pipeline's
     * min-url canonical already IS the keeper — no extra pass).
@@ -336,6 +396,16 @@ object Main {
           col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
         graft.substring.LineDedup.dedupLines(canon)
           .select(col("id").as("url"), escaped.as("clean_text"))
+      case "spans" =>
+        // same survivor set, then the FULL Lee et al. policy: exact
+        // shared runs >= 60 chars cut at ANY alignment (first
+        // occurrence kept corpus-wide). clean_text keeps the doc's
+        // structure, so escape like `lines`
+        val canon = docs.join(survivors, "url")
+        val escaped = regexp_replace(regexp_replace(regexp_replace(
+          col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
+        graft.substring.SpanRemoval.removeSharedRuns(canon)
+          .select(col("id").as("url"), escaped.as("clean_text"), col("n_removed"))
       case _ => result.report
     }
   }

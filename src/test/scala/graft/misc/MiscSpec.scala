@@ -981,6 +981,52 @@ class IncrementalCliSpec extends SparkSpec {
     assert(snap == Set("A", "C", "E"))
   }
 
+  test("--near-snapshot mode: second crawl's near-dup resolves to the prior batch's keeper") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsnap").toString + "/snap"
+    def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    val base = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val near = (0 until 200).map(i => if (i % 40 == 39) s"alt$i" else s"tok$i").mkString(" ")
+    val far = (0 until 200).map(i => s"other$i").mkString(" ")
+    // bootstrap: no snapshot yet — batch is intra-batch deduped only
+    val v1 = graft.Main.runIncrementalNear(spark, mk(Seq(("A", base), ("C", far))), dir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(v1 == Map("A" -> true, "C" -> true))
+    // second crawl: near-dup of A links WITHOUT re-reading batch 1
+    val v2 = graft.Main.runIncrementalNear(spark,
+        mk(Seq(("B", near), ("D", (0 until 200).map(i => s"novel$i").mkString(" ")))), dir)
+      .collect().map(r => r.getString(0) -> ((Option(r.get(1)), r.getBoolean(3)))).toMap
+    assert(v2 == Map("B" -> ((Some("A"), false)), "D" -> ((None, true))))
+    // snapshot accumulated only the retained docs' signatures
+    val sigIds = spark.read.parquet(s"$dir/sigs").select("id")
+      .collect().map(_.getString(0)).toSet
+    assert(sigIds == Set("A", "C", "D"), "near-dup B never enters the snapshot")
+  }
+
+  test("--format spans cuts a cross-doc shared run at any alignment (full Lee policy via CLI path)") {
+    // two docs in DIFFERENT clusters (not near-dups) sharing one exact
+    // 100-char run at different offsets: doc-level dedup keeps both,
+    // spans format cuts the LATER occurrence only
+    val run = (0 until 25).map(i => f"r$i%02d").mkString("x") // 99 chars
+    val a = (0 until 150).map(i => s"alpha$i").mkString(" ") + " " + run
+    val b = run + " " + (0 until 150).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(("https://a.example/1", a), ("https://b.example/2", b))
+      .toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    val result = graft.pipeline.DedupPipeline.run(docs)
+    val out = graft.Main.formatOutput(docs, result, "spans", None)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out("https://a.example/1")._2 == 0, "first occurrence kept")
+    assert(out("https://a.example/1")._1.contains(run))
+    assert(out("https://b.example/2")._2 >= 99, "later occurrence cut")
+    assert(!out("https://b.example/2")._1.contains(run))
+    assert(out("https://b.example/2")._1.contains("beta42"), "unique text survives")
+  }
+
   test("a failing emit sink leaves the snapshot unpoisoned (append runs after sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snap2").toString + "/snap"
     def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
@@ -1002,6 +1048,12 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     val c = graft.Main.parse(List("--input", "x.parquet", "--snapshot", "/tmp/s"))
     assert(c.snapshot.contains("/tmp/s"))
     assert(graft.Main.parse(List("--input", "x.parquet")).snapshot.isEmpty)
+  }
+
+  test("--near-snapshot parses a directory argument, independent of --snapshot") {
+    val c = graft.Main.parse(List("--input", "x.parquet", "--near-snapshot", "/tmp/n"))
+    assert(c.nearSnapshot.contains("/tmp/n") && c.snapshot.isEmpty)
+    assert(graft.Main.parse(List("--input", "x.parquet")).nearSnapshot.isEmpty)
   }
 
   test("repeatable --alg accumulates across interleaved options (CLI.pm parity)") {
