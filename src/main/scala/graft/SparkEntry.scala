@@ -758,6 +758,31 @@ object SparkEntry {
           col("frame_idx"), col("red_mean"))
     }),
 
+    // ---- PII scrubbing (Dolma/C4 release hygiene): typed-placeholder
+    // redaction + per-doc counts. Fixture text is a closed form of
+    // doc_id built IDENTICALLY in both engines; the oracle replays the
+    // same RE2-safe chain (the q_url_canon contract) — full redacted
+    // text hash-exact.
+    "q_pii" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val fixture = when(id % 4 === 0,
+          concat(lit("Contact user"), ids, lit("@example.com or admin"), ids,
+            lit("@mail.example.org today")))
+        .when(id % 4 === 1,
+          concat(lit("server 10."), (id % 200).cast("string"), lit("."),
+            ((id * 7) % 250).cast("string"), lit(".1 and peer 192.168.0."),
+            (id % 100).cast("string"), lit(" replied")))
+        .when(id % 4 === 2,
+          concat(lit("call +1 (555) 123-"), (lit(1000) + id % 9000).cast("string"),
+            lit(" about the order")))
+        .otherwise(concat(lit("no identifiers here just text "), ids))
+      val cnts = graft.text.Pii.counts(col("pii_text"))
+      docs(s, dir).select(id, fixture.as("pii_text"))
+        .select(id +: graft.text.Pii.redact(col("pii_text")).as("clean_text") +:
+          cnts.map { case (n, c) => c.as(n) }: _*)
+    }),
+
     // ---- the reference report over the SYNTH corpus (which, unlike
     // the driver documents table at sf0.01, HAS exact duplicates —
     // r01's q_dup_report was a vacuous 0=0). Oracle = VALUES literal
@@ -1054,6 +1079,21 @@ object SparkEntry {
         "CAST(CASE WHEN mx <= 32 THEN w ELSE greatest(1, (w * 32) // mx) END AS INT) AS width, " +
         "CAST(CASE WHEN mx <= 32 THEN h ELSE greatest(1, (h * 32) // mx) END AS INT) AS height, " +
         "gray AS red_mean FROM m"),
+    "q_pii" -> {
+      val (e, i, p) = (graft.text.Pii.EmailRe, graft.text.Pii.Ipv4Re,
+        graft.text.Pii.PhoneRe)
+      "WITH p AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) " +
+        "WHEN 0 THEN 'Contact user' || doc_id || '@example.com or admin' || doc_id || '@mail.example.org today' " +
+        "WHEN 1 THEN 'server 10.' || (doc_id % 200) || '.' || ((doc_id * 7) % 250) || '.1 and peer 192.168.0.' || (doc_id % 100) || ' replied' " +
+        "WHEN 2 THEN 'call +1 (555) 123-' || (1000 + doc_id % 9000) || ' about the order' " +
+        "ELSE 'no identifiers here just text ' || doc_id END AS t FROM documents) " +
+        "SELECT doc_id, " +
+        s"regexp_replace(regexp_replace(regexp_replace(t, '$e', '<EMAIL>', 'g'), " +
+        s"'$i', '<IP>', 'g'), '$p', '<PHONE>', 'g') AS clean_text, " +
+        s"CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(t, '$i')) AS BIGINT) AS n_ipv4, " +
+        s"CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_phones FROM p"
+    },
     "q_media_frames" ->
       ("WITH f AS (SELECT doc_id, " +
         "unnest(generate_series(0, CAST(doc_id % 4 AS INT))) AS frame_idx " +

@@ -11,6 +11,28 @@ import graft.text.TextStats
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("PII redaction: typed placeholders, counts, null pass-through, no cross-class bleed") {
+    import graft.text.Pii
+    val rows = Seq(
+      "mail a.b+c%d@sub.example.co.uk and x9@y.io now",     // 2 emails
+      "nodes 10.0.0.1, 255.254.3.99 up; run 1234.5.6.7 ok", // 2 IPs; 4-digit octet excluded by \b
+      "call +1 (555) 123-4567 or 555.987.6543 x",           // 2 phones
+      "v2.0.1.3 released, use 2.0.1.3 now",                 // \b: letter-attached version safe, bare quad redacted
+      "plain text, no identifiers",
+      null.asInstanceOf[String])
+    val df = rows.toDF("text").select(
+      Seq(Pii.redact(col("text")).as("clean")) ++
+        Pii.counts(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == (("mail <EMAIL> and <EMAIL> now", 2L, 0L, 0L)))
+    assert(got(1) == (("nodes <IP>, <IP> up; run 1234.5.6.7 ok", 0L, 2L, 0L)))
+    assert(got(2) == (("call <PHONE> or <PHONE> x", 0L, 0L, 2L)))
+    assert(got(3) == (("v2.0.1.3 released, use <IP> now", 0L, 1L, 0L)))
+    assert(got(4) == (("plain text, no identifiers", 0L, 0L, 0L)))
+    assert(got(5)._1 == null && got(5)._2 == 0L)
+  }
+
   test("token count: blank → 0, whitespace runs collapse") {
     val df = Seq("a b  c", "", "   ", "one").toDF("text")
       .select(TextStats.tokenCount(col("text")).as("n"))
