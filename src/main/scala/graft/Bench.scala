@@ -132,7 +132,10 @@ object Bench {
     // protocol; the r3 driver-vs-sweep pipeline discrepancy was exactly
     // this) — minimum-of-reps is the standard estimator for the
     // noise-free cost and what every other number in BASELINE.md uses
-    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_PIPE_REPS", "2").toInt
+    // default 3: the r4 record (15.31s vs quiet-band 8.3-10.4s) showed
+    // best-of-2 still lets a loaded-host window through; a third rep
+    // costs ~10s and stops the file of record mid-band readings
+    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_PIPE_REPS", "3").toInt
     val pipeT0 = System.currentTimeMillis()
     val pipeSec = (1 to pipeReps).map { _ =>
       time {

@@ -62,6 +62,16 @@ import graft.report.Report
   *                           corpus is never re-read (the exact
   *                           --snapshot's contract at Jaccard
   *                           granularity); same --checkpoint metrics
+  *   --clusters-snapshot DIR maintain a standing (id, component)
+  *                           cluster assignment across incremental
+  *                           runs (requires --snapshot or
+  *                           --near-snapshot): each batch's dup edges
+  *                           fold into the persisted assignment at
+  *                           DIR/assign via IncrementalCC — CC runs
+  *                           over only the touched subgraph, the
+  *                           standing table is rewritten through a
+  *                           staged two-phase swap (on Iceberg: a
+  *                           MERGE touching relabeled rows only)
   *   --checkpoint DIR        materialize + resume stages via Catalog
   *   --byte-verify           append a full byte-compare level to the
   *                           cascade (Theory.pod:113-118 — closes the
@@ -91,6 +101,7 @@ object Main {
       checkpoint: Option[String] = None,
       snapshot: Option[String] = None,
       nearSnapshot: Option[String] = None,
+      clustersSnapshot: Option[String] = None,
       keepPolicy: String = "min",
       byteVerify: Boolean = false,
       substring: Option[Int] = None, // minShared windows
@@ -113,6 +124,8 @@ object Main {
     case "--checkpoint" :: v :: rest => parse(rest, c.copy(checkpoint = Some(v)), algsSet)
     case "--snapshot" :: v :: rest => parse(rest, c.copy(snapshot = Some(v)), algsSet)
     case "--near-snapshot" :: v :: rest => parse(rest, c.copy(nearSnapshot = Some(v)), algsSet)
+    case "--clusters-snapshot" :: v :: rest =>
+      parse(rest, c.copy(clustersSnapshot = Some(v)), algsSet)
     case "--keep-policy" :: v :: rest if Seq("min", "quality", "quality:model").contains(v) =>
       parse(rest, c.copy(keepPolicy = v), algsSet)
     case "--keep-policy" :: v :: _ =>
@@ -165,16 +178,23 @@ object Main {
     // The sink (emit + stats) runs BEFORE the snapshot append, so a
     // failed emit never poisons the snapshot (a retry stays correct).
     conf.snapshot.foreach { dir =>
-      runIncremental(spark, docs, dir, incrementalSink(spark, conf, "incremental"))
+      val verdicts = runIncremental(spark, docs, dir,
+        incrementalSink(spark, conf, "incremental"))
+      conf.clustersSnapshot.foreach(cdir =>
+        maintainClusters(spark, cdir, verdicts, "dup_of", conf.verbose))
       spark.stop()
       return
     }
     conf.nearSnapshot.foreach { dir =>
-      runIncrementalNear(spark, docs, dir,
+      val verdicts = runIncrementalNear(spark, docs, dir,
         incrementalSink(spark, conf, "incremental_near"))
+      conf.clustersSnapshot.foreach(cdir =>
+        maintainClusters(spark, cdir, verdicts, "near_dup_of", conf.verbose))
       spark.stop()
       return
     }
+    require(conf.clustersSnapshot.isEmpty,
+      "--clusters-snapshot requires --snapshot or --near-snapshot")
 
     val cfg = DedupPipeline.Config(
       algs = if (conf.byteVerify) conf.algs :+ "bytes" else conf.algs,
@@ -283,6 +303,58 @@ object Main {
       .select(col("digest"), col("url").as("keeper"))
       .write.mode("append").parquet(dir)
     verdicts
+  }
+
+  /** Clusters-snapshot maintenance (--clusters-snapshot): fold the
+    * batch's dup edges (url -> dup_of / near_dup_of) into the standing
+    * (id, component) assignment at `dir`/assign via
+    * [[graft.cluster.IncrementalCC]] — CC over the touched subgraph
+    * only; the prior table is scanned once map-side. The rewrite is a
+    * staged two-phase swap (write assign_next, demote assign to
+    * assign_prev, promote) so a crash mid-update always leaves a
+    * complete table on disk; on an Iceberg catalog this whole step is
+    * a MERGE INTO touching relabeled rows. Ids are assumed unique
+    * across crawls (url + warc_ts at production scale) — a re-crawled
+    * url is the SNAPSHOT's identity question, not this table's.
+    */
+  private[graft] def maintainClusters(spark: SparkSession, dir: String,
+      verdicts: DataFrame, dupCol: String, verbose: Boolean = false): Unit = {
+    import spark.implicits._
+    val assignPath = s"$dir/assign"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasParquet(p: String): Boolean = {
+      val pp = new org.apache.hadoop.fs.Path(p)
+      fs.exists(pp) && fs.listStatus(pp).exists(_.getPath.getName.endsWith(".parquet"))
+    }
+    val prior = if (hasParquet(assignPath)) spark.read.parquet(assignPath)
+      else Seq.empty[(String, String)].toDF("id", "component")
+    val edges = verdicts.filter(col(dupCol).isNotNull)
+      .select(col("url").as("src"), col(dupCol).as("dst"))
+    val merged = graft.cluster.IncrementalCC.merge(prior, edges)
+    // novel docs with no edge at all are their own singleton component;
+    // edge endpoints are already covered by merge's newAssign
+    val endpoints = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    val isolated = verdicts.filter(col(dupCol).isNull)
+      .select(col("url").as("id"), col("url").as("component"))
+      .join(endpoints, Seq("id"), "left_anti")
+    val next = graft.cluster.IncrementalCC.patch(prior, merged)
+      .unionByName(isolated)
+    val tmpP = new org.apache.hadoop.fs.Path(s"$dir/assign_next")
+    val curP = new org.apache.hadoop.fs.Path(assignPath)
+    val prevP = new org.apache.hadoop.fs.Path(s"$dir/assign_prev")
+    next.write.mode("overwrite").parquet(tmpP.toString)
+    if (verbose) {
+      val nRelabel = merged.relabel.count()
+      val nNew = merged.newAssign.count()
+      System.err.println(s"clusters: $nRelabel components relabeled, " +
+        s"$nNew ids joined existing/new merged components")
+    }
+    if (fs.exists(prevP)) fs.delete(prevP, true)
+    if (fs.exists(curP)) fs.rename(curP, prevP)
+    fs.rename(tmpP, curP)
+    fs.delete(prevP, true)
   }
 
   /** The shared incremental-mode sink: emit verdicts (progress-tapped,

@@ -248,6 +248,37 @@ object SparkEntry {
         TextStats.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextStats.bpeTokenCount(col("text")).as("n_bpe"))),
 
+    // ---- duplication profile (S6 stats-report analog at corpus
+    // grain): exact-dup group-size histogram — ONE map-side-combining
+    // digest groupBy then a tiny histogram aggregate; the corpus text
+    // never shuffles (digests do). The raw corpus has no exact text
+    // dups, so the check plants deterministic copies (doc_id % 50 == 0
+    // re-appended once, % 200 == 0 twice) — the histogram must read
+    // back the exact planted group sizes, not one vacuous row
+    "q_dup_profile" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("text"))
+      val planted = base.unionByName(
+          docs(s, dir).filter(col("doc_id") % 50 === 0).select(col("text")))
+        .unionByName(
+          docs(s, dir).filter(col("doc_id") % 200 === 0).select(col("text")))
+      planted
+        .groupBy(md5(coalesce(col("text"), lit("")).cast("binary")).as("digest"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("group_size"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("sz")).as("n_docs"))
+        .orderBy("group_size")
+    }),
+
+    // ---- corpus vocabulary: top-50 whitespace tokens (tokenizer-
+    // training prep). Map-side partial counts -> one small shuffle on
+    // token -> TakeOrderedAndProject top-k (never a global sort);
+    // deterministic tie-break on the token itself
+    "q_vocab" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextStats.tokens(lower(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token")).limit(50)),
+
     // ---- text analysis: quality features + composite score
     "q_quality" -> ((s, dir) => {
       val feats = TextStats.qualityFeatures(col("text"))
@@ -358,6 +389,55 @@ object SparkEntry {
           col("near_dup_of").cast("long").as("near_dup_of"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_id")
+    }),
+
+    // ---- incremental connected components: the odd half is "today's
+    // crawl"; the even half's clusters were computed by "a previous
+    // run" (materialized — the standing assignment table) and are
+    // PATCHED, never recomputed. Delta edges come from probing a
+    // (key -> keeper) snapshot of the prior star groups (the
+    // q_incremental shape: at scale the snapshot is scanned once
+    // map-side vs the broadcast batch keys); IncrementalCC then runs
+    // CC over ONLY the touched subgraph and broadcasts a relabel map
+    // for the affected components. Oracle: q_cc's full-corpus
+    // recursive min-label CTE — the patched assignment must equal a
+    // from-scratch run exactly.
+    "q_incremental_cc" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        lpad(col("doc_id").cast("string"), 12, "0").as("id"),
+        TextStats.fingerprintMd5(col("text")).as("fp"),
+        concat_ws("|", col("lang"), col("n_chars")).as("ident"))
+      val prior = d.filter(col("doc_id") % 2 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 1)
+      def star(part: DataFrame, key: String) = {
+        val w = Window.partitionBy(col(key))
+        part.select(col("id"), min(col("id")).over(w).as("m"))
+          .filter(col("id") =!= col("m"))
+          .select(col("id").as("src"), col("m").as("dst"))
+      }
+      val priorEdges = star(prior, "fp").unionByName(star(prior, "ident"))
+      val priorAssign = prior.select(col("id"))
+        .join(graft.cluster.ConnectedComponents.run(priorEdges), Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+        .localCheckpoint() // "the previous run's" persisted table
+      // delta edges: per key, batch docs link to the prior keeper when
+      // the key already exists, else star among themselves
+      def delta(key: String) = {
+        val snap = prior.groupBy(col(key)).agg(min(col("id")).as("keeper"))
+        val w = Window.partitionBy(col(key))
+        batch.select(col("id"), col(key))
+          .join(snap, Seq(key), "left")
+          .select(col("id"),
+            coalesce(col("keeper"), min(col("id")).over(w)).as("dst"))
+          .filter(col("id") =!= col("dst"))
+          .select(col("id").as("src"), col("dst"))
+      }
+      val deltaEdges = delta("fp").unionByName(delta("ident"))
+      val merged = graft.cluster.IncrementalCC.merge(priorAssign, deltaEdges)
+      val patched = graft.cluster.IncrementalCC.patch(priorAssign, merged)
+      d.select(col("id")).join(patched, Seq("id"), "left")
+        .select(col("id").cast("long").as("doc_id"),
+          coalesce(col("component"), col("id")).cast("long").as("component"))
     }),
 
     // ---- text analysis: n-gram-heuristic language id
@@ -835,6 +915,21 @@ object SparkEntry {
       "x -> CAST(CAST(x AS DOUBLE) * (1.0 + 0.0005 * ((vec_id % 7) - 3)) AS FLOAT)) AS embedding " +
       s"FROM embeddings WHERE vec_id < $firstN)"
 
+  /** Shared by q_cc and q_incremental_cc: the full-corpus recursive
+    * min-label CTE over both star-edge sets (fp, (lang, n_chars)).
+    */
+  private val ccOracleSql: String =
+    "WITH RECURSIVE d AS (SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS id, " +
+      "md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp, " +
+      "lang || '|' || CAST(n_chars AS VARCHAR) AS ident FROM documents), " +
+      "e1 AS (SELECT id AS src, min(id) OVER (PARTITION BY fp) AS dst FROM d), " +
+      "e2 AS (SELECT id AS src, min(id) OVER (PARTITION BY ident) AS dst FROM d), " +
+      "edges AS (SELECT src, dst FROM e1 WHERE src <> dst UNION SELECT src, dst FROM e2 WHERE src <> dst), " +
+      "sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges), " +
+      "lbl(id, comp) AS (SELECT id, id FROM d " +
+      "UNION SELECT s.dst, l.comp FROM lbl l JOIN sym s ON s.src = l.id AND l.comp < s.dst) " +
+      "SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS component FROM lbl GROUP BY id"
+
   def oracleSql: Map[String, String] = Map(
     "q_minhash_clusters" ->
       (s"WITH RECURSIVE $shingleCte, " +
@@ -1186,6 +1281,17 @@ object SparkEntry {
         "AS n_tokens, " +
         "CAST(CASE WHEN text IS NULL THEN 0 ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+')) END AS BIGINT) " +
         "AS n_bpe FROM documents"),
+    "q_dup_profile" ->
+      ("WITH c AS (SELECT text FROM documents " +
+        "UNION ALL SELECT text FROM documents WHERE doc_id % 50 = 0 " +
+        "UNION ALL SELECT text FROM documents WHERE doc_id % 200 = 0), " +
+        "g AS (SELECT md5(coalesce(text, '')) AS digest, count(*) AS sz FROM c GROUP BY 1) " +
+        "SELECT sz AS group_size, count(*) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_docs " +
+        "FROM g GROUP BY 1 ORDER BY 1"),
+    "q_vocab" ->
+      ("WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> '') " +
+        "SELECT token, count(*) AS n FROM toks GROUP BY token ORDER BY n DESC, token LIMIT 50"),
     "q_quality" ->
       ("WITH b AS (SELECT doc_id, coalesce(trim(text), '') AS t, " +
         "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks0 FROM documents), " +
@@ -1238,17 +1344,10 @@ object SparkEntry {
         "(len(l.bg) + len(r.bg) - len(list_intersect(l.bg, r.bg))), 6) AS jaccard " +
         "FROM d l JOIN d r ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id " +
         "ORDER BY src, dst"),
-    "q_cc" ->
-      ("WITH RECURSIVE d AS (SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS id, " +
-        "md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp, " +
-        "lang || '|' || CAST(n_chars AS VARCHAR) AS ident FROM documents), " +
-        "e1 AS (SELECT id AS src, min(id) OVER (PARTITION BY fp) AS dst FROM d), " +
-        "e2 AS (SELECT id AS src, min(id) OVER (PARTITION BY ident) AS dst FROM d), " +
-        "edges AS (SELECT src, dst FROM e1 WHERE src <> dst UNION SELECT src, dst FROM e2 WHERE src <> dst), " +
-        "sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges), " +
-        "lbl(id, comp) AS (SELECT id, id FROM d " +
-        "UNION SELECT s.dst, l.comp FROM lbl l JOIN sym s ON s.src = l.id AND l.comp < s.dst) " +
-        "SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS component FROM lbl GROUP BY id"),
+    "q_cc" -> ccOracleSql,
+    // same oracle by construction: the incremental path must reproduce
+    // a from-scratch full-corpus run exactly
+    "q_incremental_cc" -> ccOracleSql,
     "q_embedding_dup" ->
       (s"WITH ${plantedSql(50, "pl")}, " +
         "c AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id, embedding FROM pl), " +

@@ -1049,6 +1049,37 @@ class IncrementalCliSpec extends SparkSpec {
     assert(out("https://b.example/2")._1.contains("beta42"), "unique text survives")
   }
 
+  test("--clusters-snapshot maintains a standing assignment across incremental runs") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ccsnap").toString
+    val (snapDir, ccDir) = (s"$base/snap", s"$base/cc")
+    def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    def assign(): Map[String, String] =
+      spark.read.parquet(s"$ccDir/assign").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    // crawl 1: B dups A, C novel -> clusters {A,B}, {C}
+    val v1 = graft.Main.runIncremental(spark, mk(Seq(
+      ("A", "alpha text"), ("B", "alpha text"), ("C", "beta text"))), snapDir)
+    graft.Main.maintainClusters(spark, ccDir, v1, "dup_of")
+    assert(assign() == Map("A" -> "A", "B" -> "A", "C" -> "C"))
+    // crawl 2: D dups A via the snapshot (batch 1 never re-read);
+    // E/F are a new intra-batch pair
+    val v2 = graft.Main.runIncremental(spark, mk(Seq(
+      ("D", "alpha text"), ("E", "gamma text"), ("F", "gamma text"))), snapDir)
+    graft.Main.maintainClusters(spark, ccDir, v2, "dup_of")
+    assert(assign() == Map("A" -> "A", "B" -> "A", "C" -> "C",
+      "D" -> "A", "E" -> "E", "F" -> "E"))
+    // crawl 3: a batch id below the standing root relabels the
+    // whole component (the broadcast-relabel path, not an append)
+    val v3 = graft.Main.runIncremental(spark, mk(Seq(
+      ("0-first", "gamma text"))), snapDir)
+    graft.Main.maintainClusters(spark, ccDir, v3, "dup_of")
+    assert(assign() == Map("A" -> "A", "B" -> "A", "C" -> "C",
+      "D" -> "A", "E" -> "0-first", "F" -> "0-first", "0-first" -> "0-first"))
+  }
+
   test("a failing emit sink leaves the snapshot unpoisoned (append runs after sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snap2").toString + "/snap"
     def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
@@ -1076,6 +1107,13 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     val c = graft.Main.parse(List("--input", "x.parquet", "--near-snapshot", "/tmp/n"))
     assert(c.nearSnapshot.contains("/tmp/n") && c.snapshot.isEmpty)
     assert(graft.Main.parse(List("--input", "x.parquet")).nearSnapshot.isEmpty)
+  }
+
+  test("--clusters-snapshot parses a directory argument") {
+    val c = graft.Main.parse(List("--input", "x.parquet",
+      "--snapshot", "/tmp/s", "--clusters-snapshot", "/tmp/c"))
+    assert(c.clustersSnapshot.contains("/tmp/c"))
+    assert(graft.Main.parse(List("--input", "x.parquet")).clustersSnapshot.isEmpty)
   }
 
   test("repeatable --alg accumulates across interleaved options (CLI.pm parity)") {
