@@ -76,6 +76,18 @@ import graft.report.Report
   *   --byte-verify           append a full byte-compare level to the
   *                           cascade (Theory.pod:113-118 — closes the
   *                           hash-collision caveat; off by default)
+  *   --jaccard T             target near-dup Jaccard threshold in
+  *                           (0,1): the MinHash banding (bands × rows)
+  *                           is PLANNED for T via [[graft.near
+  *                           .LshPlanner.configFor]] (S-curve FP+FN
+  *                           area minimization) instead of the ship
+  *                           default 32×4 (midpoint ≈ 0.42); applies
+  *                           to the pipeline near-dup stage and to
+  *                           --near-snapshot (where the planned
+  *                           banding is PINNED in DIR/config.json on
+  *                           bootstrap — later runs must match, a
+  *                           snapshot's band hashes are only
+  *                           comparable under one banding)
   *   --substring [MINSHARED] opt-in duplicated-window edge stage
   *                           (Lee et al. partial-overlap policy)
   *   --longrun [MINLEN]      opt-in exact-shared-run edge stage
@@ -104,6 +116,7 @@ object Main {
       clustersSnapshot: Option[String] = None,
       keepPolicy: String = "min",
       byteVerify: Boolean = false,
+      jaccard: Option[Double] = None,
       substring: Option[Int] = None, // minShared windows
       longrun: Option[Int] = None, // minLen chars
       progress: Boolean = false,
@@ -131,6 +144,11 @@ object Main {
     case "--keep-policy" :: v :: _ =>
       throw new IllegalArgumentException(s"unknown --keep-policy: $v (min|quality|quality:model)")
     case "--byte-verify" :: rest => parse(rest, c.copy(byteVerify = true), algsSet)
+    case "--jaccard" :: v :: rest
+        if scala.util.Try(v.toDouble).toOption.exists(t => t > 0.0 && t < 1.0) =>
+      parse(rest, c.copy(jaccard = Some(v.toDouble)), algsSet)
+    case "--jaccard" :: v :: _ =>
+      throw new IllegalArgumentException(s"--jaccard must be in (0,1), got: $v")
     // length <= 9 keeps v.toInt in range — an over-Int literal like
     // 99999999999 falls through to the usage error, not a raw
     // NumberFormatException (ADVICE r4 #5)
@@ -187,7 +205,7 @@ object Main {
     }
     conf.nearSnapshot.foreach { dir =>
       val verdicts = runIncrementalNear(spark, docs, dir,
-        incrementalSink(spark, conf, "incremental_near"))
+        incrementalSink(spark, conf, "incremental_near"), minhashConfigOf(conf))
       conf.clustersSnapshot.foreach(cdir =>
         maintainClusters(spark, cdir, verdicts, "near_dup_of", conf.verbose))
       spark.stop()
@@ -201,6 +219,7 @@ object Main {
       ignoreEmpty = conf.ignoreEmpty,
       useMinHash = !conf.exactOnly,
       useSimHash = !conf.exactOnly,
+      minhash = minhashConfigOf(conf),
       useSubstring = conf.substring.isDefined,
       substring = conf.substring.map(m =>
         DedupPipeline.SubstringConfig(minShared = m))
@@ -393,17 +412,43 @@ object Main {
     * and becomes the snapshot), sink the verdicts FIRST (a failed emit
     * never poisons the snapshot — the --snapshot crash-safety
     * contract), then append the band+sig delta for retained docs.
+    *
+    * The banding is PINNED at bootstrap: a snapshot's band hashes are
+    * only comparable under the (shingleK, numPerms, bands) they were
+    * computed with, so the config is written to `dir`/config.json on
+    * the first run and later runs must present the same one (a
+    * mismatched --jaccard fails fast instead of silently probing
+    * incomparable buckets).
     */
   private[graft] def runIncrementalNear(spark: SparkSession, docs: DataFrame,
-      dir: String, sink: DataFrame => Unit = _ => ()): DataFrame = {
+      dir: String, sink: DataFrame => Unit = _ => (),
+      cfg0: graft.near.MinHashLSH.Config = graft.near.MinHashLSH.Config()): DataFrame = {
     import graft.engine.IncrementalNearDup
-    val cfg = graft.near.MinHashLSH.Config()
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hasTable(name: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
       fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
     }
+    def pinOf(c: graft.near.MinHashLSH.Config): String =
+      s"""{"shingleK":${c.shingleK},"numPerms":${c.numPerms},"bands":${c.bands},""" +
+        s""""seed":${c.seed},"jaccardThreshold":${c.jaccardThreshold}}"""
+    val pinPath = new org.apache.hadoop.fs.Path(s"$dir/config.json")
+    val cfg =
+      if (fs.exists(pinPath)) {
+        val in = fs.open(pinPath)
+        val pinned = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        require(pinned == pinOf(cfg0),
+          s"near-snapshot $dir was bootstrapped with banding $pinned; " +
+            s"this run requests ${pinOf(cfg0)} — band hashes are not comparable " +
+            "across bandings (re-bootstrap a fresh snapshot dir to change --jaccard)")
+        cfg0
+      } else {
+        val out = fs.create(pinPath, true)
+        try out.write(pinOf(cfg0).getBytes("UTF-8")) finally out.close()
+        cfg0
+      }
     val snap =
       if (hasTable("bands") && hasTable("sigs"))
         IncrementalNearDup.Snapshot(
@@ -417,6 +462,16 @@ object Main {
     delta.sigs.write.mode("append").parquet(s"$dir/sigs")
     verdicts
   }
+
+  /** The near-dup MinHash config for this invocation: the ship
+    * default (32 bands × 4 rows, midpoint ≈ 0.42), or — under
+    * `--jaccard T` — the [[graft.near.LshPlanner]]-optimal divisor
+    * banding for T. Driver-side closed-form arithmetic; at corpus
+    * scale the (bands, rows) choice IS the candidate-volume lever.
+    */
+  private[graft] def minhashConfigOf(conf: Conf): graft.near.MinHashLSH.Config =
+    conf.jaccard.map(t => graft.near.LshPlanner.configFor(t))
+      .getOrElse(graft.near.MinHashLSH.Config())
 
   /** One (cluster_id, keep_id, best_score) row per cluster under a
     * non-default keep policy, or None for `min` (the pipeline's

@@ -1027,6 +1027,26 @@ class IncrementalCliSpec extends SparkSpec {
     assert(sigIds == Set("A", "C", "D"), "near-dup B never enters the snapshot")
   }
 
+  test("--near-snapshot pins its banding: a mismatched --jaccard config fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsnap-pin").toString + "/snap"
+    def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    val doc = (0 until 100).map(i => s"tok$i").mkString(" ")
+    val planned = graft.near.LshPlanner.configFor(0.8)
+    graft.Main.runIncrementalNear(spark, mk(Seq(("A", doc))), dir, cfg0 = planned)
+    // same planned config: accepted (the normal continuous-ingest path)
+    graft.Main.runIncrementalNear(spark,
+      mk(Seq(("B", (0 until 100).map(i => s"oth$i").mkString(" ")))), dir, cfg0 = planned)
+    // different banding: refused before any probe
+    val ex = intercept[IllegalArgumentException] {
+      graft.Main.runIncrementalNear(spark, mk(Seq(("C", doc))), dir,
+        cfg0 = graft.near.MinHashLSH.Config())
+    }
+    assert(ex.getMessage.contains("not comparable"))
+  }
+
   test("--format spans cuts a cross-doc shared run at any alignment (full Lee policy via CLI path)") {
     // two docs in DIFFERENT clusters (not near-dups) sharing one exact
     // 100-char run at different offsets: doc-level dedup keeps both,
@@ -1107,6 +1127,23 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     val c = graft.Main.parse(List("--input", "x.parquet", "--near-snapshot", "/tmp/n"))
     assert(c.nearSnapshot.contains("/tmp/n") && c.snapshot.isEmpty)
     assert(graft.Main.parse(List("--input", "x.parquet")).nearSnapshot.isEmpty)
+  }
+
+  test("--jaccard plans the MinHash banding via LshPlanner (and validates its range)") {
+    val c = graft.Main.parse(List("--input", "x.parquet", "--jaccard", "0.8"))
+    assert(c.jaccard.contains(0.8))
+    val cfg = graft.Main.minhashConfigOf(c)
+    assert(cfg == graft.near.LshPlanner.configFor(0.8))
+    assert(cfg.jaccardThreshold == 0.8 && 128 % cfg.bands == 0)
+    // default invocation keeps the ship default banding
+    assert(graft.Main.minhashConfigOf(graft.Main.parse(List("--input", "x.parquet")))
+      == graft.near.MinHashLSH.Config())
+    intercept[IllegalArgumentException] {
+      graft.Main.parse(List("--input", "x.parquet", "--jaccard", "1.5"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.Main.parse(List("--input", "x.parquet", "--jaccard", "abc"))
+    }
   }
 
   test("--clusters-snapshot parses a directory argument") {
