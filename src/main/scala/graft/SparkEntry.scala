@@ -540,6 +540,60 @@ object SparkEntry {
         .orderBy("src", "dst")
     }),
 
+    // ---- SemDeDup (Abbas et al. 2023): semantic dedup via the IVF
+    // k-means coarse quantizer — assign cell map-side, pair WITHIN
+    // cells through the bounded drain, exact-cosine verify. Planted
+    // scaled copies share their original's direction, so they share
+    // its argmax cell under ANY trained centroids — within-cell recall
+    // is structural, and the oracle can be the same brute-force
+    // all-pairs cosine that checks the hyperplane-LSH path
+    // (q_embedding_dup): two different approximate operators, one
+    // exact truth.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val corpus = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        .unionByName(plantedCopies(embeddings(s, dir), 50, 100000L))
+      val centroids = graft.sim.Ivf.trainCheckpointed(corpus,
+        new graft.checkpoint.Catalog(ivfCatalogRoot, s), "semdedup_centroids",
+        inputLineage = s"$dir/embeddings.parquet+planted50", k = 16, iters = 3)
+      graft.sim.SemDeDup.edges(corpus, centroids, 0.99, maxCell = 1000000)
+        .select(col("src"), col("dst"), col("score"))
+        .orderBy("src", "dst")
+    }),
+
+    // ---- leakage-safe train/val/test split: the split is a pure
+    // function of the normalized-text FINGERPRINT (exact-dup groups
+    // can never straddle the eval boundary), map-only — zero shuffles
+    // at any corpus size. Oracle recomputes the md5-prefix u32 bucket
+    // and the integer cumulative thresholds verbatim.
+    "q_leakage_split" -> ((s, dir) =>
+      graft.corpus.Splits.byFingerprint(docs(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          graft.text.TextStats.fingerprintMd5(col("text")).as("fp"), col("split"))),
+
+    // ---- domain blocklist filter (C4/Dolma release hygiene): drop
+    // docs whose REGISTRABLE domain (PSL-heuristic: cc second-levels
+    // get three labels) is blocked — subdomains match for free. The
+    // corpus has no url column, so deterministic urls are synthesized
+    // from doc_id (the q_url_canon discipline); the oracle repeats the
+    // identical regex chain + NOT IN list.
+    "q_domain_filter" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val url = when(id % 7 === 0, concat(lit("https://ads.tracker.example/p/"), ids))
+        .when(id % 7 === 1, concat(lit("http://www.spamfarm.co.uk/x?id="), ids))
+        .when(id % 7 === 2, concat(lit("https://sub.deep.spamfarm.co.uk/y/"), ids))
+        .when(id % 7 === 3, concat(lit("https://news.example.org/a/"), ids))
+        .when(id % 7 === 4, concat(lit("HTTP://Mixed.Case.Example.ORG:80/b/"), ids))
+        .when(id % 7 === 5, concat(lit("https://blog.example.com:8443/c?p="), ids))
+        .otherwise(concat(lit("nota url "), ids))
+      val d = docs(s, dir).select(id, url.as("url"))
+      graft.text.UrlNorm.dropBlockedDomains(d,
+          Seq("tracker.example", "spamfarm.co.uk"))
+        .select(col("doc_id"), col("url"),
+          graft.text.UrlNorm.registrableDomain(col("url")).as("domain"))
+        .orderBy("doc_id")
+    }),
+
     // ---- duplicated-substring windows [EXT]: md5 of each 20-token
     // window (stride 10); per-doc window count + how many of its
     // windows also occur in ≥1 other doc
@@ -1357,6 +1411,41 @@ object SparkEntry {
         "list_dot_product(l.v, r.v) AS dot FROM e l JOIN e r ON l.vec_id < r.vec_id), " +
         "sc AS (SELECT src, dst, round(CASE WHEN na > 0 AND nb > 0 THEN dot / sqrt(na * nb) ELSE 0.0 END, 6) AS score FROM s) " +
         "SELECT src, dst, score FROM sc WHERE score >= 0.99 ORDER BY src, dst"),
+    // same exact truth as q_embedding_dup (brute-force all-pairs
+    // cosine): the SemDeDup cell-blocked path and the hyperplane-LSH
+    // path must both reproduce it
+    "q_semantic_dedup" ->
+      (s"WITH ${plantedSql(50, "pl")}, " +
+        "c AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id, embedding FROM pl), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM c), " +
+        "s AS (SELECT l.vec_id AS src, r.vec_id AS dst, " +
+        "list_dot_product(l.v, l.v) AS na, list_dot_product(r.v, r.v) AS nb, " +
+        "list_dot_product(l.v, r.v) AS dot FROM e l JOIN e r ON l.vec_id < r.vec_id), " +
+        "sc AS (SELECT src, dst, round(CASE WHEN na > 0 AND nb > 0 THEN dot / sqrt(na * nb) ELSE 0.0 END, 6) AS score FROM s) " +
+        "SELECT src, dst, score FROM sc WHERE score >= 0.99 ORDER BY src, dst"),
+    "q_leakage_split" ->
+      ("WITH d AS (SELECT doc_id, md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp FROM documents), " +
+        "b AS (SELECT doc_id, fp, CAST('0x' || substr(md5('graft' || fp), 1, 8) AS BIGINT) AS bk FROM d) " +
+        "SELECT doc_id, fp, CASE WHEN bk < 3435973836 THEN 'train' " +
+        "WHEN bk < 3865470566 THEN 'val' ELSE 'test' END AS split FROM b"),
+    "q_domain_filter" ->
+      ("WITH u AS (SELECT doc_id, CASE doc_id % 7 " +
+        "WHEN 0 THEN 'https://ads.tracker.example/p/' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 1 THEN 'http://www.spamfarm.co.uk/x?id=' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 2 THEN 'https://sub.deep.spamfarm.co.uk/y/' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 3 THEN 'https://news.example.org/a/' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 4 THEN 'HTTP://Mixed.Case.Example.ORG:80/b/' || CAST(doc_id AS VARCHAR) " +
+        "WHEN 5 THEN 'https://blog.example.com:8443/c?p=' || CAST(doc_id AS VARCHAR) " +
+        "ELSE 'nota url ' || CAST(doc_id AS VARCHAR) END AS url FROM documents), " +
+        "h AS (SELECT doc_id, url, regexp_replace(" +
+        "regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', '') AS host FROM u), " +
+        "r AS (SELECT doc_id, url, host, " +
+        "regexp_extract(host, '([^.]+\\.(?:co|com|net|org|ac|gov|edu)\\.[a-z][a-z])$', 1) AS three, " +
+        "regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS two FROM h), " +
+        "dd AS (SELECT doc_id, url, CASE WHEN three <> '' THEN three " +
+        "WHEN two <> '' THEN two ELSE host END AS domain FROM r) " +
+        "SELECT doc_id, url, domain FROM dd " +
+        "WHERE domain NOT IN ('tracker.example', 'spamfarm.co.uk') ORDER BY doc_id"),
     "q_substring" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents), " +
         "w AS (SELECT doc_id, CASE WHEN len(ts) < 20 THEN CAST([] AS VARCHAR[]) " +

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization — the standard webtext dedup KEY
@@ -57,4 +57,41 @@ object UrlNorm {
     when(url.isNull, lit(null).cast("string"))
       .otherwise(regexp_replace(joined, "/$", ""))
   }
+
+  /** Host of a URL, lowercased, port stripped; "" for non-URLs
+    * (Spark's regexp_extract no-match convention, shared by DuckDB).
+    */
+  def host(url: Column): Column =
+    regexp_replace(
+      regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1),
+      ":[0-9]+$", "")
+
+  /** Registrable domain of a URL under the common-suffix heuristic:
+    * the last two host labels, or the last THREE when the second-level
+    * label is a conventional country-code second-level
+    * (co|com|net|org|ac|gov|edu under a two-letter ccTLD — covers
+    * co.uk/com.au/ac.jp-class suffixes). A full public-suffix list is
+    * a data file, not an algorithm — swap the regex for a broadcast
+    * PSL lookup in production; the heuristic keeps the operator
+    * closed-form and oracle-checkable. IP-literal hosts have no
+    * registrable domain — match blocklists on [[host]] for those.
+    */
+  def registrableDomain(url: Column): Column = {
+    val h = host(url)
+    val three = regexp_extract(h,
+      "([^.]+\\.(?:co|com|net|org|ac|gov|edu)\\.[a-z][a-z])$", 1)
+    val two = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    when(three =!= "", three).otherwise(when(two =!= "", two).otherwise(h))
+  }
+
+  /** Domain blocklist filter (the C4/Dolma release-hygiene pass: drop
+    * every document from a blocked site). Matching on the REGISTRABLE
+    * domain makes subdomains free: any host under `spamfarm.co.uk`
+    * matches the one blocklist entry. Codegen'd `isin` against a
+    * driver-side list — the blocklist is config-sized; for a
+    * million-entry list join against a broadcast table instead.
+    */
+  def dropBlockedDomains(docs: DataFrame, blocked: Seq[String],
+      urlCol: String = "url"): DataFrame =
+    docs.filter(!registrableDomain(col(urlCol)).isin(blocked: _*))
 }
