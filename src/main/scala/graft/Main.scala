@@ -20,7 +20,7 @@ import graft.report.Report
   *   --ignore-empty          drop zero-byte docs (F2)
   *   --exact-only            skip MinHash/SimHash/CC extensions
   *   --outfile PATH|-        tab report destination (default stdout)
-  *   --format report|clusters|clean|lines|spans  output shape: P2 tab
+  *   --format report|clusters|clean|lines|spans|splits  output: P2 tab
   *                           report, normalized (url, cluster_id),
   *                           the chunk-deduped corpus (url,
   *                           clean_text — the TILED Lee et al.
@@ -76,6 +76,19 @@ import graft.report.Report
   *   --byte-verify           append a full byte-compare level to the
   *                           cascade (Theory.pod:113-118 — closes the
   *                           hash-collision caveat; off by default)
+  *   --block-domains LIST    comma-separated registrable-domain
+  *                           blocklist (C4/Dolma release hygiene):
+  *                           docs whose url's registrable domain
+  *                           matches are dropped BEFORE dedup —
+  *                           subdomains match for free
+  *                           (UrlNorm.registrableDomain)
+  *   --split SPEC            with --format splits: the fraction spec
+  *                           `name=frac,...` (default
+  *                           train=0.8,val=0.1,test=0.1); output is
+  *                           (url, split) assigned per DUP CLUSTER
+  *                           (Splits.byAssignment over the pipeline
+  *                           clusters) so no duplicate pair straddles
+  *                           the eval boundary
   *   --jaccard T             target near-dup Jaccard threshold in
   *                           (0,1): the MinHash banding (bands × rows)
   *                           is PLANNED for T via [[graft.near
@@ -117,6 +130,8 @@ object Main {
       keepPolicy: String = "min",
       byteVerify: Boolean = false,
       jaccard: Option[Double] = None,
+      blockDomains: Seq[String] = Nil,
+      split: Option[Seq[(String, Double)]] = None,
       substring: Option[Int] = None, // minShared windows
       longrun: Option[Int] = None, // minLen chars
       progress: Boolean = false,
@@ -144,6 +159,22 @@ object Main {
     case "--keep-policy" :: v :: _ =>
       throw new IllegalArgumentException(s"unknown --keep-policy: $v (min|quality|quality:model)")
     case "--byte-verify" :: rest => parse(rest, c.copy(byteVerify = true), algsSet)
+    case "--block-domains" :: v :: rest if v.nonEmpty && !v.startsWith("--") =>
+      parse(rest, c.copy(blockDomains =
+        c.blockDomains ++ v.split(",").map(_.trim).filter(_.nonEmpty)), algsSet)
+    case "--split" :: v :: rest if v.contains("=") =>
+      val fracs = v.split(",").toSeq.map { part =>
+        part.split("=", 2) match {
+          case Array(n, f) if n.nonEmpty && scala.util.Try(f.toDouble).isSuccess =>
+            n.trim -> f.toDouble
+          case _ => throw new IllegalArgumentException(
+            s"--split expects name=frac,... got: $v")
+        }
+      }
+      graft.corpus.Splits.thresholds(fracs) // fail fast on bad fractions
+      parse(rest, c.copy(split = Some(fracs)), algsSet)
+    case "--split" :: v :: _ =>
+      throw new IllegalArgumentException(s"--split expects name=frac,... got: $v")
     case "--jaccard" :: v :: rest
         if scala.util.Try(v.toDouble).toOption.exists(t => t > 0.0 && t < 1.0) =>
       parse(rest, c.copy(jaccard = Some(v.toDouble)), algsSet)
@@ -187,9 +218,14 @@ object Main {
     // repeated-input skip (F6, CLI.pm:179-183) + accumulation across
     // inputs (Files.pm:36-44): union of source reads
     val docs0 = conf.inputs.distinct.map(load(spark, _)).reduce(_ unionByName _)
+    // release-hygiene pre-filter: blocked domains never enter the
+    // pipeline (map-side codegen'd filter — pushes to the scan)
+    val docs1 =
+      if (conf.blockDomains.isEmpty) docs0
+      else graft.text.UrlNorm.dropBlockedDomains(docs0, conf.blockDomains)
     val docs =
-      if (conf.progress) graft.progress.Progress.tap(docs0, "scan_docs", Some("html"))
-      else docs0
+      if (conf.progress) graft.progress.Progress.tap(docs1, "scan_docs", Some("html"))
+      else docs1
 
     // incremental mode short-circuits the clustering pipeline: the
     // batch is judged against the accumulated digest snapshot only.
@@ -239,7 +275,7 @@ object Main {
     // the metrics count share one computation.
     val keepers = keepPolicyKeepers(docs, result, conf.keepPolicy)
     keepers.foreach(_.persist())
-    val out0 = formatOutput(docs, result, conf.format, keepers)
+    val out0 = formatOutput(docs, result, conf.format, keepers, conf.split)
     val out =
       if (conf.progress) graft.progress.Progress.tap(out0, "report_out") else out0
     if (conf.debug) System.err.println(out.queryExecution.explainString(
@@ -489,7 +525,8 @@ object Main {
     */
   private[graft] def formatOutput(docs: DataFrame,
       result: DedupPipeline.Result, format: String,
-      keepers: Option[DataFrame]): DataFrame = {
+      keepers: Option[DataFrame],
+      splitFracs: Option[Seq[(String, Double)]] = None): DataFrame = {
     // survivor set for the corpus-shaped formats: one url per cluster
     def survivors: DataFrame = keepers match {
       case Some(k) => k.select(col("keep_id").as("url"))
@@ -533,6 +570,18 @@ object Main {
           col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
         graft.substring.SpanRemoval.removeSharedRuns(canon)
           .select(col("id").as("url"), escaped.as("clean_text"), col("n_removed"))
+      case "splits" =>
+        // leakage-safe train/val/test labels at CLUSTER grain: the
+        // split hashes the cluster component, so no dup/near-dup pair
+        // the pipeline found can straddle the eval boundary
+        val fracs = splitFracs.getOrElse(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        graft.corpus.Splits.byAssignment(
+            docs.select("url"),
+            result.clusters.select(col("url").as("id"),
+              col("cluster_id").as("component")),
+            idCol = "url", fracs = fracs)
+          .select(col("url"), col("split"))
       case _ => result.report
     }
   }

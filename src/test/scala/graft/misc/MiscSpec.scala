@@ -1027,6 +1027,30 @@ class IncrementalCliSpec extends SparkSpec {
     assert(sigIds == Set("A", "C", "D"), "near-dup B never enters the snapshot")
   }
 
+  test("--format splits assigns leakage-safe labels: a dup pair never straddles the boundary") {
+    def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    // 40 exact-dup pairs + 40 singles; every pair must land together
+    val docs = mk((0 until 40).flatMap { i =>
+      val body = (0 until 30).map(j => s"pair$i tok$j").mkString(" ")
+      Seq((f"https://a.example/$i%03d", body), (f"https://b.example/$i%03d", body))
+    } ++ (0 until 40).map(i =>
+      (f"https://c.example/$i%03d", (0 until 30).map(j => s"solo$i w$j").mkString(" "))))
+    val result = graft.pipeline.DedupPipeline.run(docs)
+    val out = graft.Main.formatOutput(docs, result, "splits", None,
+        Some(Seq("train" -> 0.5, "test" -> 0.5)))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.size == 120)
+    (0 until 40).foreach { i =>
+      assert(out(f"https://a.example/$i%03d") == out(f"https://b.example/$i%03d"),
+        s"dup pair $i straddles the split")
+    }
+    val trainN = out.values.count(_ == "train")
+    assert(trainN > 20 && trainN < 100, s"degenerate split: $trainN/120 train")
+  }
+
   test("--near-snapshot pins its banding: a mismatched --jaccard config fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nsnap-pin").toString + "/snap"
     def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
@@ -1127,6 +1151,21 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     val c = graft.Main.parse(List("--input", "x.parquet", "--near-snapshot", "/tmp/n"))
     assert(c.nearSnapshot.contains("/tmp/n") && c.snapshot.isEmpty)
     assert(graft.Main.parse(List("--input", "x.parquet")).nearSnapshot.isEmpty)
+  }
+
+  test("--block-domains and --split parse (and --split validates fractions)") {
+    val c = graft.Main.parse(List("--input", "x.parquet",
+      "--block-domains", "spam.example,ads.co.uk",
+      "--split", "train=0.9,holdout=0.1"))
+    assert(c.blockDomains == Seq("spam.example", "ads.co.uk"))
+    assert(c.split.contains(Seq("train" -> 0.9, "holdout" -> 0.1)))
+    intercept[IllegalArgumentException] {
+      graft.Main.parse(List("--input", "x.parquet", "--split", "train=0.9,val=0.3"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.Main.parse(List("--input", "x.parquet", "--split", "garbage"))
+    }
+    assert(graft.Main.parse(List("--input", "x.parquet")).blockDomains.isEmpty)
   }
 
   test("--jaccard plans the MinHash banding via LshPlanner (and validates its range)") {
