@@ -594,6 +594,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- mixture resampling (data-mixing weights): deterministic
+    // floor(w) + Bernoulli(frac(w)) repetition per source — the
+    // md5-prefix coin and integer-exact thresholds are recomputed
+    // verbatim by the oracle; copy fan-out is a map-side explode
+    "q_mixture" -> ((s, dir) => {
+      val weights = (0 until 20).flatMap { i =>
+        (i % 4) match {
+          case 0 => Some(s"src$i" -> 0.5)
+          case 1 => Some(s"src$i" -> 2.0)
+          case 2 => Some(s"src$i" -> 1.25)
+          case _ => None // absent → default weight 1.0
+        }
+      }.toMap
+      graft.corpus.Mixture.resample(
+          docs(s, dir).select(col("doc_id"), col("source")), weights)
+        .select(col("doc_id"), col("source"), col("copy_ix"))
+        .orderBy("doc_id", "copy_ix")
+    }),
+
     // ---- duplicated-substring windows [EXT]: md5 of each 20-token
     // window (stride 10); per-doc window count + how many of its
     // windows also occur in ≥1 other doc
@@ -1423,6 +1442,16 @@ object SparkEntry {
         "list_dot_product(l.v, r.v) AS dot FROM e l JOIN e r ON l.vec_id < r.vec_id), " +
         "sc AS (SELECT src, dst, round(CASE WHEN na > 0 AND nb > 0 THEN dot / sqrt(na * nb) ELSE 0.0 END, 6) AS score FROM s) " +
         "SELECT src, dst, score FROM sc WHERE score >= 0.99 ORDER BY src, dst"),
+    "q_mixture" ->
+      ("WITH ints AS (SELECT i AS copy_ix FROM range(0, 4) t(i)), " +
+        "w AS (SELECT doc_id, source, CAST(CASE (CAST(substr(source, 4) AS INT) % 4) " +
+        "WHEN 0 THEN 0.5 WHEN 1 THEN 2.0 WHEN 2 THEN 1.25 ELSE 1.0 END AS DOUBLE) AS w " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, source, CAST(floor(w) AS BIGINT) + " +
+        "CASE WHEN CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) " +
+        "< floor((w - floor(w)) * 4294967296.0) THEN 1 ELSE 0 END AS copies FROM w) " +
+        "SELECT doc_id, source, CAST(copy_ix AS BIGINT) AS copy_ix FROM c " +
+        "JOIN ints ON copy_ix < copies ORDER BY doc_id, copy_ix"),
     "q_leakage_split" ->
       ("WITH d AS (SELECT doc_id, md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp FROM documents), " +
         "b AS (SELECT doc_id, fp, CAST('0x' || substr(md5('graft' || fp), 1, 8) AS BIGINT) AS bk FROM d) " +
