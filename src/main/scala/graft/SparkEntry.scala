@@ -613,6 +613,26 @@ object SparkEntry {
         .orderBy("doc_id", "copy_ix")
     }),
 
+    // ---- cross-source shingle-overlap audit: exact pairwise Jaccard
+    // of per-source distinct 3-gram sets (one shingle-keyed shuffle,
+    // source-set state bounded by #sources; the MinHash-sketch
+    // estimate path is OverlapSpec's property)
+    "q_corpus_overlap" -> ((s, dir) =>
+      graft.corpus.Overlap.exactPairs(docs(s, dir), k = 3)),
+
+    // ---- corpus bigram-LM scoring (CCNet/KenLM-shaped quality
+    // signal): add-one-smoothed log-probs as integer micro-nats so the
+    // per-doc sum is order-independent; count tables shuffle-joined,
+    // never broadcast
+    "q_lm_score" -> ((s, dir) =>
+      graft.text.NgramLm.scoreSelf(docs(s, dir))),
+
+    // ---- BPE merge-candidate counts (tokenizer-training prep): pair
+    // counts over the WORD-COUNT table, not the corpus — the explode
+    // runs over |vocab| rows weighted by frequency
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.text.BpeMerges.topMerges(docs(s, dir), k = 50)),
+
     // ---- duplicated-substring windows [EXT]: md5 of each 20-token
     // window (stride 10); per-doc window count + how many of its
     // windows also occur in ≥1 other doc
@@ -1495,6 +1515,42 @@ object SparkEntry {
         "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(28,8)), 2) * 100 AS BIGINT) " +
         "AS sum_disc_price_cents, " +
         "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus " +
-        "ORDER BY l_returnflag, l_linestatus")
+        "ORDER BY l_returnflag, l_linestatus"),
+    "q_corpus_overlap" ->
+      ("WITH t AS (SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS ts " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "g AS (SELECT source, unnest(list_transform(range(1, len(ts) - 1), " +
+        "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh FROM t WHERE len(ts) >= 3), " +
+        "d AS (SELECT DISTINCT source, sh FROM g), " +
+        "tot AS (SELECT source, count(*) AS n FROM d GROUP BY source), " +
+        "sh2 AS (SELECT a.source AS sa, b.source AS sb, count(*) AS ns " +
+        "FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT ta.source AS source_a, tb.source AS source_b, ta.n AS n_a, tb.n AS n_b, " +
+        "coalesce(s.ns, 0) AS n_shared, " +
+        "round(CAST(coalesce(s.ns, 0) AS DOUBLE) / (ta.n + tb.n - coalesce(s.ns, 0)), 6) AS jaccard " +
+        "FROM tot ta JOIN tot tb ON ta.source < tb.source " +
+        "LEFT JOIN sh2 s ON s.sa = ta.source AND s.sb = tb.source"),
+    "q_lm_score" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "bg AS (SELECT doc_id, split_part(b, ' ', 1) AS w1, b AS bigram FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS b " +
+        "FROM t WHERE len(ts) >= 2)), " +
+        "uni AS (SELECT w, count(*) AS c_uni FROM (SELECT unnest(ts) AS w FROM t) GROUP BY w), " +
+        "vv AS (SELECT count(*) AS v FROM uni), " +
+        "bc AS (SELECT bigram, count(*) AS c_big FROM bg GROUP BY bigram), " +
+        "sc AS (SELECT g.doc_id, CAST(round(ln((bc.c_big + 1.0) / (uni.c_uni + vv.v)) * 1000000.0) AS BIGINT) AS lp " +
+        "FROM bg g JOIN bc ON g.bigram = bc.bigram JOIN uni ON g.w1 = uni.w CROSS JOIN vv), " +
+        "per AS (SELECT doc_id, count(*) AS n, sum(lp) AS sm FROM sc GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(per.n, 0) AS n_bigrams, CAST(coalesce(per.sm, 0) AS BIGINT) AS sum_logp_micro, " +
+        "round(coalesce(CAST(per.sm AS DOUBLE) / (per.n * 1000000.0), 0.0), 6) AS avg_logp " +
+        "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"),
+    "q_bpe_merges" ->
+      ("WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "v AS (SELECT w, count(*) AS n FROM toks GROUP BY w), " +
+        "p AS (SELECT substr(w, i, 2) AS pair, n FROM " +
+        "(SELECT w, n, unnest(range(1, length(w))) AS i FROM v WHERE length(w) >= 2)) " +
+        "SELECT pair, CAST(sum(n) AS BIGINT) AS n FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50")
   )
 }

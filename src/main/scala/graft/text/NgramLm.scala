@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus n-gram language-model scoring — the CCNet/KenLM-shaped
+  * quality signal (Wenzek et al. 2020 score documents by LM
+  * perplexity; Gopher and FineWeb keep it as a filter feature), built
+  * as an exact, engine-agnostic computation: an add-one-smoothed token
+  * BIGRAM model trained on the corpus itself, scoring each document by
+  * its total bigram log-probability.
+  *
+  * Determinism contract: every per-bigram log-prob is ROUNDED TO
+  * INTEGER MICRO-NATS before the per-document sum, so the sum is
+  * integer arithmetic — order-independent across partitions, AQE
+  * re-plans, and engines (a raw double sum is reduction-order
+  * sensitive; BASELINE.md's decimal→double lesson). The only float
+  * step is one `ln` on an exactly-reproducible rational — ≤ 1 ulp
+  * between libm implementations, invisible at micro-nat granularity.
+  *
+  * Scale shape (10^12 docs): the count tables are corpus-sized — they
+  * are never broadcast and never collected. Training is two map-side
+  * combined aggregates (tokens shuffle once, bigrams shuffle once);
+  * scoring is two shuffle joins keyed on the bigram / first token
+  * (the corpus side arrives exploded, the count side is N:1 — AQE
+  * skew-join absorbs the stopword-bigram hot keys) plus one map-side
+  * broadcast of the single-row vocab size. The per-doc reduce is a
+  * plain combinable sum.
+  */
+object NgramLm {
+
+  /** Trained model: corpus bigram counts, unigram counts, and the
+    * 1-row vocabulary size (kept as a DataFrame so scoring stays fully
+    * lazy — no driver action at train time).
+    */
+  case class LmModel(bigrams: DataFrame, unigrams: DataFrame, vocab: DataFrame)
+
+  /** (id, ts) tokenized view: lowercased whitespace tokens,
+    * materialized (SCALE.md invariant 7) — blank/null docs drop here
+    * and rejoin as zero-bigram rows at score time.
+    */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), TextStats.tokens(lower(col(textCol))).as("ts"))
+
+  /** Per-occurrence bigram stream with the first token carried along
+    * (so scoring never re-splits the bigram string).
+    */
+  private def bigramOccurrences(t: DataFrame, idCol: String): DataFrame =
+    t.filter(size(col("ts")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("w1"),
+          concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1))
+            .as("bigram")))).as("g"))
+      .select(col(idCol), col("g.w1").as("w1"), col("g.bigram").as("bigram"))
+
+  /** Train the bigram model over `docs`. */
+  def train(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): LmModel = {
+    val t = tokenized(docs, idCol, textCol)
+    val uni = t.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_uni"))
+    val big = bigramOccurrences(t, idCol)
+      .groupBy("bigram").agg(count(lit(1)).as("c_big"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    LmModel(big, uni, v)
+  }
+
+  /** Score `docs` under `model`: one row per input document with
+    *   - n_bigrams       — bigram occurrences scored
+    *   - sum_logp_micro  — Σ round(ln((c_big+1)/(c_uni+V)) · 10^6),
+    *                       exact integer (more negative = more
+    *                       surprising under the corpus LM)
+    *   - avg_logp        — sum / (n · 10^6), rounded to 6 decimals
+    *                       (0.0 for zero-bigram docs)
+    * Unseen bigrams/tokens (scoring a different corpus than the one
+    * trained on) fall back to counts of 0 — the add-one floor.
+    */
+  def score(docs: DataFrame, model: LmModel, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = tokenized(docs, idCol, textCol)
+    val occ = bigramOccurrences(t, idCol)
+    val p = (coalesce(col("c_big"), lit(0L)) + lit(1.0)) /
+      (coalesce(col("c_uni"), lit(0L)) + col("v"))
+    val scored = occ
+      .join(model.bigrams, Seq("bigram"), "left")
+      .join(model.unigrams.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(model.vocab))
+      .select(col(idCol), round(log(p) * lit(1000000.0)).cast("long").as("lp"))
+    val per = scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n"), sum(col("lp")).as("sm"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sm"), lit(0L)).as("sum_logp_micro"),
+        round(coalesce(col("sm").cast("double") / (col("n") * lit(1000000.0)),
+          lit(0.0)), 6).as("avg_logp"))
+  }
+
+  /** Train-and-score over the same corpus in one call (the q_lm_score
+    * driver shape).
+    */
+  def scoreSelf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    score(docs, train(docs, idCol, textCol), idCol, textCol)
+}
