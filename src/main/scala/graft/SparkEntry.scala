@@ -802,6 +802,25 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // ---- ANN, IVF-PQ funnel: the SAME coarse-centroid artifact as
+    // q_ann_ivf (shared Catalog lineage), PQ codes for the ADC
+    // shortlist (the corpus-memory scale path: m ints per vector,
+    // vectors read only in the refine join), exact top-1 after refine
+    // — same planted-copy oracle as q_ann_ivf
+    "q_ann_pq" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      val cat = new graft.checkpoint.Catalog(ivfCatalogRoot, s)
+      val coarse = graft.sim.Ivf.trainCheckpointed(e, cat, "ivf_centroids",
+        inputLineage = s"$dir/embeddings.parquet", k = 16, iters = 3)
+      val cbs = graft.sim.Pq.trainCheckpointed(e, cat, "pq_codebooks",
+        inputLineage = s"$dir/embeddings.parquet", m = 8, ksub = 64, iters = 3)
+      graft.sim.Pq.knn(e, queries, 1, coarse, cbs, nprobe = 4, refine = 32)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy("query_id")
+    }),
+
     // the SHIPPED substring-dup operator (64-bit window hashes +
     // streamed capped drain): doc pairs sharing ≥2 duplicated 20-token
     // windows. The oracle recomputes the identical window/cap/pair
@@ -1092,6 +1111,19 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) " +
         "SELECT query_id, neighbor_id FROM r WHERE rk = 1 ORDER BY query_id"),
     "q_ann_ivf" ->
+      ("WITH q AS (SELECT vec_id + 200000 AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id < 20), " +
+        "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
+        "list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) / " +
+        "sqrt(list_dot_product(q.qv, q.qv) * " +
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS score " +
+        "FROM q, embeddings e), " +
+        "r AS (SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) " +
+        "SELECT query_id, neighbor_id FROM r WHERE rk = 1 ORDER BY query_id"),
+    // exact top-1 ground truth — the IVF-PQ funnel must land the
+    // planted exact-direction copy through probe → ADC → refine
+    "q_ann_pq" ->
       ("WITH q AS (SELECT vec_id + 200000 AS query_id, CAST(embedding AS DOUBLE[]) AS qv " +
         "FROM embeddings WHERE vec_id < 20), " +
         "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, " +
