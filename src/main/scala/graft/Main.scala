@@ -20,7 +20,7 @@ import graft.report.Report
   *   --ignore-empty          drop zero-byte docs (F2)
   *   --exact-only            skip MinHash/SimHash/CC extensions
   *   --outfile PATH|-        tab report destination (default stdout)
-  *   --format report|clusters|clean|lines|spans|splits  output: P2 tab
+  *   --format report|clusters|clean|lines|spans|splits|overlap|lm  output: P2 tab
   *                           report, normalized (url, cluster_id),
   *                           the chunk-deduped corpus (url,
   *                           clean_text — the TILED Lee et al.
@@ -30,7 +30,12 @@ import graft.report.Report
   *                           the span-removed corpus (url, clean_text,
   *                           n_removed — the FULL Lee et al. policy:
   *                           exact shared runs ≥ 60 chars cut at any
-  *                           alignment, first occurrence kept)
+  *                           alignment, first occurrence kept);
+  *                           `overlap` = the cross-domain shingle
+  *                           overlap audit matrix over the INPUT
+  *                           corpus, `lm` = per-url corpus-bigram-LM
+  *                           scores (n_bigrams, sum_logp_micro,
+  *                           avg_logp)
   *   --keep-policy P         canonical selection for clusters/clean/
   *                           lines output: `min` (default — min-url,
   *                           the reference's resolve-aliases policy),
@@ -570,6 +575,22 @@ object Main {
           col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
         graft.substring.SpanRemoval.removeSharedRuns(canon)
           .select(col("id").as("url"), escaped.as("clean_text"), col("n_removed"))
+      case "overlap" =>
+        // cross-domain shingle-overlap audit (the dataset-audit
+        // matrix, q_corpus_overlap at CLI grain): sources = the url's
+        // registrable domain, so "how much do these two sites share"
+        // is answered before paying for a full cross-site dedup pass.
+        // Runs over the INPUT corpus — an audit of what arrived, not
+        // of what survived
+        graft.corpus.Overlap.exactPairs(
+          docs.withColumn("source",
+            graft.text.UrlNorm.registrableDomain(col("url"))),
+          k = 3, textCol = "text")
+      case "lm" =>
+        // corpus bigram-LM scoring (q_lm_score at CLI grain): per-url
+        // micro-nat log-prob totals under the corpus's own LM — the
+        // CCNet-style quality column release pipelines sort on
+        graft.text.NgramLm.scoreSelf(docs, idCol = "url", textCol = "text")
       case "splits" =>
         // leakage-safe train/val/test labels at CLUSTER grain: the
         // split hashes the cluster component, so no dup/near-dup pair

@@ -1093,6 +1093,49 @@ class IncrementalCliSpec extends SparkSpec {
     assert(out("https://b.example/2")._1.contains("beta42"), "unique text survives")
   }
 
+  test("--format overlap emits the cross-domain shingle-overlap audit matrix") {
+    // two domains sharing one 3-gram run, one disjoint domain; the
+    // subdomain rolls up into its registrable domain
+    val shared = "alpha beta gamma"
+    val docs = Seq(
+      ("https://news.siteA.com/1", s"$shared one two three four"),
+      ("https://cdn.siteA.com/2", "siteA only words here padding tokens"),
+      ("https://siteB.org/1", s"$shared five six seven eight"),
+      ("https://siteC.net/1", "wholly unrelated content every token distinct"))
+      .toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    val result = graft.pipeline.DedupPipeline.run(docs)
+    val out = graft.Main.formatOutput(docs, result, "overlap", None)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
+    assert(out.size == 3, s"C(3,2) domain pairs, got ${out.keys}")
+    assert(out(("sitea.com", "siteb.org")) == 1L, "the shared 3-gram counts once")
+    assert(out(("sitea.com", "sitec.net")) == 0L)
+    assert(out(("siteb.org", "sitec.net")) == 0L)
+  }
+
+  test("--format lm scores every url under the corpus bigram LM") {
+    val docs = Seq(
+      ("https://a.example/1", "a b a b a b"),
+      ("https://a.example/2", "a b"),
+      ("https://a.example/3", "solo"))
+      .toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    val result = graft.pipeline.DedupPipeline.run(docs)
+    val out = graft.Main.formatOutput(docs, result, "lm", None)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 3)
+    assert(out("https://a.example/1")._1 == 5L)
+    assert(out("https://a.example/2")._1 == 1L)
+    assert(out("https://a.example/3") == ((0L, 0L)))
+    // the common bigram "a b" is less surprising than the rare "b a"
+    val doc1 = out("https://a.example/1")
+    assert(doc1._2 < 0L, "log-probs are negative")
+  }
+
   test("--clusters-snapshot maintains a standing assignment across incremental runs") {
     val base = java.nio.file.Files.createTempDirectory("graft-ccsnap").toString
     val (snapDir, ccDir) = (s"$base/snap", s"$base/cc")
