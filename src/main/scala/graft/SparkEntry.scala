@@ -1004,7 +1004,68 @@ object SparkEntry {
             (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
             .cast("decimal(28,8)"), 2) * 100).cast("long").as("sum_disc_price_cents"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- Gopher document-quality rule battery (Rae et al. 2021
+    // §A1.1): the pre-model heuristic gate. The synthetic corpus has
+    // no newlines/punctuation, so the query deterministically
+    // decorates it for rule variety — re-line to 5-token lines,
+    // terminal '.' on a-h lines, '...' on i-l lines, '- ' bullets on
+    // m-p lines, a '#' run on every 17th doc, two extra required
+    // stopwords on every 7th (identical chain in the oracle; both
+    // pass and fail outcomes occur for every rule that can vary here)
+    "q_gopher" -> ((s, dir) => {
+      val relined = regexp_replace(col("text"),
+        "((?:[^ \\t\\n\\x0B\\f\\r]+ ){4}[^ \\t\\n\\x0B\\f\\r]+) ", "$1\n")
+      val t1 = regexp_replace(relined, "(?m)^([a-h][^\\n]*)$", "$1.")
+      val t2 = regexp_replace(t1, "(?m)^([i-l][^\\n]*)$", "$1...")
+      val t3 = regexp_replace(t2, "(?m)^([m-p])", "- $1")
+      val t4 = when(col("doc_id") % 17 === 0,
+        concat(t3, lit("\n# # # # # #"))).otherwise(t3)
+      val t5 = when(col("doc_id") % 7 === 0,
+        concat(t4, lit(" and of"))).otherwise(t4)
+      val rules = TextStats.gopherRules(col("t"), col("lt"))
+      docs(s, dir)
+        .select(col("doc_id"), t5.as("t"))
+        .select(col("doc_id"), col("t"), TextStats.tokens(lower(col("t"))).as("lt"))
+        .select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
+    // ---- C4 page cleaning (Raffel et al. 2020 §2.2) with full text
+    // reconstruction — map-only (lines never leave their row). Same
+    // decoration discipline as q_gopher: '.' on a-j lines makes a
+    // keep set, 'join'→'javascript' exercises the line drop, '{' and
+    // 'lorem ipsum' injections exercise both page drops
+    "q_c4_clean" -> ((s, dir) => {
+      val relined = regexp_replace(col("text"),
+        "((?:[^ \\t\\n\\x0B\\f\\r]+ ){4}[^ \\t\\n\\x0B\\f\\r]+) ", "$1\n")
+      val t1 = regexp_replace(relined, "(?m)^([a-j][^\\n]*)$", "$1.")
+      val t2 = regexp_replace(t1, "\\bjoin\\b", "javascript")
+      val t3 = when(col("doc_id") % 97 === 3, concat(t2, lit(" {"))).otherwise(t2)
+      val t4 = when(col("doc_id") % 101 === 7,
+        concat(t3, lit("\nlorem ipsum"))).otherwise(t3)
+      graft.text.C4Clean.cleanPages(
+          docs(s, dir).select(col("doc_id"), t4.as("text")),
+          idCol = "doc_id", textCol = "text")
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_lines_kept"), col("page_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- training-sequence packing: the corpus as one deterministic
+    // shuffled token stream cut every 512 tokens — seq_id/seq_offset
+    // assign each doc its training sequence without a global sort
+    // (two-phase distributed prefix sum over md5-prefix buckets). The
+    // oracle recomputes the layout with ONE global window — equality
+    // proves the two-phase decomposition exact
+    "q_pack" -> ((s, dir) =>
+      graft.corpus.Packing.pack(docs(s, dir),
+          TextStats.tokenCount(col("text")), budget = 512,
+          idCol = "doc_id", salt = "epoch0")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy("doc_id"))
   )
 
   /** Shared oracle CTE: distinct 5-token-shingle STRING sets per doc —
@@ -1583,6 +1644,66 @@ object SparkEntry {
         "v AS (SELECT w, count(*) AS n FROM toks GROUP BY w), " +
         "p AS (SELECT substr(w, i, 2) AS pair, n FROM " +
         "(SELECT w, n, unnest(range(1, length(w))) AS i FROM v WHERE length(w) >= 2)) " +
-        "SELECT pair, CAST(sum(n) AS BIGINT) AS n FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50")
+        "SELECT pair, CAST(sum(n) AS BIGINT) AS n FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50"),
+    "q_gopher" -> {
+      val stopSum = graft.text.TextStats.gopherStopwords
+        .map(w => s"CAST(list_contains(lt, '$w') AS INT)").mkString(" + ")
+      "WITH d0 AS (SELECT doc_id, regexp_replace(text, '((?:[^ \\t\\n\\x0B\\f\\r]+ ){4}[^ \\t\\n\\x0B\\f\\r]+) ', '\\1' || chr(10), 'g') AS t FROM documents), " +
+        "d1 AS (SELECT doc_id, regexp_replace(t, '(?m)^([a-h][^\\n]*)$', '\\1.', 'g') AS t FROM d0), " +
+        "d2 AS (SELECT doc_id, regexp_replace(t, '(?m)^([i-l][^\\n]*)$', '\\1...', 'g') AS t FROM d1), " +
+        "d3 AS (SELECT doc_id, regexp_replace(t, '(?m)^([m-p])', '- \\1', 'g') AS t FROM d2), " +
+        "d4 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN t || chr(10) || '# # # # # #' ELSE t END AS t FROM d3), " +
+        "d5 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN t || ' and of' ELSE t END AS t FROM d4), " +
+        "b AS (SELECT doc_id, coalesce(t, '') AS t, " +
+        "CASE WHEN trim(coalesce(t, '')) = '' THEN CAST([] AS VARCHAR[]) " +
+        "ELSE string_split_regex(trim(lower(coalesce(t, ''))), '\\s+') END AS lt FROM d5), " +
+        "f AS (SELECT doc_id, CAST(len(lt) AS DOUBLE) AS nw, " +
+        "CAST(length(regexp_replace(t, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE) AS nonws, " +
+        "CAST(len(string_split(t, chr(10))) AS DOUBLE) AS nl, " +
+        "CAST(len(regexp_extract_all(t, '(?m)^[ \\t]*[-*]')) AS DOUBLE) AS bl, " +
+        "CAST(len(regexp_extract_all(t, '(?m)\\.\\.\\.[ \\t]*$')) AS DOUBLE) AS el, " +
+        "CAST(len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.')) AS DOUBLE) AS sym, " +
+        "CAST(len(list_filter(lt, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) AS aw, " +
+        s"($stopSum) AS sh FROM b), " +
+        "m AS (SELECT doc_id, nw, CASE WHEN nw > 0 THEN nonws / nw ELSE 0.0 END AS mw, " +
+        "nl, bl, el, sym, aw, sh FROM f) " +
+        "SELECT doc_id, CAST(nw AS BIGINT) AS n_words, round(mw, 6) AS mean_word_len, " +
+        "(nw >= 50 AND nw <= 100000) AS r_word_count, " +
+        "(mw >= 3.0 AND mw <= 10.0) AS r_mean_word, " +
+        "coalesce(CASE WHEN nw > 0 THEN sym / nw <= 0.1 END, false) AS r_symbol, " +
+        "(bl / nl <= 0.9) AS r_bullet, " +
+        "(el / nl <= 0.3) AS r_ellipsis, " +
+        "coalesce(CASE WHEN nw > 0 THEN aw / nw >= 0.8 END, false) AS r_alpha, " +
+        "(sh >= 2) AS r_stop, " +
+        "((nw >= 50 AND nw <= 100000) AND (mw >= 3.0 AND mw <= 10.0) AND " +
+        "coalesce(CASE WHEN nw > 0 THEN sym / nw <= 0.1 END, false) AND " +
+        "(bl / nl <= 0.9) AND (el / nl <= 0.3) AND " +
+        "coalesce(CASE WHEN nw > 0 THEN aw / nw >= 0.8 END, false) AND (sh >= 2)) AS gopher_pass " +
+        "FROM m ORDER BY doc_id"
+    },
+    "q_c4_clean" ->
+      ("WITH d0 AS (SELECT doc_id, regexp_replace(text, '((?:[^ \\t\\n\\x0B\\f\\r]+ ){4}[^ \\t\\n\\x0B\\f\\r]+) ', '\\1' || chr(10), 'g') AS t FROM documents), " +
+        "d1 AS (SELECT doc_id, regexp_replace(t, '(?m)^([a-j][^\\n]*)$', '\\1.', 'g') AS t FROM d0), " +
+        "d2 AS (SELECT doc_id, regexp_replace(t, '\\bjoin\\b', 'javascript', 'g') AS t FROM d1), " +
+        "d3 AS (SELECT doc_id, CASE WHEN doc_id % 97 = 3 THEN t || ' {' ELSE t END AS t FROM d2), " +
+        "d4 AS (SELECT doc_id, CASE WHEN doc_id % 101 = 7 THEN t || chr(10) || 'lorem ipsum' ELSE t END AS t FROM d3), " +
+        "b AS (SELECT doc_id, t, list_filter(string_split(coalesce(t, ''), chr(10)), " +
+        "l -> regexp_matches(trim(l), '[.!?\"]$') AND " +
+        "len(string_split_regex(trim(l), '[ \\t]+')) >= 5 AND " +
+        "NOT contains(lower(l), 'javascript')) AS kept FROM d4), " +
+        "p AS (SELECT doc_id, kept, coalesce(t IS NOT NULL AND len(kept) >= 3 AND " +
+        "NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{'), false) AS pk FROM b) " +
+        "SELECT doc_id, CASE WHEN pk THEN array_to_string(kept, chr(10)) END AS clean_text, " +
+        "CAST(len(kept) AS BIGINT) AS n_lines_kept, pk AS page_kept " +
+        "FROM p ORDER BY doc_id"),
+    "q_pack" ->
+      ("WITH b AS (SELECT doc_id, " +
+        "CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, " +
+        "md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS ord FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER " +
+        "(ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM b) " +
+        "SELECT doc_id, n_tokens, CAST(cb // 512 AS BIGINT) AS seq_id, " +
+        "CAST(cb % 512 AS BIGINT) AS seq_offset FROM c ORDER BY doc_id")
   )
 }

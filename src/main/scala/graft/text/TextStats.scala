@@ -141,6 +141,63 @@ object TextStats {
     }.get.otherwise(lit("und"))
   }
 
+  /** The eight words whose presence Gopher's "stop word" document
+    * rule requires (Rae et al. 2021 §A1.1): a document must contain at
+    * least two of them to pass [[gopherRules]]' `r_stop`.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher/MassiveText document-level quality-rule battery
+    * (Rae et al. 2021 §A1.1) as pure Column expressions — the
+    * pre-model heuristic gate a webtext pipeline runs before any
+    * learned quality filter ([[QualityModel]] is the learned stage):
+    *
+    *   - `r_word_count`: 50 ≤ words ≤ 100,000
+    *   - `r_mean_word`:  3 ≤ mean word length ≤ 10 (non-whitespace
+    *     chars / words — the aggregate form, no per-token loop)
+    *   - `r_symbol`:     (`#` + `...` occurrences) / words ≤ 0.1
+    *   - `r_bullet`:     lines starting with a bullet (`-`/`*`) ≤ 90%
+    *   - `r_ellipsis`:   lines ending in `...` ≤ 30%
+    *   - `r_alpha`:      ≥ 80% of words contain a letter
+    *   - `r_stop`:       ≥ 2 distinct [[gopherStopwords]] present
+    *
+    * `lowToks` MUST be a MATERIALIZED [[tokens]]`(lower(text))` column
+    * (SCALE.md invariant 7: the two HOF rules re-evaluate their input
+    * tree per element). Wordless docs fail the ratio rules outright
+    * (no 0/0 passes). Line rules use `(?m)` anchors over the raw text
+    * — one codegen'd regexp_count each, no line explode — and count a
+    * doc with no newline as one line. All regexes are RE2-safe and the
+    * arithmetic is per-row scalar, so a SQL oracle replicates the
+    * battery exactly (the q_url_canon contract).
+    */
+  def gopherRules(text: Column, lowToks: Column): Seq[(String, Column)] = {
+    val t = coalesce(text, lit(""))
+    val nWords = size(lowToks).cast("double")
+    val nonWs = length(regexp_replace(t, "[ \\t\\n\\x0B\\f\\r]", "")).cast("double")
+    val meanWord = when(nWords > 0, nonWs / nWords).otherwise(lit(0.0))
+    val nLines = size(split(t, "\n")).cast("double") // >= 1 even when blank
+    val bulletLines = regexp_count(t, lit("(?m)^[ \\t]*[-*]")).cast("double")
+    val ellipsisLines = regexp_count(t, lit("(?m)\\.\\.\\.[ \\t]*$")).cast("double")
+    val symbols = (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))).cast("double")
+    val alphaWords = size(filter(lowToks, w => w.rlike("[a-z]"))).cast("double")
+    val stopHits = gopherStopwords
+      .map(w => array_contains(lowToks, w).cast("int"))
+      .reduce((a, b) => a + b)
+    val rules = Seq(
+      "r_word_count" -> (nWords >= 50.0 && nWords <= 100000.0),
+      "r_mean_word" -> (meanWord >= 3.0 && meanWord <= 10.0),
+      "r_symbol" -> when(nWords > 0, symbols / nWords <= 0.1).otherwise(lit(false)),
+      "r_bullet" -> (bulletLines / nLines <= 0.9),
+      "r_ellipsis" -> (ellipsisLines / nLines <= 0.3),
+      "r_alpha" -> when(nWords > 0, alphaWords / nWords >= 0.8).otherwise(lit(false)),
+      "r_stop" -> (stopHits >= 2))
+    Seq(
+      "n_words" -> nWords.cast("long"),
+      "mean_word_len" -> round(meanWord, 6)) ++ rules ++ Seq(
+      "gopher_pass" -> rules.map(_._2).reduce((a, b) => a && b))
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercased,
     * whitespace-collapsed, trimmed) — the SQL-oracle-comparable form.
     */
