@@ -20,7 +20,7 @@ import graft.report.Report
   *   --ignore-empty          drop zero-byte docs (F2)
   *   --exact-only            skip MinHash/SimHash/CC extensions
   *   --outfile PATH|-        tab report destination (default stdout)
-  *   --format report|clusters|clean|lines|spans|splits|overlap|lm  output: P2 tab
+  *   --format report|clusters|clean|lines|spans|splits|overlap|lm|c4|ccnet|pack  output: P2 tab
   *                           report, normalized (url, cluster_id),
   *                           the chunk-deduped corpus (url,
   *                           clean_text — the TILED Lee et al.
@@ -35,7 +35,24 @@ import graft.report.Report
   *                           overlap audit matrix over the INPUT
   *                           corpus, `lm` = per-url corpus-bigram-LM
   *                           scores (n_bigrams, sum_logp_micro,
-  *                           avg_logp)
+  *                           avg_logp), `ccnet` = CCNet head/middle/
+  *                           tail perplexity buckets over the INPUT
+  *                           corpus, `c4` = the C4-cleaned survivor
+  *                           corpus (url, clean_text — kept pages
+  *                           only), `pack` = the training-sequence
+  *                           layout of the survivor corpus (url,
+  *                           n_tokens, seq_id, seq_offset — dedup
+  *                           then pack, the release-pipeline order)
+  *   --prefilter gopher      drop docs failing the Gopher quality-rule
+  *                           battery BEFORE dedup (map-side, composes
+  *                           with --block-domains — the webtext
+  *                           pipeline order: hygiene → quality gate →
+  *                           dedup)
+  *   --ccnet-sample F        with --format ccnet: the deterministic
+  *                           hash-sample fraction the tercile
+  *                           thresholds are cut from (default 0.5;
+  *                           pick F so corpus·F stays ≲10^6 — the
+  *                           sample is collected to the driver)
   *   --keep-policy P         canonical selection for clusters/clean/
   *                           lines output: `min` (default — min-url,
   *                           the reference's resolve-aliases policy),
@@ -136,6 +153,8 @@ object Main {
       byteVerify: Boolean = false,
       jaccard: Option[Double] = None,
       blockDomains: Seq[String] = Nil,
+      prefilter: Option[String] = None,
+      ccnetSample: Double = 0.5,
       split: Option[Seq[(String, Double)]] = None,
       substring: Option[Int] = None, // minShared windows
       longrun: Option[Int] = None, // minLen chars
@@ -167,6 +186,18 @@ object Main {
     case "--block-domains" :: v :: rest if v.nonEmpty && !v.startsWith("--") =>
       parse(rest, c.copy(blockDomains =
         c.blockDomains ++ v.split(",").map(_.trim).filter(_.nonEmpty)), algsSet)
+    case "--prefilter" :: v :: rest if v == "gopher" =>
+      parse(rest, c.copy(prefilter = Some(v)), algsSet)
+    case "--prefilter" :: v :: _ =>
+      throw new IllegalArgumentException(s"unknown --prefilter: $v (gopher)")
+    case "--ccnet-sample" :: v :: rest =>
+      val f = try v.toDouble catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"--ccnet-sample not a number: $v")
+      }
+      if (f <= 0.0 || f > 1.0)
+        throw new IllegalArgumentException(s"--ccnet-sample in (0,1]: $v")
+      parse(rest, c.copy(ccnetSample = f), algsSet)
     case "--split" :: v :: rest if v.contains("=") =>
       val fracs = v.split(",").toSeq.map { part =>
         part.split("=", 2) match {
@@ -228,9 +259,16 @@ object Main {
     val docs1 =
       if (conf.blockDomains.isEmpty) docs0
       else graft.text.UrlNorm.dropBlockedDomains(docs0, conf.blockDomains)
+    // quality gate BEFORE dedup (the webtext pipeline order): docs
+    // failing the Gopher rule battery never enter the pipeline —
+    // map-side, same scan as the hygiene filter above
+    val docs2 = conf.prefilter match {
+      case Some("gopher") => gopherSurvivors(docs1)
+      case _ => docs1
+    }
     val docs =
-      if (conf.progress) graft.progress.Progress.tap(docs1, "scan_docs", Some("html"))
-      else docs1
+      if (conf.progress) graft.progress.Progress.tap(docs2, "scan_docs", Some("html"))
+      else docs2
 
     // incremental mode short-circuits the clustering pipeline: the
     // batch is judged against the accumulated digest snapshot only.
@@ -280,7 +318,8 @@ object Main {
     // the metrics count share one computation.
     val keepers = keepPolicyKeepers(docs, result, conf.keepPolicy)
     keepers.foreach(_.persist())
-    val out0 = formatOutput(docs, result, conf.format, keepers, conf.split)
+    val out0 = formatOutput(docs, result, conf.format, keepers, conf.split,
+      conf.ccnetSample)
     val out =
       if (conf.progress) graft.progress.Progress.tap(out0, "report_out") else out0
     if (conf.debug) System.err.println(out.queryExecution.explainString(
@@ -531,7 +570,8 @@ object Main {
   private[graft] def formatOutput(docs: DataFrame,
       result: DedupPipeline.Result, format: String,
       keepers: Option[DataFrame],
-      splitFracs: Option[Seq[(String, Double)]] = None): DataFrame = {
+      splitFracs: Option[Seq[(String, Double)]] = None,
+      ccnetSample: Double = 0.5): DataFrame = {
     // survivor set for the corpus-shaped formats: one url per cluster
     def survivors: DataFrame = keepers match {
       case Some(k) => k.select(col("keep_id").as("url"))
@@ -591,6 +631,33 @@ object Main {
         // micro-nat log-prob totals under the corpus's own LM — the
         // CCNet-style quality column release pipelines sort on
         graft.text.NgramLm.scoreSelf(docs, idCol = "url", textCol = "text")
+      case "c4" =>
+        // C4 page cleaning (Raffel et al. 2020) over the SURVIVOR
+        // corpus: dedup first, then the heuristic line/page gate —
+        // kept pages only. clean_text keeps line structure, so escape
+        // like `lines`
+        val canon = docs.join(survivors, "url")
+        val escaped = regexp_replace(regexp_replace(regexp_replace(
+          col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
+        graft.text.C4Clean.cleanPages(canon, idCol = "url", textCol = "text")
+          .filter(col("page_kept"))
+          .select(col("id").as("url"), escaped.as("clean_text"))
+      case "ccnet" =>
+        // CCNet head/middle/tail perplexity buckets (Wenzek et al.
+        // 2020) over the INPUT corpus — an audit of what arrived, the
+        // column CCNet cuts its releases on
+        graft.text.NgramLm.ccnetBuckets(docs, idCol = "url", textCol = "text",
+          sampleFrac = ccnetSample)
+      case "pack" =>
+        // training-sequence layout of the SURVIVOR corpus (dedup then
+        // pack — the release-pipeline order): GPT-style concatenate-
+        // and-chunk at a 2048-token budget, deterministic epoch0 order
+        val canon = docs.join(survivors, "url")
+        graft.corpus.Packing.pack(canon,
+            graft.text.TextStats.tokenCount(col("text")), budget = 2048L,
+            idCol = "url", salt = "epoch0")
+          .select(col("id").as("url"), col("n_tokens"),
+            col("seq_id"), col("seq_offset"))
       case "splits" =>
         // leakage-safe train/val/test labels at CLUSTER grain: the
         // split hashes the cluster component, so no dup/near-dup pair
@@ -605,6 +672,26 @@ object Main {
           .select(col("url"), col("split"))
       case _ => result.report
     }
+  }
+
+  /** Survivors of the Gopher rule battery (`--prefilter gopher`): the
+    * map-side heuristic quality gate, run BEFORE dedup so failing
+    * docs never pay for digests or shingles. Tokens are materialized
+    * as their own projection and only the fused `gopher_pass` boolean
+    * reaches the filter (SCALE.md invariant 7 — if Catalyst pushes
+    * the predicate through the projections it re-inlines the tokenize
+    * tree per reference; the gate stays map-only and one-scan either
+    * way, which is the property that matters at corpus scale).
+    */
+  private[graft] def gopherSurvivors(docs: DataFrame): DataFrame = {
+    val cols = docs.columns.toSeq
+    val pass = graft.text.TextStats.gopherRules(col("text"), col("__lt"))
+      .toMap.apply("gopher_pass")
+    docs
+      .select(col("*"), graft.text.TextStats.tokens(lower(col("text"))).as("__lt"))
+      .select(col("*"), pass.as("__gopher_pass"))
+      .filter(col("__gopher_pass"))
+      .select(cols.map(col): _*)
   }
 
   /** keep-policy metrics (S5/S6 sink): how many clusters got a

@@ -627,6 +627,16 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       graft.text.NgramLm.scoreSelf(docs(s, dir))),
 
+    // ---- CCNet head/middle/tail perplexity buckets: tercile
+    // thresholds from a deterministic md5-coin HALF-sample (the
+    // sample mechanism is exercised — thresholds differ from the
+    // full-corpus terciles), bucket assignment map-side vs the two
+    // threshold literals. Oracle recomputes sample, ranks, and cuts
+    // in pure SQL
+    "q_ccnet" -> ((s, dir) =>
+      graft.text.NgramLm.ccnetBuckets(docs(s, dir), sampleFrac = 0.5)
+        .orderBy("doc_id")),
+
     // ---- BPE merge-candidate counts (tokenizer-training prep): pair
     // counts over the WORD-COUNT table, not the corpus — the explode
     // runs over |vocab| rows weighted by frequency
@@ -1638,6 +1648,29 @@ object SparkEntry {
         "SELECT d.doc_id, coalesce(per.n, 0) AS n_bigrams, CAST(coalesce(per.sm, 0) AS BIGINT) AS sum_logp_micro, " +
         "round(coalesce(CAST(per.sm AS DOUBLE) / (per.n * 1000000.0), 0.0), 6) AS avg_logp " +
         "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"),
+    "q_ccnet" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "bg AS (SELECT doc_id, split_part(b, ' ', 1) AS w1, b AS bigram FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS b " +
+        "FROM t WHERE len(ts) >= 2)), " +
+        "uni AS (SELECT w, count(*) AS c_uni FROM (SELECT unnest(ts) AS w FROM t) GROUP BY w), " +
+        "vv AS (SELECT count(*) AS v FROM uni), " +
+        "bc AS (SELECT bigram, count(*) AS c_big FROM bg GROUP BY bigram), " +
+        "sc AS (SELECT g.doc_id, CAST(round(ln((bc.c_big + 1.0) / (uni.c_uni + vv.v)) * 1000000.0) AS BIGINT) AS lp " +
+        "FROM bg g JOIN bc ON g.bigram = bc.bigram JOIN uni ON g.w1 = uni.w CROSS JOIN vv), " +
+        "per AS (SELECT doc_id, count(*) AS n, sum(lp) AS sm FROM sc GROUP BY doc_id), " +
+        "av AS (SELECT d.doc_id, coalesce(per.n, 0) AS n_bigrams, " +
+        "CAST(floor(CAST(coalesce(per.sm, 0) AS DOUBLE) / greatest(coalesce(per.n, 0), 1)) AS BIGINT) AS avg_micro " +
+        "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id), " +
+        "smp AS (SELECT avg_micro FROM av WHERE " +
+        "CAST('0x' || substr(md5('ccnet' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) < 2147483648), " +
+        "r AS (SELECT avg_micro, row_number() OVER (ORDER BY avg_micro) AS rn, count(*) OVER () AS n FROM smp), " +
+        "th AS (SELECT max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT) THEN avg_micro END) AS t1, " +
+        "max(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT) THEN avg_micro END) AS t2 FROM r) " +
+        "SELECT av.doc_id, av.n_bigrams, av.avg_micro, " +
+        "CASE WHEN av.avg_micro <= th.t1 THEN 'tail' WHEN av.avg_micro <= th.t2 THEN 'middle' " +
+        "ELSE 'head' END AS ccnet_bucket FROM av CROSS JOIN th ORDER BY av.doc_id"),
     "q_bpe_merges" ->
       ("WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w " +
         "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +

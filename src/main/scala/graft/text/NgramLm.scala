@@ -105,4 +105,56 @@ object NgramLm {
   def scoreSelf(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     score(docs, train(docs, idCol, textCol), idCol, textCol)
+
+  /** CCNet head/middle/tail quality buckets (Wenzek et al. 2020 §4.3:
+    * CCNet cuts each language's corpus at the perplexity terciles;
+    * "head" trains LMs, "tail" is usually dropped): rank documents by
+    * average bigram log-prob under the corpus's own LM and bucket at
+    * the tercile thresholds of a deterministic hash-sample.
+    *
+    *   - avg_micro = floor(sum_logp_micro / n_bigrams) — a LONG.
+    *     floor-of-double-division is deterministic here: the operands
+    *     are exact in double and the true quotient is never within
+    *     2^-40 of an integer unless it IS one, so every IEEE engine
+    *     floors identically (zero-bigram docs score 0 and land in
+    *     head — deterministic, and CCNet has no defined slot for
+    *     unscorable docs either).
+    *   - thresholds t1/t2 = the ceil(n/3)- and ceil(2n/3)-th smallest
+    *     sample values; tail: avg ≤ t1, middle: t1 < avg ≤ t2,
+    *     head: avg > t2.
+    *
+    * Scale shape: scoring is [[scoreSelf]]'s plan, materialized ONCE
+    * (localCheckpoint) so the threshold pass and the bucket assignment
+    * share it. The threshold sample is the md5-u32 coin (the
+    * [[graft.corpus.Splits]] arithmetic — reproducible in SQL), capped
+    * at `sampleCap` rows COLLECTED ordered (TakeOrdered ships only the
+    * cap); a 10^12-doc corpus picks `sampleFrac` so the sample stays
+    * ~10^5-10^6 — CCNet itself thresholds on a sample. The final
+    * bucket column is a map-side compare against two literals.
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sampleFrac: Double = 0.5,
+      salt: String = "ccnet", sampleCap: Int = 1 << 20): DataFrame = {
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0, s"sampleFrac in (0,1]: $sampleFrac")
+    require(sampleCap >= 3, s"sampleCap >= 3: $sampleCap")
+    val scored = scoreSelf(docs, idCol, textCol)
+      .select(col(idCol), col("n_bigrams"), col("sum_logp_micro"),
+        floor(col("sum_logp_micro").cast("double") /
+          greatest(col("n_bigrams"), lit(1L)).cast("double")).as("avg_micro"))
+      .localCheckpoint()
+    val thr = math.min((sampleFrac * 4294967296.0).toLong, 4294967296L)
+    val vs = scored
+      .filter(graft.corpus.Splits.bucket(col(idCol).cast("string"), salt) < thr)
+      .select(col("avg_micro")).orderBy(col("avg_micro"))
+      .limit(sampleCap + 1).collect().map(_.getLong(0))
+    require(vs.length >= 3, s"threshold sample too small: ${vs.length} rows")
+    require(vs.length <= sampleCap,
+      s"threshold sample exceeds sampleCap=$sampleCap — lower sampleFrac")
+    val t1 = vs(math.ceil(vs.length / 3.0).toInt - 1)
+    val t2 = vs(math.ceil(2.0 * vs.length / 3.0).toInt - 1)
+    scored.select(col(idCol), col("n_bigrams"), col("avg_micro"),
+      when(col("avg_micro") <= t1, lit("tail"))
+        .when(col("avg_micro") <= t2, lit("middle"))
+        .otherwise(lit("head")).as("ccnet_bucket"))
+  }
 }

@@ -1136,6 +1136,93 @@ class IncrementalCliSpec extends SparkSpec {
     assert(doc1._2 < 0L, "log-probs are negative")
   }
 
+  test("--prefilter gopher drops rule-failing docs before the pipeline") {
+    // pass doc: 60 normal words with two stopwords; fail docs: too
+    // short (word count), symbol-heavy (# runs), no stopwords
+    val passBody = "the report and " +
+      (0 until 57).map(i => s"word$i").mkString(" ")
+    val shortBody = "the and tiny doc here"
+    val symbolBody = "the analysis and " +
+      (0 until 57).map(i => s"tok$i #").mkString(" ")
+    val noStopBody = (0 until 60).map(i => s"item$i").mkString(" ")
+    val docs = Seq(
+      ("https://keep.example/1", passBody),
+      ("https://drop.example/short", shortBody),
+      ("https://drop.example/symbols", symbolBody),
+      ("https://drop.example/nostop", noStopBody))
+      .toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    val out = graft.Main.gopherSurvivors(docs)
+    assert(out.columns.toSeq == docs.columns.toSeq, "schema passes through")
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("https://keep.example/1"))
+  }
+
+  test("--format c4 emits the C4-cleaned survivor corpus (dedup first, kept pages only)") {
+    // A≡B exact dups (dedup keeps A); A survives C4 page rules; C is
+    // page-dropped by '{'; D loses its short/unpunctuated lines and
+    // falls under minLines
+    val goodPage = (0 until 4).map(i =>
+      s"this line number $i has plenty of words and ends properly.").mkString("\n")
+    val curly = goodPage + "\nconst x = { a: 1 }"
+    val thin = "short line\nno punctuation here at all\nok."
+    val docs = Seq(
+      ("https://a.example/1", goodPage), ("https://b.example/1", goodPage),
+      ("https://c.example/1", curly), ("https://d.example/1", thin))
+      .toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    val result = graft.pipeline.DedupPipeline.run(docs)
+    val out = graft.Main.formatOutput(docs, result, "c4", None)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set("https://a.example/1"),
+      s"one survivor of the dup pair, page-dropped docs gone: ${out.keySet}")
+    assert(out("https://a.example/1") == goodPage.replace("\n", "\\n"))
+  }
+
+  test("--format pack lays the survivor corpus out as packed training sequences") {
+    // 6 unique docs of 1000 tokens each + 1 exact dup; survivors =
+    // 6 docs = 6000 tokens → seq_ids 0..2 at the 2048 budget
+    val mkBody = (tag: String) => (0 until 1000).map(i => s"$tag$i").mkString(" ")
+    val rows = (0 until 6).map(i => (s"https://u.example/$i", mkBody(s"t${i}x"))) :+
+      (("https://dup.example/0", mkBody("t0x")))
+    val docs = rows.toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    val result = graft.pipeline.DedupPipeline.run(docs)
+    val out = graft.Main.formatOutput(docs, result, "pack", None)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 6, "dedup before packing: the dup never packs")
+    assert(out.forall(_._2 == 1000L))
+    assert(out.map(_._3).toSet == Set(0L, 1L, 2L), "6000 tokens cut at 2048")
+    assert(out.forall(r => r._4 >= 0L && r._4 < 2048L), "offsets inside the budget")
+    // the layout is gapless: offsets reconstruct one contiguous stream
+    val starts = out.map(r => r._3 * 2048L + r._4).sorted
+    assert(starts.toSeq == (0 until 6).map(_ * 1000L).toSeq)
+  }
+
+  test("--format ccnet buckets every url at the sampled perplexity terciles") {
+    val docs = (0 until 30).map { i =>
+      (f"https://s.example/$i%02d",
+        ("common pair " * (30 - i)) + (s"rare$i only$i " * i).trim)
+    }.toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    val result = graft.pipeline.DedupPipeline.run(docs)
+    val out = graft.Main.formatOutput(docs, result, "ccnet", None,
+        ccnetSample = 1.0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out.size == 30)
+    val by = out.values.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq }
+    assert(by.keySet == Set("tail", "middle", "head"))
+    assert(by("tail").max <= by("middle").min)
+    assert(by("middle").max <= by("head").min)
+  }
+
   test("--clusters-snapshot maintains a standing assignment across incremental runs") {
     val base = java.nio.file.Files.createTempDirectory("graft-ccsnap").toString
     val (snapDir, ccDir) = (s"$base/snap", s"$base/cc")
@@ -1255,6 +1342,26 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(graft.Main.parse(Nil).keepPolicy == "min")
     intercept[IllegalArgumentException](
       graft.Main.parse(List("--keep-policy", "best")))
+  }
+
+  test("--prefilter parses gopher, rejects unknown batteries") {
+    assert(graft.Main.parse(
+      List("--input", "x.parquet", "--prefilter", "gopher")).prefilter.contains("gopher"))
+    assert(graft.Main.parse(List("--input", "x.parquet")).prefilter.isEmpty)
+    intercept[IllegalArgumentException](
+      graft.Main.parse(List("--input", "x.parquet", "--prefilter", "strict")))
+  }
+
+  test("--ccnet-sample parses and validates its (0,1] range") {
+    assert(graft.Main.parse(
+      List("--input", "x.parquet", "--ccnet-sample", "0.01")).ccnetSample == 0.01)
+    assert(graft.Main.parse(List("--input", "x.parquet")).ccnetSample == 0.5)
+    intercept[IllegalArgumentException](
+      graft.Main.parse(List("--input", "x.parquet", "--ccnet-sample", "0")))
+    intercept[IllegalArgumentException](
+      graft.Main.parse(List("--input", "x.parquet", "--ccnet-sample", "1.5")))
+    intercept[IllegalArgumentException](
+      graft.Main.parse(List("--input", "x.parquet", "--ccnet-sample", "lots")))
   }
 
   test("--substring/--longrun opt-in stages parse with and without values") {

@@ -57,4 +57,48 @@ class NgramLmSpec extends SparkSpec {
     val r = NgramLm.scoreSelf(d).collect().map(_.getLong(2)).distinct
     assert(r.length == 1) // both docs are the same bigram after folding
   }
+
+  test("ccnetBuckets: full-corpus terciles cut at the ceil(n/3) sample values") {
+    // 9 docs with strictly ordered surprise: doc i repeats a common
+    // bigram (9-i) times and a rare doc-unique bigram i times -> the
+    // more unique bigrams, the more negative the average log-prob
+    val d = (0 until 9).map { i =>
+      i.toLong -> (("common pair " * (9 - i)) + s"rare$i only$i " * i).trim
+    }.toDF("doc_id", "text")
+    val out = NgramLm.ccnetBuckets(d, sampleFrac = 1.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out.size == 9)
+    // buckets are value-monotone: every tail score <= every middle
+    // score <= every head score, and each tercile is non-empty
+    val by = out.values.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq }
+    assert(by.keySet == Set("tail", "middle", "head"))
+    assert(by("tail").max <= by("middle").min)
+    assert(by("middle").max <= by("head").min)
+    // thresholds from the FULL sorted list: tail gets ranks 1..3
+    val sorted = out.values.map(_._1).toSeq.sorted
+    assert(by("tail").forall(_ <= sorted(2)))
+  }
+
+  test("ccnetBuckets: the hash-sample mechanism changes thresholds deterministically") {
+    val d = (0 until 40).map { i =>
+      i.toLong -> (("common pair " * (40 - i)) + s"rare$i only$i " * i).trim
+    }.toDF("doc_id", "text")
+    val full = NgramLm.ccnetBuckets(d, sampleFrac = 1.0).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val half1 = NgramLm.ccnetBuckets(d, sampleFrac = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val half2 = NgramLm.ccnetBuckets(d, sampleFrac = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(half1 == half2, "sampled thresholds are not deterministic")
+    assert(full.values.toSet == Set("tail", "middle", "head"))
+    assert(half1.values.toSet == Set("tail", "middle", "head"))
+  }
+
+  test("ccnetBuckets: config rejects and the sample cap trips") {
+    val d = (0 until 9).map(i => i.toLong -> s"a b c $i").toDF("doc_id", "text")
+    intercept[IllegalArgumentException](NgramLm.ccnetBuckets(d, sampleFrac = 0.0))
+    intercept[IllegalArgumentException](NgramLm.ccnetBuckets(d, sampleFrac = 1.5))
+    intercept[IllegalArgumentException](
+      NgramLm.ccnetBuckets(d, sampleFrac = 1.0, sampleCap = 4))
+  }
 }
