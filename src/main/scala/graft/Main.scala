@@ -20,7 +20,7 @@ import graft.report.Report
   *   --ignore-empty          drop zero-byte docs (F2)
   *   --exact-only            skip MinHash/SimHash/CC extensions
   *   --outfile PATH|-        tab report destination (default stdout)
-  *   --format report|clusters|clean|lines|spans|splits|overlap|lm|c4|ccnet|pack  output: P2 tab
+  *   --format report|clusters|clean|lines|paragraphs|spans|splits|overlap|lm|c4|ccnet|pack  output: P2 tab
   *                           report, normalized (url, cluster_id),
   *                           the chunk-deduped corpus (url,
   *                           clean_text — the TILED Lee et al.
@@ -604,6 +604,14 @@ object Main {
         val escaped = regexp_replace(regexp_replace(regexp_replace(
           col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
         graft.substring.LineDedup.dedupLines(canon)
+          .select(col("id").as("url"), escaped.as("clean_text"))
+      case "paragraphs" =>
+        // same survivor set, paragraph-granularity removal (Dolma's
+        // blank-line-block policy, exact). Escaped like `lines`
+        val canon = docs.join(survivors, "url")
+        val escaped = regexp_replace(regexp_replace(regexp_replace(
+          col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
+        graft.substring.LineDedup.dedupParagraphs(canon)
           .select(col("id").as("url"), escaped.as("clean_text"))
       case "spans" =>
         // same survivor set, then the FULL Lee et al. policy: exact

@@ -352,6 +352,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("clean_text"))
     }),
 
+    // ---- paragraph-level dedup (Dolma policy, exact): deterministic
+    // re-paragraphing (7-token blank-line-delimited blocks — same
+    // regexp in the oracle), then each distinct paragraph's globally
+    // first occurrence kept, later copies cut, blank units preserved
+    "q_paragraph_dedup" -> ((s, dir) => {
+      val para = docs(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), "((?:[^ \\t\\n\\x0B\\f\\r]+ ){6}[^ \\t\\n\\x0B\\f\\r]+) ", "$1\n\n").as("text"))
+      graft.substring.LineDedup.dedupParagraphs(para, "doc_id")
+        .select(col("id").as("doc_id"), col("clean_text"))
+    }),
+
     // ---- incremental (delta) dedup: the odd-doc_id half of the
     // corpus plays "today's crawl", deduped against a digest snapshot
     // accumulated from the even half — the snapshot is probed in ONE
@@ -1257,6 +1268,21 @@ object SparkEntry {
         "keep AS (SELECT e.doc_id, e.idx, e.line FROM e LEFT JOIN " +
         "(SELECT doc_id, idx, 1 AS r FROM rm) r2 USING (doc_id, idx) WHERE r2.r IS NULL), " +
         "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS ct FROM keep GROUP BY doc_id) " +
+        "SELECT s2.doc_id, CASE WHEN s2.text IS NULL THEN NULL ELSE coalesce(agg.ct, '') END AS clean_text " +
+        "FROM s2 LEFT JOIN agg USING (doc_id)"),
+    "q_paragraph_dedup" ->
+      ("WITH s AS (SELECT doc_id, regexp_replace(text, '((?:[^ \\t\\n\\x0B\\f\\r]+ ){6}[^ \\t\\n\\x0B\\f\\r]+) ', '\\1' || chr(10) || chr(10), 'g') AS text FROM documents), " +
+        "s2 AS (SELECT doc_id, text, string_split(coalesce(text, ''), chr(10) || chr(10)) AS lns FROM s), " +
+        "x AS (SELECT doc_id, unnest(list_transform(range(1, len(lns) + 1), " +
+        "i -> {'idx': CAST(i AS INT), 'line': lns[CAST(i AS INT)]})) AS u FROM s2), " +
+        "e AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM x), " +
+        "c AS (SELECT * FROM e WHERE trim(line) <> ''), " +
+        "k AS (SELECT doc_id, idx FROM (SELECT doc_id, idx, " +
+        "row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM c) WHERE rn = 1), " +
+        "keep AS (SELECT e.doc_id, e.idx, e.line FROM e LEFT JOIN " +
+        "(SELECT doc_id, idx, 1 AS kk FROM k) k2 USING (doc_id, idx) " +
+        "WHERE trim(e.line) = '' OR k2.kk = 1), " +
+        "agg AS (SELECT doc_id, string_agg(line, chr(10) || chr(10) ORDER BY idx) AS ct FROM keep GROUP BY doc_id) " +
         "SELECT s2.doc_id, CASE WHEN s2.text IS NULL THEN NULL ELSE coalesce(agg.ct, '') END AS clean_text " +
         "FROM s2 LEFT JOIN agg USING (doc_id)"),
     "q_incremental" ->

@@ -626,6 +626,31 @@ class SubstringSpec extends SparkSpec {
     assert(kept("r1") == "spam\nspam\nspam\nspam\nspam\nkeep me")
   }
 
+  test("paragraph dedup: blank-line blocks, first occurrence kept, lone newlines structural") {
+    import spark.implicits._
+    // p1 repeats across d1/d2 and within d2; d3's "\n\n\n" leaves a
+    // "\n"-prefixed second unit whose leading newline must round-trip;
+    // single newlines INSIDE a paragraph are content, not separators
+    val p1 = "shared para\nline two"
+    val docs = Seq(
+      ("d1", s"$p1\n\nunique one"),
+      ("d2", s"$p1\n\n$p1\n\nunique two"),
+      ("d3", "alone\n\n\nafter lone newline"),
+      ("d4", null)).toDF("url", "text")
+    val out = graft.substring.LineDedup.dedupParagraphs(docs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("d1") == s"$p1\n\nunique one")
+    assert(out("d2") == "unique two")
+    assert(out("d3") == "alone\n\n\nafter lone newline")
+    assert(out("d4") == null)
+
+    val at2 = graft.substring.LineDedup.dropCommonParagraphs(docs, minDocs = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(at2("d1") == "unique one")
+    assert(at2("d2") == "unique two")
+    assert(at2("d3") == "alone\n\n\nafter lone newline")
+  }
+
   test("longestCommonRun matches the naive DP longest-common-substring") {
     val rnd = new scala.util.Random(23)
     def naive(a: String, b: String): Int = {
