@@ -749,6 +749,9 @@ object Main {
     else if (input.endsWith(".csv"))
       normalize(spark.read.option("header", "true").option("multiLine", "true")
         .option("escape", "\"").csv(input))
+    else if (input.endsWith(".warc") || input.endsWith(".warc.gz"))
+      graft.sources.Warc.read(spark, input)
+        .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
     else spark.read.parquet(input)
 
   /** Text-format sources (json/csv) carry no binary/timestamp typing;

@@ -75,6 +75,46 @@ object SparkEntry {
     * cost each ANN query one extra full-scan job (r3 VERDICT #6).
     * Memoized per path (the testdata is immutable for a run).
     */
+  /** q_warc fixture dirs, one per (JVM, sf dir) — see the query doc. */
+  private val warcFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Lay the documents table out as real WARC segment files under
+    * `tmp`: 8 hash-partitioned segments, even-first-id segments as
+    * member-per-record .warc.gz, each with warcinfo/request framing
+    * records the reader must skip (q_warc's fixture; foreachPartition
+    * writes one segment per task — the operator's own scale grain).
+    */
+  private def writeWarcFixture(s: SparkSession, dir: String, tmp: String): Unit =
+    docs(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .repartition(8, col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.map(r => (r.getLong(0), r.getString(1))).toArray.sortBy(_._1)
+        if (rows.nonEmpty) {
+          val gz = rows.head._1 % 2 == 0
+          val f = new java.io.File(tmp,
+            f"seg-${rows.head._1}%06d.warc" + (if (gz) ".gz" else ""))
+          val out = new java.io.FileOutputStream(f)
+          def emit(rec: Array[Byte]): Unit =
+            if (gz) { // every record its own gzip member (CC layout)
+              val g = new java.util.zip.GZIPOutputStream(out)
+              g.write(rec); g.finish()
+            } else out.write(rec)
+          emit(graft.sources.Warc.skippableRecord("warcinfo",
+            "2026-01-02T03:04:05Z"))
+          for ((id, t) <- rows) {
+            val body = s"<html><body>$t</body></html>"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val iso = java.time.Instant.ofEpochSecond(1700000000L + id).toString
+            emit(graft.sources.Warc.skippableRecord("request", iso) ++
+              graft.sources.Warc.responseRecord(
+                s"https://warc.example/$id", iso, 200 + (id % 3).toInt, body))
+          }
+          out.close()
+        }
+      }
+
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def parquetRowCount(s: SparkSession, path: String): Long =
@@ -222,6 +262,33 @@ object SparkEntry {
         md5(sl("first_cluster")).as("d_initial"),
         md5(sl("final_cluster")).as("d_final"),
         sha2(content, 256).as("d_sha"))
+    }),
+
+    // ---- WARC ingestion round trip (S1 source, Common Crawl's
+    // native container): the documents table is laid out as REAL WARC
+    // segment files (8 hash-partitioned files, half of them
+    // member-per-record .warc.gz, each with warcinfo/request framing
+    // records the reader must skip), then read back through the
+    // shipped parser. Output pins the full framing arithmetic: url
+    // and ISO-8601 date round trip, HTTP status parsed, body
+    // byte-exact (md5). The oracle reconstructs every field from the
+    // same closed forms — the fixture write is test-scale scaffolding
+    // (foreachPartition, one segment per task: exactly the operator's
+    // one-task-per-file scale grain)
+    "q_warc" -> ((s, dir) => {
+      // fixture laid out once per (JVM, sf dir): repeated invocations
+      // (bench reps, warm-up) re-read the same segments
+      val tmp = warcFixtureCache.computeIfAbsent(dir, _ => {
+        val t = java.nio.file.Files.createTempDirectory("graft-warc-q")
+          .toFile.getAbsolutePath
+        writeWarcFixture(s, dir, t)
+        t
+      })
+      graft.sources.Warc.read(s, tmp).select(
+        col("url"), col("http_status"),
+        md5(col("html")).as("body_md5"),
+        octet_length(col("html")).cast("long").as("n_body"),
+        unix_timestamp(col("warc_ts")).as("ts_epoch"))
     }),
 
     // ---- normalized-text near-exact dedup (fingerprint identity)
@@ -1490,6 +1557,12 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT doc_id, 0, md5(''), md5(''), md5(''), md5(''), md5(''), md5(''), md5(''), md5(''), sha256('') " +
         "FROM b WHERE cl = 0"),
+    "q_warc" ->
+      ("SELECT 'https://warc.example/' || CAST(doc_id AS VARCHAR) AS url, " +
+        "CAST(200 + doc_id % 3 AS INT) AS http_status, " +
+        "md5('<html><body>' || coalesce(text, '') || '</body></html>') AS body_md5, " +
+        "CAST(octet_length(encode('<html><body>' || coalesce(text, '') || '</body></html>')) AS BIGINT) AS n_body, " +
+        "CAST(1700000000 + doc_id AS BIGINT) AS ts_epoch FROM documents"),
     "q_fingerprint" ->
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
     "q_empty_split" ->

@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, DataInputStream, File, FileOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+
+import graft.SparkSpec
+
+class WarcSpec extends SparkSpec {
+
+  private def stream(bytes: Array[Byte]) =
+    new DataInputStream(new ByteArrayInputStream(bytes))
+
+  private val date = "2026-01-02T03:04:05Z"
+
+  test("records: responses parsed, warcinfo/request/metadata skipped, body bytes exact") {
+    val body = "<html><body>hi &amp; bye\r\n\r\nmore</body></html>".getBytes(UTF_8)
+    val bytes =
+      Warc.skippableRecord("warcinfo", date) ++
+      Warc.skippableRecord("request", date) ++
+      Warc.responseRecord("https://a.example/x", date, 200, body,
+        extraHttpHeaders = "Server: test\r\n") ++
+      Warc.skippableRecord("metadata", date) ++
+      Warc.responseRecord("https://b.example/y", "2026-02-03T04:05:06Z", 404,
+        Array.emptyByteArray)
+    val docs = Warc.records(stream(bytes), "mem").toList
+    assert(docs.map(_.url) == List("https://a.example/x", "https://b.example/y"))
+    assert(docs.head.html.toSeq == body.toSeq) // CRLFCRLF inside body survives
+    assert(docs.head.http_status == 200)
+    assert(docs.head.warc_ts == java.sql.Timestamp.from(
+      java.time.Instant.parse(date)))
+    assert(docs(1).http_status == 404)
+    assert(docs(1).html.isEmpty)
+  }
+
+  test("records: bodiless/non-HTTP blocks skipped by policy, garbage framing fails loudly") {
+    // a response whose block is not an HTTP message → skipped
+    val blk = "not http at all".getBytes(UTF_8)
+    val nonHttp = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Date: $date\r\nWARC-Target-URI: https://c.example/\r\n" +
+      s"Content-Length: ${blk.length}\r\n\r\n").getBytes(UTF_8) ++ blk ++
+      "\r\n\r\n".getBytes(UTF_8)
+    assert(Warc.records(stream(nonHttp), "mem").toList.isEmpty)
+
+    // truncated block → loud failure, not silent drop
+    val good = Warc.responseRecord("https://d.example/", date, 200,
+      "abc".getBytes(UTF_8))
+    val truncated = good.dropRight(10)
+    val ex = intercept[java.io.IOException] {
+      Warc.records(stream(truncated), "mem").toList
+    }
+    assert(ex.getMessage.contains("truncated"))
+
+    // non-WARC leading bytes → loud failure
+    val junk = "HELLO\r\n".getBytes(UTF_8) ++ good
+    assert(intercept[java.io.IOException] {
+      Warc.records(stream(junk), "mem").toList
+    }.getMessage.contains("expected WARC/"))
+  }
+
+  test("read: .warc and concatenated-member .warc.gz files land in the corpus schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toFile
+    val r1 = Warc.skippableRecord("warcinfo", date) ++
+      Warc.responseRecord("https://p.example/1", date, 200,
+        "<html><body>plain  text&amp;stuff</body></html>".getBytes(UTF_8))
+    val f1 = new File(dir, "seg-00.warc")
+    val o1 = new FileOutputStream(f1); o1.write(r1); o1.close()
+
+    // gz: one gzip MEMBER per record, concatenated — the Common Crawl
+    // layout; GZIPInputStream must read across member boundaries
+    val f2 = new File(dir, "seg-01.warc.gz")
+    val o2 = new FileOutputStream(f2)
+    for (rec <- Seq(
+        Warc.responseRecord("https://p.example/2", date, 301, Array[Byte]()),
+        Warc.responseRecord("https://p.example/3", date, 200,
+          "<p>third</p>".getBytes(UTF_8)))) {
+      val g = new GZIPOutputStream(o2); g.write(rec); g.finish()
+    }
+    o2.close()
+    // a non-warc file in the dir is ignored
+    val o3 = new FileOutputStream(new File(dir, "README.txt")); o3.write(65); o3.close()
+
+    val df = Warc.read(spark, dir.getAbsolutePath)
+    val rows = df.orderBy("url").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("https://p.example/1", "https://p.example/2", "https://p.example/3"))
+    val byUrl = rows.map(r => r.getString(0) -> r).toMap
+    assert(byUrl("https://p.example/1").getString(3) == "plain text&stuff") // extracted
+    assert(byUrl("https://p.example/3").getString(3) == "third")
+    assert(byUrl("https://p.example/2").getInt(5) == 301)
+    assert(rows.forall(_.getString(4) == "und"))
+    assert(rows.forall(_.getTimestamp(1) != null))
+  }
+}
