@@ -306,7 +306,13 @@ object Main {
       useLongRun = conf.longrun.isDefined,
       longRun = conf.longrun.map(l => DedupPipeline.LongRunConfig(minLen = l))
         .getOrElse(DedupPipeline.LongRunConfig()))
-    val result = conf.checkpoint match {
+    // the dataset-audit formats (overlap/lm/ccnet) read only the INPUT
+    // corpus — running the dedup DAG (shingles, MinHash-128, banded
+    // pairing, CC iterations) to then never read its result would cost
+    // a corpus-scale pass for nothing, so the pipeline is lazy and the
+    // audit formats never force it
+    val auditOnly = Set("overlap", "lm", "ccnet").contains(conf.format)
+    lazy val result = conf.checkpoint match {
       case Some(dir) =>
         DedupPipeline.runCheckpointed(docs, new graft.checkpoint.Catalog(dir, spark), cfg)
       case None => DedupPipeline.run(docs, cfg)
@@ -316,7 +322,8 @@ object Main {
     // argmax-quality member instead of the min-url canonical. Keepers
     // are one small row per cluster — persisted so survivor joins and
     // the metrics count share one computation.
-    val keepers = keepPolicyKeepers(docs, result, conf.keepPolicy)
+    val keepers =
+      if (auditOnly) None else keepPolicyKeepers(docs, result, conf.keepPolicy)
     keepers.foreach(_.persist())
     val out0 = formatOutput(docs, result, conf.format, keepers, conf.split,
       conf.ccnetSample)
@@ -346,7 +353,7 @@ object Main {
       k.unpersist()
     }
 
-    if (conf.verbose) {
+    if (conf.verbose && !auditOnly) {
       val s = result.summary.head()
       System.err.println(
         s"unique: ${s.getLong(0)}  distinct duplicated: ${s.getLong(1)}  duplicates: ${s.getLong(2)}")
@@ -411,7 +418,10 @@ object Main {
     * only; the prior table is scanned once map-side. The rewrite is a
     * staged two-phase swap (write assign_next, demote assign to
     * assign_prev, promote) so a crash mid-update always leaves a
-    * complete table on disk; on an Iceberg catalog this whole step is
+    * complete table on disk — and a crash BETWEEN the two renames
+    * (no assign/ present) is recovered on the next run by promoting
+    * the committed assign_next instead of silently bootstrapping an
+    * empty prior; on an Iceberg catalog this whole step is
     * a MERGE INTO touching relabeled rows. Ids are assumed unique
     * across crawls (url + warc_ts at production scale) — a re-crawled
     * url is the SNAPSHOT's identity question, not this table's.
@@ -426,6 +436,17 @@ object Main {
       val pp = new org.apache.hadoop.fs.Path(p)
       fs.exists(pp) && fs.listStatus(pp).exists(_.getPath.getName.endsWith(".parquet"))
     }
+    // complete an interrupted swap before reading: a crash between the
+    // demote (assign -> assign_prev) and promote (assign_next -> assign)
+    // renames leaves no assign/ — bootstrapping EMPTY there would
+    // silently abandon every prior crawl's components. assign_next is
+    // only ever a fully committed write, gated on _SUCCESS so a crash
+    // MID-write (possible only on the very first bootstrap, when no
+    // assign exists yet either) is not promoted.
+    val nextP0 = new org.apache.hadoop.fs.Path(s"$dir/assign_next")
+    if (!hasParquet(assignPath) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/assign_next/_SUCCESS")))
+      fs.rename(nextP0, new org.apache.hadoop.fs.Path(assignPath))
     val prior = if (hasParquet(assignPath)) spark.read.parquet(assignPath)
       else Seq.empty[(String, String)].toDF("id", "component")
     val edges = verdicts.filter(col(dupCol).isNotNull)
@@ -534,12 +555,26 @@ object Main {
         IncrementalNearDup.Snapshot(
           spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sigs"))
       else IncrementalNearDup.bootstrap(docs.limit(0), cfg)
-    val verdicts = IncrementalNearDup.dedupAgainst(docs, snap, cfg)
+    // the batch is shingled + minhashed ONCE, shared by the probe and
+    // the snapshot delta (shingling is the dominant map-side cost of
+    // this stack — paying it twice per crawl doubled the bill)
+    val batchSigs = graft.near.MinHashLSH.signatures(docs, cfg).persist()
+    val skippedAcc = spark.sparkContext.longAccumulator("near_snapshot_skipped")
+    val verdicts = IncrementalNearDup
+      .dedupAgainstSignatures(batchSigs, snap, cfg, skippedAcc = Some(skippedAcc))
       .localCheckpoint(true)
+    // over-cap skip surfacing (capped AND surfaced — a saturated prior
+    // band bucket silently degrading recall is the one failure an
+    // operator of a standing snapshot must see)
+    if (skippedAcc.value > 0)
+      System.err.println(
+        s"near-snapshot: ${skippedAcc.value} over-cap candidate rows skipped " +
+          "(hot snapshot band bucket; raise maxBucket or salt the band)")
     sink(verdicts)
-    val delta = IncrementalNearDup.snapshotDelta(docs, verdicts, cfg)
+    val delta = IncrementalNearDup.snapshotDeltaFromSignatures(batchSigs, verdicts, cfg)
     delta.bands.write.mode("append").parquet(s"$dir/bands")
     delta.sigs.write.mode("append").parquet(s"$dir/sigs")
+    batchSigs.unpersist()
     verdicts
   }
 
@@ -568,7 +603,7 @@ object Main {
     * cluster's keeper id.
     */
   private[graft] def formatOutput(docs: DataFrame,
-      result: DedupPipeline.Result, format: String,
+      result: => DedupPipeline.Result, format: String,
       keepers: Option[DataFrame],
       splitFracs: Option[Seq[(String, Double)]] = None,
       ccnetSample: Double = 0.5): DataFrame = {

@@ -93,29 +93,59 @@ object IncrementalNearDup {
       .select(col("id"), col("keeper"), col("skipped"))
       .groupBy("id", "keeper")
       .agg(sum(col("skipped")).as("skipped"))
-      // keeper null = skip row (kept per batch id: that id's candidates
-      // were truncated); real pairs carry skipped = 0
-      .select(when(col("keeper").isNull, lit(null)).otherwise(col("id")).as("id"),
-        col("keeper"), col("skipped"))
+    // keeper null = skip row, one per batch id whose candidate set was
+    // truncated (summed over that id's saturated buckets); real pairs
+    // carry skipped = 0
   }
 
   /** Per-batch-row verdicts: (idCol, near_dup_of, jaccard, is_novel).
     * See object doc for the policy. `jaccard` is the verified exact
     * shingle Jaccard with the chosen partner (null when novel).
+    * Computes the batch signatures itself; callers that already hold
+    * them (or need them again for [[snapshotDeltaFromSignatures]])
+    * should use [[dedupAgainstSignatures]] — shingle + 128-perm
+    * minhash is the dominant map-side cost of this stack, and paying
+    * it twice per crawl is the exact waste this module exists to
+    * avoid on the PRIOR corpus.
     */
   def dedupAgainst(batch: DataFrame, snapshot: Snapshot,
       cfg: MinHashLSH.Config = MinHashLSH.Config(),
       idCol: String = "url", textCol: String = "text",
-      broadcastBatch: Boolean = true): DataFrame = {
-    val spark = batch.sparkSession
+      broadcastBatch: Boolean = true,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val batchSigs = MinHashLSH.signatures(batch, cfg, textCol, idCol).persist()
+    val out = dedupAgainstSignatures(batchSigs, snapshot, cfg, idCol,
+      broadcastBatch, skippedAcc)
+    batchSigs.unpersist()
+    out
+  }
+
+  /** [[dedupAgainst]] over precomputed `MinHashLSH.signatures` rows
+    * (persist them across this call and [[snapshotDeltaFromSignatures]]
+    * so the batch is shingled ONCE per crawl). When `skippedAcc` is
+    * given, the summed over-cap skip count (batch docs × saturated
+    * snapshot buckets whose candidates were truncated — the signal
+    * that recall is degrading on a hot boilerplate band) is added to
+    * it: capped AND surfaced, the SCALE.md invariant-3 contract the
+    * batch pipeline already honors.
+    */
+  def dedupAgainstSignatures(batchSigs: DataFrame, snapshot: Snapshot,
+      cfg: MinHashLSH.Config = MinHashLSH.Config(),
+      idCol: String = "url",
+      broadcastBatch: Boolean = true,
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = batchSigs.sparkSession
     import spark.implicits._
     val jaccardUdf = udf((x: Seq[Long], y: Seq[Long]) =>
       graft.near.Hashing.jaccard(
         if (x == null) null else x.toArray, if (y == null) null else y.toArray))
-    val batchSigs = MinHashLSH.signatures(batch, cfg, textCol, idCol).persist()
 
     // --- prior-corpus tier: probe the snapshot ---
-    val cand = probeCandidatesAndSkips(batchSigs, snapshot, cfg, broadcastBatch)
+    // persisted so the skip-row aggregate below re-reads this SMALL
+    // frame instead of re-scanning the 10^12-row snapshot a third time
+    val candAll = probeCandidatesAndSkips(batchSigs, snapshot, cfg, broadcastBatch)
+      .persist()
+    val cand = candAll
       .filter(col("keeper").isNotNull)
       .select(col("id"), col("keeper"))
     val keeperIds = cand.select(col("keeper").as("id")).distinct()
@@ -149,21 +179,36 @@ object IncrementalNearDup {
         when(col("prior_of").isNotNull, col("prior_j"))
           .otherwise(when(col("batch_of").isNotNull, col("batch_j"))).as("jaccard"))
       .withColumn("is_novel", col("near_dup_of").isNull)
-      .localCheckpoint()
-    batchSigs.unpersist()
+      .localCheckpoint() // eager: candAll is materialized by here
+    skippedAcc.foreach(_.add(
+      candAll.filter(col("keeper").isNull)
+        .agg(coalesce(sum(col("skipped")), lit(0L))).head().getLong(0)))
+    candAll.unpersist()
     out
   }
 
   /** Append-only snapshot update: band + sig rows for the batch docs
     * RETAINED by `verdicts` (is_novel = true). Union these onto the
     * snapshot tables — near-dups never enter the snapshot, so it stays
-    * one row per retained doc per band.
+    * one row per retained doc per band. Prefer
+    * [[snapshotDeltaFromSignatures]] when the batch signatures are
+    * already on hand (this overload re-shingles the batch).
     */
   def snapshotDelta(batch: DataFrame, verdicts: DataFrame,
       cfg: MinHashLSH.Config = MinHashLSH.Config(),
-      idCol: String = "url", textCol: String = "text"): Snapshot = {
-    val novel = verdicts.filter(col("is_novel")).select(col(idCol))
-    val kept = batch.join(broadcast(novel), Seq(idCol), "left_semi")
-    bootstrap(kept, cfg, idCol, textCol)
+      idCol: String = "url", textCol: String = "text"): Snapshot =
+    snapshotDeltaFromSignatures(
+      MinHashLSH.signatures(batch, cfg, textCol, idCol), verdicts, cfg, idCol)
+
+  /** [[snapshotDelta]] over precomputed batch signatures — zero
+    * re-shingling: the delta is a filter of rows already computed for
+    * the probe.
+    */
+  def snapshotDeltaFromSignatures(batchSigs: DataFrame, verdicts: DataFrame,
+      cfg: MinHashLSH.Config = MinHashLSH.Config(),
+      idCol: String = "url"): Snapshot = {
+    val novel = verdicts.filter(col("is_novel")).select(col(idCol).as("id"))
+    val kept = batchSigs.join(broadcast(novel), Seq("id"), "left_semi")
+    Snapshot(bandRows(kept, cfg), kept.select(col("id"), col("shingles")))
   }
 }

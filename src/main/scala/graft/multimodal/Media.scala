@@ -480,6 +480,27 @@ object Media {
     -1
   }
 
+  /** (logicalScreenWidth, logicalScreenHeight) from the GIF stream
+    * metadata descriptor, (0, 0) when absent/unreadable.
+    */
+  private def gifLogicalScreen(r: javax.imageio.ImageReader): (Int, Int) =
+    try {
+      val sm = r.getStreamMetadata
+      if (sm == null) return (0, 0)
+      val root = sm.getAsTree("javax_imageio_gif_stream_1.0")
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val kids = root.getChildNodes
+      var i = 0
+      while (i < kids.getLength) {
+        val n = kids.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        if (n.getNodeName == "LogicalScreenDescriptor")
+          return (n.getAttribute("logicalScreenWidth").toInt,
+            n.getAttribute("logicalScreenHeight").toInt)
+        i += 1
+      }
+      (0, 0)
+    } catch { case _: Exception => (0, 0) }
+
   private def copyRaster(src: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
     val d = new java.awt.image.BufferedImage(src.getWidth, src.getHeight,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -508,15 +529,23 @@ object Media {
         r.setInput(iis)
         val n = math.max(1, r.getNumImages(true))
         val isGif = r.getFormatName.equalsIgnoreCase("gif")
-        if (!isGif || n == 1) {
-          // single-frame / non-GIF: the raw raster IS the composition
+        if (!isGif) {
+          // non-GIF: the raw raster IS the composition
           return Some((0 until n).map(i => (copyRaster(r.read(i)), 0)) -> -1)
         }
-        // logical screen from the stream metadata; fall back to the
-        // max frame extent when the descriptor is absent
+        // GIFs — INCLUDING single-frame ones — go through composition:
+        // a lone sub-screen frame at a nonzero offset (tracking pixels,
+        // sprite crops) must land on the logical-screen canvas exactly
+        // like frame 0 of an animation would, or the two paths disagree
+        // on identical frame content (round-5 review finding). Logical
+        // screen from the stream metadata descriptor; fall back to the
+        // max frame extent when it is absent
         val metas = (0 until n).map(i => (r.read(i), gifFrameMeta(r.getImageMetadata(i))))
-        val sw = math.max(r.getWidth(0), metas.map { case (f, (x, _, _, _)) => x + f.getWidth }.max)
-        val sh = math.max(r.getHeight(0), metas.map { case (f, (_, y, _, _)) => y + f.getHeight }.max)
+        val (lsw, lsh) = gifLogicalScreen(r)
+        val sw = Seq(lsw, r.getWidth(0),
+          metas.map { case (f, (x, _, _, _)) => x + f.getWidth }.max).max
+        val sh = Seq(lsh, r.getHeight(0),
+          metas.map { case (f, (_, y, _, _)) => y + f.getHeight }.max).max
         var canvas = new java.awt.image.BufferedImage(sw, sh,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         val out = metas.map { case (raw, (x, y, disposal, delay)) =>

@@ -216,28 +216,47 @@ object MinHashLSH {
       .toDF("src", "dst", "skipped")
   }
 
-  /** Round 1 of the salted drain: each (band_id, band_hash, salt)
-    * sub-bucket — salt = hash(id) mod salts, so a hot bucket's rows
-    * spread over `salts` tasks — drains to a bounded partial
-    * (band_id, band_hash, n, ≤ cap+1 sample ids). Exposed for tests
-    * to assert no round-1 group ever held the whole bucket.
+  /** The (band bucket key, member id) pairs that feed the salted
+    * drain — ONE construction shared by the shipping pairing path and
+    * the test-facing round-1 partials, so they can never diverge.
     */
-  def saltedPartials(sigs: DataFrame, cfg: Config): Dataset[(Int, Long, Long, Seq[String])] = {
+  private def bandedMembers(sigs: DataFrame,
+      cfg: Config): Dataset[((Int, Long), String)] = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val cap = cfg.maxBucket
     sigs
       .filter(col("sig").isNotNull)
       .select(col("id"),
         posexplode(bandsUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)))
           .as(Seq("band_id", "band_hash")))
-      .withColumn("salt", pmod(xxhash64(col("id")), lit(cfg.salts)).cast("int"))
-      .as[(String, Int, Long, Int)]
-      .groupByKey(r => (r._2, r._3, r._4))
-      .mapGroups { (key, rows) =>
-        val (n, ids) = graft.functions.CappedGroups.drain(rows.map(_._1), cap)
-        (key._1, key._2, n, ids.toSeq)
-      }
+      .as[(String, Int, Long)]
+      .map(r => ((r._2, r._3), r._1))
+  }
+
+  /** The member-salt of the band drain (what spreads a hot bucket's
+    * rows over round-1 tasks) — the ONE function the shipping path
+    * uses; tests asserting round-1 boundedness go through the same
+    * symbol (a test-only copy salted with a different hash would let
+    * a salt-distribution regression pass the round-1 tests).
+    */
+  private[near] val memberSalt: String => Int =
+    id => scala.util.hashing.MurmurHash3.stringHash(id)
+
+  /** Round 1 of the salted drain: each (band bucket, salt) sub-bucket
+    * — salt = memberSalt(id) mod salts, so a hot bucket's rows spread
+    * over `salts` tasks — drains to a bounded partial
+    * ((band_id, band_hash), n, ≤ cap+1 sample ids). Exposed for tests
+    * to assert no round-1 group ever held the whole bucket; this IS
+    * the shipping [[candidatesAndSkipsSalted]] round 1
+    * ([[graft.functions.CappedGroups.saltedPartials]] on the same
+    * banded rows and the same salt).
+    */
+  def saltedPartials(sigs: DataFrame,
+      cfg: Config): Dataset[((Int, Long), Long, Seq[String])] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    graft.functions.CappedGroups.saltedPartials(
+      bandedMembers(sigs, cfg), cfg.maxBucket, cfg.salts, memberSalt)
   }
 
   /** Salted two-round variant of [[candidatesAndSkips]] — same output
@@ -253,16 +272,8 @@ object MinHashLSH {
     val spark = sigs.sparkSession
     import spark.implicits._
     val cap = cfg.maxBucket
-    val banded = sigs
-      .filter(col("sig").isNotNull)
-      .select(col("id"),
-        posexplode(bandsUdf(col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)))
-          .as(Seq("band_id", "band_hash")))
-      .as[(String, Int, Long)]
-      .map(r => ((r._2, r._3), r._1))
     graft.functions.CappedGroups.saltedDrain[(Int, Long), String, (String, String, Long)](
-      banded, cap, cfg.salts,
-      id => scala.util.hashing.MurmurHash3.stringHash(id),
+      bandedMembers(sigs, cfg), cap, cfg.salts, memberSalt,
       (_, total, ids) =>
         if (total > cap) Iterator.single((null: String, null: String, total))
         else if (ids.length < 2) Iterator.empty

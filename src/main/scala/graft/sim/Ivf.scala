@@ -162,13 +162,21 @@ object Ivf {
     // Null / zero-norm embeddings yield a null cell and are filtered
     // (same semantics as the r3 fix; arithmetic identical to
     // normUdf0-then-argmaxCell, so cell ids are unchanged).
+    // asNondeterministic: fusing alone does NOT stop the duplication —
+    // PushPredicateThroughNonJoin rewrites filter(cell.isNotNull) on a
+    // DETERMINISTIC alias to filter(cellU(v).isNotNull) below the
+    // project, and Filter/Project don't share subexpressions, so the
+    // fused normalize+argmax would run twice per row (k·dim work, the
+    // dominant map-side cost at corpus scale). The function is pure;
+    // the flag only pins one evaluation per row (verified: one
+    // cellU in the physical plan, filter ABOVE the project).
     val cellU = udf((v: Seq[Double]) =>
       if (v == null || v.isEmpty) null
       else {
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n <= 0) null
         else java.lang.Integer.valueOf(argmaxCell(cs, v.map(_ / n)))
-      })
+      }).asNondeterministic()
     Ann.prenorm(corpus.select(col(idCol).as("id"), col(vecCol).as("v0")),
         "id", col("v0"), "v", "nn").drop("v0")
       .withColumn("cell", cellU(col("v")))

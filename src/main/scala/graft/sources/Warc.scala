@@ -59,11 +59,23 @@ object Warc {
     val docs = spark.createDataset(paths)
       .repartition(paths.size) // one task per WARC file (see scaladoc)
       .mapPartitions { it =>
+        // EOF closes each stream inline (records()), but a consumer
+        // that stops early (limit/take) or a loud parse failure leaves
+        // the task's current stream open — on a long-lived executor
+        // those leaked FSDataInputStreams exhaust descriptors/datanode
+        // connections. The task-completion hook closes whatever is
+        // still open (close after EOF-close is a harmless no-op).
+        val opened = new java.util.ArrayList[InputStream]()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            opened.forEach(s => try s.close() catch { case _: Exception => () })
+          })
         it.flatMap { p =>
           val fs = new Path(p).getFileSystem(conf.value)
           val raw: InputStream = fs.open(new Path(p))
           val in = if (p.endsWith(".gz")) new GZIPInputStream(raw)
                    else new BufferedInputStream(raw)
+          opened.add(in)
           records(new DataInputStream(in), p)
         }
       }
@@ -84,13 +96,17 @@ object Warc {
       .sorted
   }
 
-  /** Lazily parse one stream's records; closes `in` at EOF. */
+  /** Lazily parse one stream's records; closes `in` at EOF and on any
+    * parse failure (the loud IOException must not also leak the
+    * stream — callers additionally hold a task-completion close for
+    * the stopped-early consumer case).
+    */
   private[sources] def records(in: DataInputStream,
       name: String): Iterator[WarcDoc] = new Iterator[WarcDoc] {
     private var nextDoc: WarcDoc = null
     private var done = false
 
-    private def advance(): Unit = {
+    private def advance(): Unit = try {
       while (nextDoc == null && !done) {
         val version = readLine(in)
         if (version == null) { done = true; in.close() }
@@ -114,6 +130,11 @@ object Warc {
             parseResponse(headers, block, name).foreach(nextDoc = _)
         }
       }
+    } catch {
+      case e: Throwable =>
+        done = true
+        try in.close() catch { case _: Exception => () }
+        throw e
     }
 
     override def hasNext: Boolean = { advance(); nextDoc != null }

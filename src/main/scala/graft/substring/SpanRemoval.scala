@@ -168,8 +168,9 @@ object SpanRemoval {
   /** (id, clean_text, n_removed): every covered span cut from the
     * text, remainder concatenated in order (the reconstruction side
     * of the policy). Docs with no shared runs pass through verbatim;
-    * a fully-covered doc yields "". Pairs-only view — over-cap skips
-    * surface via [[coveredSpansAndSkips]].
+    * a fully-covered doc yields ""; null text passes through as null.
+    * Pairs-only view — over-cap skips surface via
+    * [[coveredSpansAndSkips]].
     */
   def removeSharedRuns(docs: DataFrame, minLen: Int = 60,
       idCol: String = "url", textCol: String = "text",
@@ -182,7 +183,11 @@ object SpanRemoval {
       .join(spans.select(col("id"), col("spans")), Seq("id"), "left")
       .as[(String, String, Seq[(Int, Int)])]
       .map { case (id, t, sp) =>
-        if (t == null) (id, "", 0)
+        // null text passes through as null clean_text (the sibling
+        // LineDedup/ChunkDedup convention): "" would be
+        // indistinguishable from a fully-covered all-duplicate doc,
+        // collapsing 'undecodable' into 'entirely boilerplate'
+        if (t == null) (id, null: String, 0)
         else if (sp == null || sp.isEmpty) (id, t, 0)
         else {
           val sb = new java.lang.StringBuilder(t.length)

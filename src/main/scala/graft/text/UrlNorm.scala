@@ -90,8 +90,14 @@ object UrlNorm {
     * matches the one blocklist entry. Codegen'd `isin` against a
     * driver-side list — the blocklist is config-sized; for a
     * million-entry list join against a broadcast table instead.
+    * Null urls pass through: `null.isin(...)` is null and Filter
+    * treats null as false, so without the explicit isNull arm a
+    * hygiene flag would silently delete every url-less row — a doc
+    * with no url matches no blocked domain by definition (the same
+    * non-URL passthrough the empty-host case gets).
     */
   def dropBlockedDomains(docs: DataFrame, blocked: Seq[String],
       urlCol: String = "url"): DataFrame =
-    docs.filter(!registrableDomain(col(urlCol)).isin(blocked: _*))
+    docs.filter(col(urlCol).isNull ||
+      !registrableDomain(col(urlCol)).isin(blocked: _*))
 }

@@ -217,8 +217,35 @@ class DedupEngineSpec extends SparkSpec {
     val snap = bootstrap(prior, cfg)
     val batchSigs = MinHashLSH.signatures(Seq(("X", text)).toDF("url", "text"), cfg)
     val probed = probeCandidatesAndSkips(batchSigs, snap, cfg)
-    val skips = probed.filter(col("id").isNull)
+    val skips = probed.filter(col("keeper").isNull)
     assert(skips.count() >= 1) // truncated buckets surface, never explode
-    assert(probed.filter(col("id").isNotNull && col("keeper").isNotNull).count() == 0)
+    assert(skips.filter(col("id").isNull).count() == 0,
+      "skip rows keep their batch-id attribution (r5 review)")
+    assert(probed.filter(col("keeper").isNotNull).count() == 0)
+    // the verdict path SURFACES the summed skip count (capped AND
+    // surfaced — invariant 3), instead of silently filtering it out
+    val acc = spark.sparkContext.longAccumulator("t_near_skips")
+    val v = dedupAgainst(Seq(("X", text)).toDF("url", "text"), snap, cfg,
+      skippedAcc = Some(acc)).collect()
+    assert(v.length == 1 && acc.value >= 1,
+      s"over-cap skips must reach the accumulator (got ${acc.value})")
+  }
+
+  test("incremental NEAR-dup: delta-from-signatures equals the re-shingling delta (r5 review)") {
+    import graft.engine.IncrementalNearDup._
+    import graft.near.MinHashLSH
+    val mk = (p: String) => (0 until 6).map(i =>
+      (s"$p$i", (0 until 30).map(j => s"w$p${i}_$j").mkString(" ")))
+    val batch = (mk("a") :+ ("dup", mk("a").head._2)).toDF("url", "text")
+    val cfg = MinHashLSH.Config(jaccardThreshold = 0.5)
+    val snap = bootstrap(Seq.empty[(String, String)].toDF("url", "text"), cfg)
+    val sigs = MinHashLSH.signatures(batch, cfg).persist()
+    val verdicts = dedupAgainstSignatures(sigs, snap, cfg)
+    val viaSigs = snapshotDeltaFromSignatures(sigs, verdicts, cfg)
+    val viaText = snapshotDelta(batch, verdicts, cfg)
+    assert(viaSigs.bands.collect().toSet == viaText.bands.collect().toSet)
+    assert(viaSigs.sigs.select("id").collect().map(_.getString(0)).toSet ==
+      viaText.sigs.select("id").collect().map(_.getString(0)).toSet)
+    sigs.unpersist()
   }
 }

@@ -557,6 +557,14 @@ class SubstringSpec extends SparkSpec {
         dup.toDF("url", "text"), minLen = 60)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out2("d5") == "")
+    // null text passes through as NULL, not "" (r5 review: "" is a
+    // fully-covered all-duplicate doc — the sibling-policy convention)
+    val withNull = fixture :+ ("d6", null: String)
+    val out3 = graft.substring.SpanRemoval.removeSharedRuns(
+        withNull.toDF("url", "text"), minLen = 60)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out3("d6").isEmpty, "null clean_text for null text")
+    assert(out3("d1").contains(a), "non-null docs unaffected")
   }
 
   test("span-removal coverage kernel matches the naive per-position reference on random corpora") {
@@ -909,6 +917,24 @@ class MediaSpec extends SparkSpec {
     assert((f3.getRGB(15, 5) & 0xff) == 32, "previous canvas restored under frame 2")
   }
 
+  test("SINGLE-frame GIF with a sub-screen offset patch composites like an animation frame would (r5 review)") {
+    import graft.multimodal.Media._
+    // one 10x10 gray-160 patch at (10,0) — a tracking-pixel/sprite-crop
+    // shape. The old n==1 fast path returned the bare 10x10 raster,
+    // disagreeing with what the multi-frame path (and a viewer) shows.
+    val one = animatedGifBytesAt(20, 10, Seq(
+      GifFrameSpec(160, 10, 0, 10, 10, "none", 7)), loop = -1)
+    val (frames, _) = compositedFrames(one).get
+    assert(frames.length == 1)
+    val f0 = frames(0)._1
+    assert(f0.getWidth == 20 && f0.getHeight == 10,
+      "composited canvas, not the raw 10x10 patch")
+    assert((f0.getRGB(15, 5) & 0xff) == 160, "patch drawn at its offset")
+    assert((f0.getRGB(2, 5) & 0xff) == 0, "uncovered canvas is background")
+    assert(frames(0)._2 == 7,
+      "real delay read back (the old single-frame path pinned 0)")
+  }
+
   test("animated resize composites (no stretch distortion) and carries delays + loop (r4 advice)") {
     import spark.implicits._
     import graft.multimodal.Media._
@@ -1131,8 +1157,12 @@ class IncrementalCliSpec extends SparkSpec {
       .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
       .withColumn("html", col("text").cast("binary"))
       .withColumn("lang", lit("en"))
-    val result = graft.pipeline.DedupPipeline.run(docs)
-    val out = graft.Main.formatOutput(docs, result, "overlap", None)
+    // audit formats must never force the dedup pipeline (r5 review: a
+    // corpus-scale dedup DAG ran, its result unread) — a throwing
+    // by-name result proves it is untouched
+    def boom: graft.pipeline.DedupPipeline.Result =
+      throw new AssertionError("audit format forced the dedup pipeline")
+    val out = graft.Main.formatOutput(docs, boom, "overlap", None)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
     assert(out.size == 3, s"C(3,2) domain pairs, got ${out.keys}")
     assert(out(("sitea.com", "siteb.org")) == 1L, "the shared 3-gram counts once")
@@ -1149,8 +1179,9 @@ class IncrementalCliSpec extends SparkSpec {
       .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
       .withColumn("html", col("text").cast("binary"))
       .withColumn("lang", lit("en"))
-    val result = graft.pipeline.DedupPipeline.run(docs)
-    val out = graft.Main.formatOutput(docs, result, "lm", None)
+    def boom: graft.pipeline.DedupPipeline.Result = // see overlap test
+      throw new AssertionError("audit format forced the dedup pipeline")
+    val out = graft.Main.formatOutput(docs, boom, "lm", None)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out.size == 3)
     assert(out("https://a.example/1")._1 == 5L)
@@ -1237,8 +1268,9 @@ class IncrementalCliSpec extends SparkSpec {
       .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
       .withColumn("html", col("text").cast("binary"))
       .withColumn("lang", lit("en"))
-    val result = graft.pipeline.DedupPipeline.run(docs)
-    val out = graft.Main.formatOutput(docs, result, "ccnet", None,
+    def boom: graft.pipeline.DedupPipeline.Result = // see overlap test
+      throw new AssertionError("audit format forced the dedup pipeline")
+    val out = graft.Main.formatOutput(docs, boom, "ccnet", None,
         ccnetSample = 1.0)
       .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getString(3)))).toMap
     assert(out.size == 30)
@@ -1277,6 +1309,21 @@ class IncrementalCliSpec extends SparkSpec {
     graft.Main.maintainClusters(spark, ccDir, v3, "dup_of")
     assert(assign() == Map("A" -> "A", "B" -> "A", "C" -> "C",
       "D" -> "A", "E" -> "0-first", "F" -> "0-first", "0-first" -> "0-first"))
+
+    // r5 review: a crash BETWEEN the demote and promote renames leaves
+    // assign_next (committed) and no assign — the next run must recover
+    // the standing table, not silently bootstrap an empty prior.
+    val fs = new org.apache.hadoop.fs.Path(ccDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$ccDir/assign"),
+      new org.apache.hadoop.fs.Path(s"$ccDir/assign_next")) // simulate the window
+    val v4 = graft.Main.runIncremental(spark, mk(Seq(
+      ("G", "alpha text"))), snapDir)
+    graft.Main.maintainClusters(spark, ccDir, v4, "dup_of")
+    val recovered = assign()
+    assert(recovered("G") == "A" && recovered("B") == "A" &&
+      recovered("E") == "0-first",
+      s"interrupted swap must recover prior components, got $recovered")
   }
 
   test("a failing emit sink leaves the snapshot unpoisoned (append runs after sink)") {

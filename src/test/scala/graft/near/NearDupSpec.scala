@@ -170,12 +170,13 @@ class NearDupSpec extends SparkSpec {
     val sameSig = array((0 until 4).map(i => lit(7L * (i + 1))): _*)
     val sigs = spark.range(n)
       .select(concat(lit("u"), col("id")).as("id"), sameSig.as("sig"))
-    // round-1 partials: one per salt, none anywhere near the full bucket
+    // round-1 partials (the SHIPPING path's round 1 — same banded rows,
+    // same memberSalt): one per salt, none anywhere near the full bucket
     val parts = MinHashLSH.saltedPartials(sigs, cfg).collect()
     assert(parts.length == cfg.salts)
-    assert(parts.map(_._3).sum == n)
-    assert(parts.forall(_._3 < n / 4), s"a partial held too much: ${parts.map(_._3).toSeq}")
-    assert(parts.forall(_._4.length <= cfg.maxBucket + 1)) // bounded sample
+    assert(parts.map(_._2).sum == n)
+    assert(parts.forall(_._2 < n / 4), s"a partial held too much: ${parts.map(_._2).toSeq}")
+    assert(parts.forall(_._3.length <= cfg.maxBucket + 1)) // bounded sample
     // merged output: one skip row carrying the true total, zero pairs
     val out = MinHashLSH.candidatesAndSkips(sigs, cfg).collect()
     assert(out.length == 1 && out(0).isNullAt(0) && out(0).getLong(2) == n)

@@ -58,6 +58,20 @@ class WarcSpec extends SparkSpec {
     }.getMessage.contains("expected WARC/"))
   }
 
+  test("records: the stream is closed on a mid-file parse failure, not leaked (r5 review)") {
+    var closed = false
+    val good = Warc.responseRecord("https://d.example/", date, 200,
+      "abc".getBytes(UTF_8))
+    val bad = good ++ "GARBAGE\r\n".getBytes(UTF_8) ++ good
+    val underlying = new ByteArrayInputStream(bad) {
+      override def close(): Unit = { closed = true; super.close() }
+    }
+    intercept[java.io.IOException] {
+      Warc.records(new DataInputStream(underlying), "mem").toList
+    }
+    assert(closed, "the loud IOException must also close the input stream")
+  }
+
   test("read: .warc and concatenated-member .warc.gz files land in the corpus schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc").toFile
     val r1 = Warc.skippableRecord("warcinfo", date) ++

@@ -43,4 +43,15 @@ class UrlDomainSpec extends SparkSpec {
       .select("text").collect().map(_.getString(0)).toSet
     assert(kept == Set("t4", "t5", "t6"))
   }
+
+  test("dropBlockedDomains passes null urls through (r5 review: Filter treats null as false)") {
+    val docs = Seq(
+      (null: String, "nullurl"),
+      ("https://ads.tracker.example/a", "blocked"),
+      ("https://news.example.org/d", "kept")).toDF("url", "text")
+    val kept = UrlNorm.dropBlockedDomains(docs, Seq("tracker.example"))
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(kept == Set("nullurl", "kept"),
+      "a doc with no url matches no blocked domain — it must not vanish")
+  }
 }
