@@ -399,6 +399,26 @@ object SparkEntry {
         graft.text.UrlNorm.canonicalUrl(messy).as("url_canon"))
     }),
 
+    // url-revisit dedup (the Common Crawl recrawl policy): latest
+    // fetch per CANONICAL url wins. Urls synthesized so ~1/3 carry
+    // tracker junk the canonicalizer must strip before grouping
+    // (doc_id mod 50 → 50 canonical urls), and warc_ts is a NON-
+    // monotone function of doc_id (doc_id·7919 mod 100000 — injective
+    // below 100k docs, so no ties), so keep_id really exercises the
+    // argmax-by-timestamp, not an id max.
+    "q_url_revisit" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(lit("https://WWW.Site"), (id % 10).cast("string"),
+        lit(".example/p"), (id % 50).cast("string"),
+        when(id % 3 === 0, lit("?utm_source=x")).otherwise(lit("")))
+      val d = docs(s, dir).select(id.as("doc_id"), url.as("url"),
+        timestamp_seconds(lit(1700000000L) + (id * 7919L) % 100000L).as("warc_ts"))
+      graft.report.Report.latestRevisits(d, idCol = "doc_id")
+        .select(col("url_canon"), col("keep_id").cast("long").as("keep_id"),
+          col("n_fetches"), col("last_ts").cast("long").as("last_ts_epoch"))
+        .orderBy("url_canon")
+    }),
+
     // ---- line-level dedup (CCNet policy): the synthetic corpus has
     // no newlines, so the query deterministically re-lines the text
     // (5-token lines — same regexp in the oracle), then keeps each
@@ -956,6 +976,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // content-defined chunking (Gear/FastCDC) storage dedup: every doc
+    // chunked by CONTENT (boundaries survive insertions, unlike the
+    // fixed tiles above), deduped into a distinct-chunk store, then
+    // REASSEMBLED FROM THE STORE — the emitted md5 hashes the
+    // reconstruction, so equality with the oracle's independent
+    // md5(text) proves recipe + store reproduce the corpus
+    // byte-exactly. (A production caller persists chunkRows across
+    // store+reconstruct; here the map-only chunk pass recomputes —
+    // one extra scan, zero extra shuffles.)
+    "q_cdc_chunks" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(lpad(col("doc_id").cast("string"), 12, "0").as("id"),
+          col("text").cast("binary").as("payload"))
+      val rows = graft.substring.CdcChunks.chunkRows(d)
+      graft.substring.CdcChunks
+        .reconstruct(rows, graft.substring.CdcChunks.store(rows))
+        .select(col("id").cast("long").as("doc_id"), col("reconstructed_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // normalized-text "fuzzy-exact" dedup (Dolma/CCNet normalize-then-
+    // hash): min-id canonical per lowercased/whitespace-collapsed text
+    "q_norm_dedup" -> ((s, dir) => {
+      val d = docs(s, dir) // lpad: min over STRING ids must order like the numeric oracle
+        .select(lpad(col("doc_id").cast("string"), 12, "0").as("url"), col("text"))
+      graft.report.Report.dedupNormalized(d)
+        .select(col("id").cast("long").as("doc_id"),
+          col("canon_id").cast("long").as("canon_id"), col("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     // the SHIPPED long-run operator (`crossDocRepeats`: winnowing
     // candidates with the MOSS ≥-minLen shared-run guarantee + exact
     // rolling-hash LCS verify): doc pairs sharing ≥1 exact 60-char
@@ -1397,6 +1449,26 @@ object SparkEntry {
         "'^&', '') AS qc FROM s4) " +
         "SELECT doc_id, url_raw, regexp_replace(CASE WHEN q = '' OR qc = '' THEN base " +
         "ELSE base || '?' || qc END, '/$', '') AS url_canon FROM s5"),
+
+    "q_url_revisit" ->
+      ("WITH u AS (SELECT doc_id, " +
+        "'https://WWW.Site' || (doc_id % 10) || '.example/p' || (doc_id % 50) || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END) AS url_raw, " +
+        "1700000000 + (doc_id * 7919) % 100000 AS ts FROM documents), " +
+        "s1 AS (SELECT doc_id, ts, regexp_replace(url_raw, '#.*$', '') AS a FROM u), " +
+        "s2 AS (SELECT *, regexp_extract(a, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS hostpre FROM s1), " +
+        "s3 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(lower(hostpre), " +
+        "'^([a-z0-9+.-]+://)www\\.', '\\1'), '^(https://[^:/]+):443$', '\\1'), '^(http://[^:/]+):80$', '\\1') " +
+        "|| substr(a, length(hostpre) + 1) AS b FROM s2), " +
+        "s4 AS (SELECT *, regexp_extract(b, '^[^?]*') AS base, " +
+        "substr(b, length(regexp_extract(b, '^[^?]*')) + 2) AS q FROM s3), " +
+        "s5 AS (SELECT *, regexp_replace(regexp_replace('&' || q, " +
+        "'&(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref_src|s_kwcid)=[^&]*', '', 'g'), " +
+        "'^&', '') AS qc FROM s4), " +
+        "cu AS (SELECT doc_id, ts, regexp_replace(CASE WHEN q = '' OR qc = '' THEN base " +
+        "ELSE base || '?' || qc END, '/$', '') AS url_canon FROM s5) " +
+        "SELECT url_canon, arg_max(doc_id, ts) AS keep_id, count(*) AS n_fetches, " +
+        "max(ts) AS last_ts_epoch FROM cu GROUP BY url_canon ORDER BY url_canon"),
     "q_decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts " +
         "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
@@ -1424,6 +1496,21 @@ object SparkEntry {
         "SELECT doc_id, coalesce(array_to_string(" +
         "flatten(list_transform(ki, i -> ts[(i*20+1):(i*20+20)])) || ts[(nc*20+1):len(ts)], " +
         "' '), '') AS clean_text FROM r ORDER BY doc_id"),
+
+    // the engine hashes its RECONSTRUCTION from the deduped chunk
+    // store; the oracle hashes the source text independently —
+    // equality proves the recipe + store round-trip is byte-exact
+    "q_cdc_chunks" ->
+      ("SELECT doc_id, md5(text) AS reconstructed_md5 FROM documents " +
+        "WHERE text IS NOT NULL AND length(text) > 0 ORDER BY doc_id"),
+
+    "q_norm_dedup" ->
+      ("WITH n AS (SELECT doc_id, " +
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "c AS (SELECT h, min(doc_id) AS canon_id FROM n GROUP BY h) " +
+        "SELECT n.doc_id, c.canon_id, n.doc_id <> c.canon_id AS is_dup " +
+        "FROM n JOIN c USING (h) ORDER BY doc_id"),
     "q_longrun_edges" ->
       ("WITH d AS (SELECT doc_id, text FROM documents " +
         "WHERE text IS NOT NULL AND length(text) >= 60), " +

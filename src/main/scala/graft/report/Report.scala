@@ -70,6 +70,45 @@ object Report {
       sum(when(size(col("members")) > 1, size(col("members")).cast("long") - 1L)
         .otherwise(0L)).as("duplicate_count"))
 
+  /** "Fuzzy-exact" dedup at NORMALIZED-text grain (the Dolma/CCNet
+    * normalize-then-hash policy: lowercase, collapse whitespace, trim
+    * — [[graft.text.TextStats.fingerprintMd5]]): case and whitespace
+    * variants that the byte-exact digest cascade treats as distinct
+    * collapse to one canonical (min id) here. (id, canon_id, is_dup)
+    * per non-null-text doc. Scale shape: map-only fingerprint, ONE
+    * map-side-combinable min agg on the 16-byte hash, one hash join
+    * back — text never shuffles, no window sort.
+    */
+  def dedupNormalized(docs: DataFrame, idCol: String = "url",
+      textCol: String = "text"): DataFrame = {
+    val n = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.text.TextStats.fingerprintMd5(col(textCol)).as("h"))
+    val canon = n.groupBy(col("h")).agg(min(col("id")).as("canon_id"))
+    n.join(canon, Seq("h"))
+      .select(col("id"), col("canon_id"),
+        (col("id") =!= col("canon_id")).as("is_dup"))
+  }
+
+  /** URL-revisit dedup — the Common Crawl recrawl policy: ONE
+    * surviving fetch per CANONICAL url ([[graft.text.UrlNorm
+    * .canonicalUrl]]), the max-(ts, id) one (latest fetch wins; id
+    * breaks exact-timestamp ties deterministically). Emits
+    * (url_canon, keep_id, n_fetches, last_ts). Scale shape: ONE
+    * map-side-combinable max-struct per canonical url (a
+    * 10M-revisit front page partial-aggregates per task — the
+    * KeepBest shape, no window sort); null-url rows are dropped (no
+    * identity to revisit).
+    */
+  def latestRevisits(docs: DataFrame, urlCol: String = "url",
+      tsCol: String = "warc_ts", idCol: String = "url"): DataFrame =
+    docs.filter(col(urlCol).isNotNull)
+      .groupBy(graft.text.UrlNorm.canonicalUrl(col(urlCol)).as("url_canon"))
+      .agg(max(struct(col(tsCol).as("ts"), col(idCol).as("id"))).as("k"),
+        count(lit(1)).as("n_fetches"))
+      .select(col("url_canon"), col("k.id").as("keep_id"),
+        col("n_fetches"), col("k.ts").as("last_ts"))
+
   /** Human-readable byte counts (CLI.pm:42-67) — driver-side helper. */
   def humanBytes(n: Long): String = {
     val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")

@@ -49,4 +49,35 @@ class ReportSpec extends SparkSpec {
     assert(Report.humanBytes(2048) == "2.0 KiB")
     assert(Report.humanBytes(3L * 1024 * 1024 * 1024) == "3.0 GiB")
   }
+
+  test("dedupNormalized collapses case/whitespace variants the exact digests keep apart") {
+    val docs = Seq(
+      ("a", "Hello   World"),
+      ("b", "hello world"),       // same after normalize
+      ("c", " HELLO\tWORLD \n"),  // same after normalize
+      ("d", "hello, world"),      // different (punctuation is content)
+      ("e", null: String)).toDF("url", "text")
+    val out = Report.dedupNormalized(docs).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out.keySet == Set("a", "b", "c", "d"), "null text dropped")
+    assert(out("a") == (("a", false)) && out("b") == (("a", true)) &&
+      out("c") == (("a", true)))
+    assert(out("d") == (("d", false)))
+  }
+
+  test("latestRevisits keeps the latest fetch per CANONICAL url (recrawl policy)") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val docs = Seq(
+      ("https://www.a.example/p?utm_source=x", ts(100), "f1"),
+      ("https://a.example/p", ts(300), "f2"),           // same canonical, later
+      ("https://a.example/p#frag", ts(200), "f3"),      // same canonical, middle
+      ("https://b.example/q", ts(50), "f4"),
+      (null, ts(999), "f5")).toDF("url", "warc_ts", "fetch_id")
+    val out = Report.latestRevisits(docs, idCol = "fetch_id").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getTimestamp(3)))).toMap
+    assert(out.keySet == Set("https://a.example/p", "https://b.example/q"),
+      "null urls dropped; trackers/fragments/www collapse")
+    assert(out("https://a.example/p") == (("f2", 3L, ts(300))))
+    assert(out("https://b.example/q") == (("f4", 1L, ts(50))))
+  }
 }
