@@ -59,6 +59,59 @@ object SparkEntry {
     graft.multimodal.Media.animatedGifBytesAt(20, 10, specs)
   })
 
+  /** The web-graph fixtures (q_links / q_domain_graph / q_pagerank):
+    * html + url as closed forms of doc_id, shared across the three
+    * queries and repeated verbatim in their oracles.
+    */
+  private def graphHtml: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<p><a href=\"https://Site"), ((id * 7 + 3) % 10).cast("string"),
+      lit(".example/p"), (id % 20).cast("string"), lit("\">l</a>"),
+      when(id % 2 === 0,
+        concat(lit("<a href=\"https://sub.site"), ((id * 3 + 1) % 7).cast("string"),
+          lit(".example/q#frag\">m</a>"))).otherwise(lit("")),
+      when(id % 5 === 0, lit("<a href=\"/relative\">r</a>")).otherwise(lit("")))
+  }
+  private def graphUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(lit("https://WWW.Site"), (id % 10).cast("string"),
+      lit(".example/p"), (id % 50).cast("string"))
+  }
+
+  /** SQL mirrors of the web-graph fixtures + chains (verbatim
+    * arithmetic/regex parity with graphHtml/graphUrl, Links.hrefs,
+    * UrlNorm.host/registrableDomain).
+    */
+  private val GraphHtmlSql: String =
+    "'<p><a href=\"https://Site' || ((doc_id*7+3)%10) || '.example/p' || (doc_id%20) || '\">l</a>' || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN '<a href=\"https://sub.site' || ((doc_id*3+1)%7) || '.example/q#frag\">m</a>' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '<a href=\"/relative\">r</a>' ELSE '' END)"
+  private def hostSql(u: String): String =
+    s"regexp_replace(regexp_extract(lower($u), '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$$', '')"
+  private def domCaseSql(h: String): String = {
+    val three = s"regexp_extract($h, '([^.]+\\.(?:co|com|net|org|ac|gov|edu)\\.[a-z][a-z])$$', 1)"
+    val two = s"regexp_extract($h, '([^.]+\\.[^.]+)$$', 1)"
+    s"CASE WHEN $three <> '' THEN $three WHEN $two <> '' THEN $two ELSE $h END"
+  }
+  /** `WITH … dom AS (src_domain, dst_domain per extracted link)` —
+    * shared prefix of the q_domain_graph and q_pagerank oracles.
+    */
+  private val GraphEdgesSql: String =
+    s"WITH h AS (SELECT doc_id, 'https://WWW.Site' || (doc_id % 10) || '.example/p' || (doc_id % 50) AS url, " +
+      s"$GraphHtmlSql AS html FROM documents), " +
+      "raw AS (SELECT url, unnest(regexp_extract_all(html, 'href=\"(https?://[^\"#]*)', 1)) AS href FROM h), " +
+      s"hh AS (SELECT ${hostSql("url")} AS shost, ${hostSql("href")} AS dhost FROM raw), " +
+      s"dom AS (SELECT ${domCaseSql("shost")} AS src_domain, ${domCaseSql("dhost")} AS dst_domain FROM hh)"
+  /** r1..r10: the unrolled PageRank iterations (see q_pagerank). */
+  private val PagerankIterSql: String = (1 to 10).map { k =>
+    s"r$k AS (SELECT n$k.id, CAST((150000000000 // nn.n) + coalesce(c.s, 0) AS BIGINT) AS rank " +
+      s"FROM nodes n$k CROSS JOIN nn LEFT JOIN " +
+      s"(SELECT e.dst AS id, CAST(sum((p.rank * 85) // (100 * od.outdeg)) AS BIGINT) AS s " +
+      s"FROM e JOIN r${k - 1} p ON e.src = p.id JOIN od ON od.src = e.src GROUP BY e.dst) c " +
+      s"ON c.id = n$k.id)"
+  }.mkString(", ")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -417,6 +470,40 @@ object SparkEntry {
         .select(col("url_canon"), col("keep_id").cast("long").as("keep_id"),
           col("n_fetches"), col("last_ts").cast("long").as("last_ts_epoch"))
         .orderBy("url_canon")
+    }),
+
+    // ---- web-graph block: outlink extraction → domain link graph →
+    // integer-exact PageRank. html synthesized closed-form from doc_id
+    // (the q_url_canon discipline): one always-on absolute link
+    // (mixed-case host), a second link on even ids carrying a
+    // #fragment (extraction stops there) and a SUBDOMAIN (collapses
+    // at registrable-domain grain), and a mod-5 RELATIVE link
+    // (skipped by policy). The oracle repeats the identical regex +
+    // arithmetic chain.
+    "q_links" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), graphHtml.as("html"))
+        .select(col("doc_id"),
+          posexplode(graft.extract.Links.hrefs(col("html"))).as(Seq("pos", "href")))
+        .orderBy("doc_id", "pos")
+    }),
+
+    "q_domain_graph" -> ((s, dir) => {
+      graft.extract.Links.domainEdges(
+          docs(s, dir).select(graphUrl.as("url"), graphHtml.cast("binary").as("html")))
+        .orderBy("src_domain", "dst_domain")
+    }),
+
+    // PageRank in exact BIGINT micro-units (floor division everywhere),
+    // so 10 distributed iterations must agree hash-exactly with the
+    // oracle's 10 unrolled SQL iterations — reduction-order-proof by
+    // construction (the NgramLm micro-nat discipline)
+    "q_pagerank" -> ((s, dir) => {
+      val edges = graft.extract.Links.domainEdges(
+          docs(s, dir).select(graphUrl.as("url"), graphHtml.cast("binary").as("html")))
+        .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      graft.cluster.PageRank.ranks(edges, iters = 10)
+        .select(col("id").as("domain"), col("rank").as("rank_micro"))
+        .orderBy("domain")
     }),
 
     // ---- line-level dedup (CCNet policy): the synthetic corpus has
@@ -1469,6 +1556,32 @@ object SparkEntry {
         "ELSE base || '?' || qc END, '/$', '') AS url_canon FROM s5) " +
         "SELECT url_canon, arg_max(doc_id, ts) AS keep_id, count(*) AS n_fetches, " +
         "max(ts) AS last_ts_epoch FROM cu GROUP BY url_canon ORDER BY url_canon"),
+
+    "q_links" ->
+      (s"WITH h AS (SELECT doc_id, $GraphHtmlSql AS html FROM documents), " +
+        "l AS (SELECT doc_id, regexp_extract_all(html, 'href=\"(https?://[^\"#]*)', 1) AS ls FROM h) " +
+        "SELECT doc_id, CAST(i AS INT) AS pos, ls[CAST(i AS INT) + 1] AS href " +
+        "FROM (SELECT doc_id, ls, unnest(range(0, len(ls))) AS i FROM l) " +
+        "ORDER BY doc_id, pos"),
+
+    "q_domain_graph" ->
+      (s"$GraphEdgesSql SELECT src_domain, dst_domain, count(*) AS n_links FROM dom " +
+        "WHERE src_domain <> '' AND dst_domain <> '' " +
+        "GROUP BY src_domain, dst_domain ORDER BY src_domain, dst_domain"),
+
+    // ten unrolled iterations of the identical floor-division
+    // arithmetic — equality with the engine's ten DISTRIBUTED
+    // iterations is the reduction-order-independence proof
+    "q_pagerank" ->
+      (s"$GraphEdgesSql , " +
+        "e AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM dom " +
+        "WHERE src_domain <> '' AND dst_domain <> ''), " +
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), " +
+        "nn AS (SELECT count(*) AS n FROM nodes), " +
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+        "r0 AS (SELECT n0.id, CAST(1000000000000 // nn.n AS BIGINT) AS rank FROM nodes n0 CROSS JOIN nn), " +
+        PagerankIterSql +
+        " SELECT id AS domain, rank AS rank_micro FROM r10 ORDER BY domain"),
     "q_decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts " +
         "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +

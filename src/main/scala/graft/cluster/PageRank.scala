@@ -1,0 +1,76 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank (Brin-Page 1998) over an edge list, in EXACT
+  * INTEGER arithmetic — the link-structure quality signal webtext
+  * pipelines rank/filter crawl corpora by (reference analog: none —
+  * [EXT], the graph sibling of [[ConnectedComponents]]).
+  *
+  * Ranks are BIGINT micro-units (`scale` = 10^12 ≈ total mass 1.0)
+  * and every step is a floor division:
+  *
+  *   contribution(src→dst) = (rank(src) * dampNum) / (dampDen * outdeg(src))
+  *   rank'(id)             = base + Σ contributions,  base = (scale*(dampDen−dampNum)/dampDen)/n
+  *
+  * Long sums are associative, so the result is bit-identical across
+  * partition counts, AQE re-plans, task retries — and engines: the
+  * DuckDB oracle unrolls the same K iterations with `//` and must
+  * agree hash-exactly (the [[graft.text.NgramLm]] micro-nat
+  * discipline; a float PageRank differs in the last ulp per
+  * reduction order and can never be oracle-compared). Dangling-node
+  * mass and floor remainders are DROPPED — identically on both
+  * sides; total mass decays slightly, relative order (the signal)
+  * is unaffected.
+  *
+  * Scale shape (10^8-domain / 10^11-page graphs): per iteration, one
+  * (src)-keyed join of ranks onto edges and one (dst)-keyed sum —
+  * both map-side-combinable; AQE skew-join absorbs hub fan-in. The
+  * rank frame is (id, long) — 16 bytes/node. Lineage is cut with
+  * `localCheckpoint` every `checkpointEvery` iterations (the
+  * [[ConnectedComponents]] recipe; K·3 stages of lineage otherwise
+  * re-plan quadratically). Edges are DEDUPLICATED to a simple graph
+  * first (a repeated anchor on one page is one edge; pass
+  * pre-weighted edges through `domainEdges` if multiplicity should
+  * count — then drop the distinct and document it).
+  */
+object PageRank {
+
+  /** (id, rank) after `iters` synchronous iterations over `edges`
+    * ((src, dst) columns; deduplicated here). Nodes = distinct
+    * src ∪ dst.
+    */
+  def ranks(edges: DataFrame, iters: Int = 10,
+      scale: Long = 1000000000000L, dampNum: Long = 85, dampDen: Long = 100,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum)
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().persist()
+    val n = nodes.count() // one tiny agg job; nodes are graph-grain, not corpus-grain
+    require(n > 0, "empty graph")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
+    val base = (scale * (dampDen - dampNum) / dampDen) / n
+
+    var r = nodes.select(col("id"), lit(scale / n).as("rank"))
+    for (k <- 1 to iters) {
+      val contrib = e
+        .join(r.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        // integer DIV, not `/` (double division rounds near integer
+        // boundaries — the Packing.scala lesson); DuckDB `//` matches
+        .select(col("dst").as("id"),
+          expr(s"(rank * ${dampNum}L) DIV (${dampDen}L * outdeg)").as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("s"))
+      r = nodes
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
+      if (k % checkpointEvery == 0 && k < iters) r = r.localCheckpoint(true)
+    }
+    val out = r.localCheckpoint(true) // materialize before unpersisting inputs
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    out
+  }
+}
