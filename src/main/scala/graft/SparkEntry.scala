@@ -79,6 +79,25 @@ object SparkEntry {
       lit(".example/p"), (id % 50).cast("string"))
   }
 
+  /** q_anchor_text fixture: anchors with VARYING text (graphHtml's are
+    * constant) plus the two policy probes — attrs-before-href (skipped:
+    * href-first form only) and a relative target (skipped).
+    */
+  private def anchorHtml: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<a href=\"https://Site"), ((id * 7 + 3) % 10).cast("string"),
+      lit(".example/p\">Read  W"), ((id * 11 + 2) % 13).cast("string"),
+      lit(" now</a>"),
+      when(id % 2 === 0,
+        concat(lit("<a href=\"https://sub.site"), ((id * 3 + 1) % 7).cast("string"),
+          lit(".example/q#frag\" class=\"x\">w"), (id % 5).cast("string"),
+          lit("</a>"))).otherwise(lit("")),
+      when(id % 3 === 0, lit("<a class=\"y\" href=\"https://skip.example/\">y</a>"))
+        .otherwise(lit("")),
+      when(id % 5 === 0, lit("<a href=\"/rel\">r</a>")).otherwise(lit("")))
+  }
+
   /** SQL mirrors of the web-graph fixtures + chains (verbatim
     * arithmetic/regex parity with graphHtml/graphUrl, Links.hrefs,
     * UrlNorm.host/registrableDomain).
@@ -87,6 +106,11 @@ object SparkEntry {
     "'<p><a href=\"https://Site' || ((doc_id*7+3)%10) || '.example/p' || (doc_id%20) || '\">l</a>' || " +
       "(CASE WHEN doc_id % 2 = 0 THEN '<a href=\"https://sub.site' || ((doc_id*3+1)%7) || '.example/q#frag\">m</a>' ELSE '' END) || " +
       "(CASE WHEN doc_id % 5 = 0 THEN '<a href=\"/relative\">r</a>' ELSE '' END)"
+  private val AnchorHtmlSql: String =
+    "'<a href=\"https://Site' || ((doc_id*7+3)%10) || '.example/p\">Read  W' || ((doc_id*11+2)%13) || ' now</a>' || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN '<a href=\"https://sub.site' || ((doc_id*3+1)%7) || '.example/q#frag\" class=\"x\">w' || (doc_id%5) || '</a>' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN '<a class=\"y\" href=\"https://skip.example/\">y</a>' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '<a href=\"/rel\">r</a>' ELSE '' END)"
   private def hostSql(u: String): String =
     s"regexp_replace(regexp_extract(lower($u), '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$$', '')"
   private def domCaseSql(h: String): String = {
@@ -504,6 +528,43 @@ object SparkEntry {
       graft.cluster.PageRank.ranks(edges, iters = 10)
         .select(col("id").as("domain"), col("rank").as("rank_micro"))
         .orderBy("domain")
+    }),
+
+    // anchor-text table: (target domain, normalized anchor) counts —
+    // varied-anchor fixture plus the two skip probes (attrs-before-
+    // href, relative target); oracle zips the same two capture-group
+    // arrays positionally
+    "q_anchor_text" -> ((s, dir) => {
+      graft.extract.Links.anchorTexts(
+          docs(s, dir).select(anchorHtml.cast("binary").as("html")))
+        .orderBy("dst_domain", "anchor")
+    }),
+
+    // rank-based corpus filter: the PageRank ⋈ documents composition —
+    // keep every page whose registrable domain is one of the top-3
+    // ranked domains (deterministic head: rank desc, domain asc)
+    "q_rank_filter" -> ((s, dir) => {
+      val graphDocs = docs(s, dir)
+        .select(col("doc_id"), graphUrl.as("url"), graphHtml.cast("binary").as("html"))
+      val edges = graft.extract.Links.domainEdges(graphDocs)
+        .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      val top = graft.cluster.PageRank.topK(
+        graft.cluster.PageRank.ranks(edges, iters = 10), 3)
+      graphDocs
+        .join(broadcast(top),
+          graft.text.UrlNorm.registrableDomain(col("url")) === col("id"))
+        .select(col("doc_id"), col("id").as("domain"), col("rank").as("rank_micro"))
+        .orderBy("doc_id")
+    }),
+
+    // BM25 corpus search (k1=1.2, b=0.75 as exact rationals; micro-nat
+    // IDF is the only rounded float — the NgramLm discipline): the
+    // oracle replays the identical integer chain; 'zebra' probes the
+    // absent-term path
+    "q_bm25" -> ((s, dir) => {
+      graft.text.Bm25.scores(docs(s, dir),
+          Seq("join", "vector", "scan", "zebra"))
+        .orderBy("doc_id")
     }),
 
     // ---- line-level dedup (CCNet policy): the synthetic corpus has
@@ -1582,6 +1643,48 @@ object SparkEntry {
         "r0 AS (SELECT n0.id, CAST(1000000000000 // nn.n AS BIGINT) AS rank FROM nodes n0 CROSS JOIN nn), " +
         PagerankIterSql +
         " SELECT id AS domain, rank AS rank_micro FROM r10 ORDER BY domain"),
+
+    "q_anchor_text" ->
+      (s"WITH h AS (SELECT doc_id, $AnchorHtmlSql AS html FROM documents), " +
+        s"u AS (SELECT regexp_extract_all(html, '${graft.extract.Links.AnchorPattern}', 1) AS us, " +
+        s"regexp_extract_all(html, '${graft.extract.Links.AnchorPattern}', 2) AS ts FROM h), " +
+        "p AS (SELECT unnest(us) AS href, unnest(ts) AS anchor FROM u), " +
+        s"na AS (SELECT ${domCaseSql(hostSql("href"))} AS dst_domain, " +
+        "trim(regexp_replace(lower(anchor), '\\s+', ' ', 'g')) AS anchor FROM p) " +
+        "SELECT dst_domain, anchor, count(*) AS n FROM na " +
+        "WHERE dst_domain <> '' AND anchor <> '' " +
+        "GROUP BY dst_domain, anchor ORDER BY dst_domain, anchor"),
+
+    "q_rank_filter" ->
+      (s"$GraphEdgesSql , " +
+        "e AS (SELECT DISTINCT src_domain AS src, dst_domain AS dst FROM dom " +
+        "WHERE src_domain <> '' AND dst_domain <> ''), " +
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), " +
+        "nn AS (SELECT count(*) AS n FROM nodes), " +
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+        "r0 AS (SELECT n0.id, CAST(1000000000000 // nn.n AS BIGINT) AS rank FROM nodes n0 CROSS JOIN nn), " +
+        PagerankIterSql +
+        ", top3 AS (SELECT id, rank FROM r10 ORDER BY rank DESC, id LIMIT 3) " +
+        s"SELECT h.doc_id, t.id AS domain, t.rank AS rank_micro FROM h " +
+        s"JOIN top3 t ON ${domCaseSql(hostSql("h.url"))} = t.id ORDER BY doc_id"),
+
+    // identical integer BM25 chain (avg_milli / t_norm / micro-nat idf
+    // — see graft.text.Bm25's scaladoc for the rational derivation)
+    "q_bm25" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM t), " +
+        "st AS (SELECT count(*) AS n_docs, CAST((sum(dl) * 1000) // count(*) AS BIGINT) AS avg_milli FROM d), " +
+        "ex AS (SELECT doc_id, dl, unnest(ts) AS term FROM d), " +
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM ex " +
+        "WHERE term IN ('join', 'vector', 'scan', 'zebra') GROUP BY doc_id, dl, term), " +
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "sc AS (SELECT doc_id, " +
+        "CAST(round(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) * 1000000) AS BIGINT) AS idf_micro, " +
+        "(22 * tf * st.avg_milli * 100000) // (10 * tf * st.avg_milli + 3 * st.avg_milli + 9000 * dl) AS t_norm " +
+        "FROM tf JOIN dfq USING (term) CROSS JOIN st) " +
+        "SELECT doc_id, count(*) AS n_terms, CAST(sum((idf_micro * t_norm) // 1000000) AS BIGINT) AS score_micro " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id"),
     "q_decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts " +
         "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +

@@ -73,4 +73,16 @@ object PageRank {
     e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     out
   }
+
+  /** Top-k nodes by (rank desc, id asc) — the deterministic head of
+    * the rank table (ties cannot make the cut ambiguous). Plans as
+    * TakeOrderedAndProject: per-partition top-k then a k-row driver
+    * merge, no global sort — the shape that survives a 10^8-node
+    * rank table. Broadcast the (tiny) result to filter a corpus by
+    * domain quality (the q_rank_filter composition).
+    */
+  def topK(ranks: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    ranks.orderBy(col("rank").desc, col("id")).limit(k)
+  }
 }

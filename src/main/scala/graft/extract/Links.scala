@@ -22,6 +22,47 @@ object Links {
   def hrefs(html: Column): Column =
     regexp_extract_all(html, lit("href=\"(https?://[^\"#]*)"), lit(1))
 
+  /** The `<a href="URL" [attrs]>TEXT</a>` pattern shared by engine and
+    * oracle: group 1 = the absolute http(s) url (fragment-stopped,
+    * like [[hrefs]]), group 2 = the flat anchor text (anchors with
+    * NESTED tags don't match — skipped whole by policy).
+    * Attributes BEFORE href are not matched (href-first form only);
+    * RE2-safe: no backrefs, no lookaround.
+    */
+  val AnchorPattern: String =
+    "<a href=\"(https?://[^\"#]*)[^\"]*\"[^>]*>([^<]*)</a>"
+
+  /** (href, anchor_text) pairs of an html string, document order —
+    * the two capture groups extracted as parallel arrays and zipped
+    * by position (`regexp_extract_all` yields one array per group on
+    * both engines, and both arrays come from the SAME match list, so
+    * positions align by construction).
+    */
+  def anchorPairs(html: Column): Column = {
+    val urls = regexp_extract_all(html, lit(AnchorPattern), lit(1))
+    val texts = regexp_extract_all(html, lit(AnchorPattern), lit(2))
+    zip_with(urls, texts, (u, t) => struct(u.as("href"), t.as("anchor")))
+  }
+
+  /** The anchor-text table: one (dst_domain, anchor, n) row per
+    * (target registrable domain, normalized anchor text) pair —
+    * the classic query-independent relevance/quality signal (what
+    * the web CALLS a page ranks it for; anchor corpora also feed
+    * title-style training data). Anchor normalization = lowercase +
+    * whitespace-collapse + trim; empty anchors and domain-less
+    * targets are dropped. Map-side extract + explode, ONE
+    * (dst_domain, anchor)-keyed count shuffle — a hub's anchors
+    * partial-aggregate map-side.
+    */
+  def anchorTexts(docs: DataFrame, htmlCol: String = "html"): DataFrame =
+    docs
+      .select(explode(anchorPairs(col(htmlCol).cast("string"))).as("p"))
+      .select(graft.text.UrlNorm.registrableDomain(col("p.href")).as("dst_domain"),
+        trim(regexp_replace(lower(col("p.anchor")), "\\s+", " ")).as("anchor"))
+      .filter(col("dst_domain") =!= "" && col("anchor") =!= "")
+      .groupBy(col("dst_domain"), col("anchor"))
+      .agg(count(lit(1)).as("n"))
+
   /** The registrable-domain link graph: one (src_domain, dst_domain,
     * n_links) row per ordered domain pair, link-occurrence weighted.
     * Map-side extract + explode, ONE (src, dst)-keyed count shuffle —

@@ -59,6 +59,40 @@ class PageRankSpec extends SparkSpec {
     assert(out == Seq("https://a.example/p", "http://b.example/q"))
   }
 
+  test("topK is the deterministic (rank desc, id asc) head") {
+    val edges = Seq(("a", "h"), ("b", "h"), ("c", "h"), ("h", "a"),
+      ("a", "b"), ("b", "a"), ("c", "d"))
+    val r = PageRank.ranks(edges.toDF("src", "dst"), iters = 10)
+    val top = PageRank.topK(r, 3).collect().map(_.getString(0))
+    assert(top.toSeq == Seq("a", "h", "b")) // the reference ordering above
+    // ties break by id: equal-rank symmetric pair
+    val sym = PageRank.ranks(Seq(("x", "y"), ("y", "x")).toDF("src", "dst"), iters = 3)
+    assert(PageRank.topK(sym, 1).collect().map(_.getString(0)).toSeq == Seq("x"))
+  }
+
+  test("anchorPairs zips hrefs with anchor text; anchorTexts normalizes and aggregates") {
+    val html = """<a href="https://a.example/p">Read  ME now</a>
+      |<a href="https://b.example/q#frag" class="x">read me NOW</a>
+      |<a class="y" href="https://skip.example/">attrs before href skipped</a>
+      |<a href="/rel">relative skipped</a>
+      |<a href="https://c.example/r"><b>nested tag ends text</b></a>
+      |<a href="https://d.example/s">   </a>""".stripMargin
+    val pairs = Seq(Tuple1(html)).toDF("html")
+      .select(explode(graft.extract.Links.anchorPairs(col("html"))).as("p"))
+      .select(col("p.href"), col("p.anchor")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq == Seq(
+      ("https://a.example/p", "Read  ME now"),
+      ("https://b.example/q", "read me NOW"),
+      ("https://d.example/s", "   ")))
+    val agg = graft.extract.Links.anchorTexts(
+        Seq(Tuple1(html)).toDF("html").withColumn("html", col("html").cast("binary")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(agg == Map( // case/whitespace collapse merges the two; blank anchor dropped
+      ("a.example", "read me now") -> 1L,
+      ("b.example", "read me now") -> 1L))
+  }
+
   test("domainEdges aggregates link occurrences at registrable-domain grain, keeps self-links") {
     val docs = Seq(
       ("https://www.a.example/1",
