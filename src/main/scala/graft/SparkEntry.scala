@@ -98,6 +98,28 @@ object SparkEntry {
       when(id % 5 === 0, lit("<a href=\"/rel\">r</a>")).otherwise(lit("")))
   }
 
+  /** q_template fixture: four tag skeletons (id%4) per site, content
+    * varying per id inside a constant skeleton (so only STRUCTURE can
+    * group), one uppercase-DIV variant (case normalization must
+    * collapse it), and a rare id%97 iframe variant whose (domain,
+    * skeleton) groups are singletons — dropped by minPages=2, and
+    * their absence perturbs the base group counts (24 vs 25).
+    */
+  private def templateHtml: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<html><body><h1>T"), id.cast("string"), lit("</h1>"),
+      when(id % 4 === 0,
+        concat(lit("<table><tr><td>c"), id.cast("string"), lit("</td></tr></table>")))
+        .when(id % 4 === 1,
+          concat(lit("<DIV><p>c"), id.cast("string"), lit("</p></DIV>")))
+        .when(id % 4 === 2,
+          concat(lit("<ul><li>c"), id.cast("string"), lit("</li><li>d</li></ul>")))
+        .otherwise(lit("")),
+      when(id % 97 === 0, lit("<iframe></iframe>")).otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
   /** SQL mirrors of the web-graph fixtures + chains (verbatim
     * arithmetic/regex parity with graphHtml/graphUrl, Links.hrefs,
     * UrlNorm.host/registrableDomain).
@@ -111,6 +133,13 @@ object SparkEntry {
       "(CASE WHEN doc_id % 2 = 0 THEN '<a href=\"https://sub.site' || ((doc_id*3+1)%7) || '.example/q#frag\" class=\"x\">w' || (doc_id%5) || '</a>' ELSE '' END) || " +
       "(CASE WHEN doc_id % 3 = 0 THEN '<a class=\"y\" href=\"https://skip.example/\">y</a>' ELSE '' END) || " +
       "(CASE WHEN doc_id % 5 = 0 THEN '<a href=\"/rel\">r</a>' ELSE '' END)"
+  private val TemplateHtmlSql: String =
+    "'<html><body><h1>T' || doc_id || '</h1>' || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN '<table><tr><td>c' || doc_id || '</td></tr></table>' " +
+      "WHEN doc_id % 4 = 1 THEN '<DIV><p>c' || doc_id || '</p></DIV>' " +
+      "WHEN doc_id % 4 = 2 THEN '<ul><li>c' || doc_id || '</li><li>d</li></ul>' " +
+      "ELSE '' END) || " +
+      "(CASE WHEN doc_id % 97 = 0 THEN '<iframe></iframe>' ELSE '' END) || '</body></html>'"
   private def hostSql(u: String): String =
     s"regexp_replace(regexp_extract(lower($u), '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$$', '')"
   private def domCaseSql(h: String): String = {
@@ -565,6 +594,40 @@ object SparkEntry {
       graft.text.Bm25.scores(docs(s, dir),
           Seq("join", "vector", "scan", "zebra"))
         .orderBy("doc_id")
+    }),
+
+    // site-template inventory: (domain, tag-skeleton md5) groups with
+    // >=2 instances — the rare iframe variant's singletons drop out
+    // AND dent the base-group counts (the oracle replays both)
+    "q_template" -> ((s, dir) => {
+      graft.extract.Templates.templateClusters(
+          docs(s, dir).select(col("doc_id"), graphUrl.as("url"),
+            templateHtml.cast("binary").as("html")),
+          minPages = 2)
+        .orderBy("domain", "structure_md5")
+    }),
+
+    // character-distribution entropy in exact integer micro-nats
+    // (the Bm25/NgramLm determinism discipline: one rounded ln per
+    // distinct count, integer floor arithmetic after)
+    "q_char_entropy" -> ((s, dir) => {
+      graft.text.Entropy.charEntropy(docs(s, dir)).orderBy("doc_id")
+    }),
+
+    // exact doc-length quantiles without a global sort (lower-bound
+    // order statistics over the distinct-value frame)
+    "q_length_quantiles" -> ((s, dir) => {
+      graft.report.Quantiles.exactQuantiles(docs(s, dir), "n_chars",
+          Seq(1, 25, 50, 75, 95, 100))
+        .orderBy("q")
+    }),
+
+    // per-domain corpus hygiene report: docs / exact distinct texts /
+    // redundant remainder / byte mass per registrable domain
+    "q_domain_stats" -> ((s, dir) => {
+      graft.report.DomainStats.domainStats(
+          docs(s, dir).select(col("doc_id"), graphUrl.as("url"), col("text")))
+        .orderBy("domain")
     }),
 
     // ---- line-level dedup (CCNet policy): the synthetic corpus has
@@ -1685,6 +1748,46 @@ object SparkEntry {
         "FROM tf JOIN dfq USING (term) CROSS JOIN st) " +
         "SELECT doc_id, count(*) AS n_terms, CAST(sum((idf_micro * t_norm) // 1000000) AS BIGINT) AS score_micro " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_template" ->
+      (s"WITH h AS (SELECT doc_id, 'https://WWW.Site' || (doc_id % 10) || '.example/p' || (doc_id % 50) AS url, " +
+        s"$TemplateHtmlSql AS html FROM documents), " +
+        s"f AS (SELECT doc_id, ${domCaseSql(hostSql("url"))} AS domain, " +
+        s"md5(array_to_string(list_transform(regexp_extract_all(html, '${graft.extract.Templates.TagPattern}', 1), x -> lower(x)), ',')) AS structure_md5 FROM h) " +
+        "SELECT domain, structure_md5, count(*) AS n_pages, min(doc_id) AS min_doc " +
+        "FROM f WHERE domain <> '' GROUP BY domain, structure_md5 " +
+        "HAVING count(*) >= 2 ORDER BY domain, structure_md5"),
+
+    // identical integer chain (micro-nat ln per distinct count, floor
+    // division — see graft.text.Entropy's scaladoc); chars enumerated
+    // by position (substr), immune to split-function edge semantics
+    "q_char_entropy" ->
+      ("WITH d AS (SELECT doc_id, substr(text, 1, 2048) AS p FROM documents " +
+        "WHERE text IS NOT NULL AND len(text) > 0), " +
+        "c AS (SELECT doc_id, substr(p, i, 1) AS ch FROM d, unnest(generate_series(1, len(p))) AS t(i)), " +
+        "g AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY doc_id, ch), " +
+        "a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_used, count(*) AS distinct_chars, " +
+        "sum(cnt * CAST(round(ln(cnt) * 1000000) AS BIGINT)) AS s FROM g GROUP BY doc_id) " +
+        "SELECT doc_id, n_chars_used, distinct_chars, " +
+        "CAST(CAST(round(ln(n_chars_used) * 1000000) AS BIGINT) - s // n_chars_used AS BIGINT) AS entropy_micro " +
+        "FROM a ORDER BY doc_id"),
+
+    "q_length_quantiles" ->
+      ("WITH c AS (SELECT n_chars AS v, count(*) AS cnt FROM documents " +
+        "WHERE n_chars IS NOT NULL GROUP BY n_chars), " +
+        "w AS (SELECT v, sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c), " +
+        "n AS (SELECT sum(cnt) AS n FROM c), " +
+        "q AS (SELECT unnest([1, 25, 50, 75, 95, 100]) AS q) " +
+        "SELECT q.q AS q, CAST(min(w.v) AS BIGINT) AS value FROM q, w, n " +
+        "WHERE w.cum >= (q.q * n.n + 99) // 100 GROUP BY q.q ORDER BY q"),
+
+    "q_domain_stats" ->
+      (s"WITH h AS (SELECT doc_id, 'https://WWW.Site' || (doc_id % 10) || '.example/p' || (doc_id % 50) AS url, text FROM documents), " +
+        s"d AS (SELECT ${domCaseSql(hostSql("url"))} AS domain, md5(coalesce(text, '')) AS m, " +
+        "CAST(coalesce(len(text), 0) AS BIGINT) AS n_chars FROM h) " +
+        "SELECT domain, count(*) AS n_docs, count(DISTINCT m) AS n_unique_texts, " +
+        "count(*) - count(DISTINCT m) AS dup_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+        "FROM d WHERE domain <> '' GROUP BY domain ORDER BY domain"),
     "q_decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts " +
         "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
