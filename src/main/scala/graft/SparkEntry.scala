@@ -622,6 +622,28 @@ object SparkEntry {
         .orderBy("q")
     }),
 
+    // robots.txt crawl-policy verdicts: per-domain synthetic policies
+    // (star group + an even-domain graftbot group behind a shared
+    // multi-UA header, comment / unknown / empty-path lines in-band),
+    // evaluated for agent 'graftbot' — specific-agent shadowing,
+    // longest-match and allow-beats-disallow all vary by doc
+    "q_robots" -> ((s, dir) => {
+      val d10 = docs(s, dir).select((col("doc_id") % 10).as("d")).distinct()
+      val robots = d10.select(
+        concat(lit("site"), col("d").cast("string"), lit(".example")).as("domain"),
+        concat(
+          lit("# synthetic policy\nUser-agent: *\nDisallow: /p1\nAllow: /p12\n"),
+          when(col("d") % 2 === 0,
+            lit("User-agent: alpha\nUser-agent: graftbot\nDisallow: /p2\nCrawl-delay: 5\n"))
+            .otherwise(lit("")),
+          when(col("d") % 3 === 0, lit("Disallow:\n")).otherwise(lit("")))
+          .as("robots_txt"))
+      graft.extract.Robots.verdicts(
+          docs(s, dir).select(col("doc_id"), graphUrl.as("url")),
+          robots, "graftbot")
+        .orderBy("doc_id")
+    }),
+
     // per-domain corpus hygiene report: docs / exact distinct texts /
     // redundant remainder / byte mass per registrable domain
     "q_domain_stats" -> ((s, dir) => {
@@ -1780,6 +1802,36 @@ object SparkEntry {
         "q AS (SELECT unnest([1, 25, 50, 75, 95, 100]) AS q) " +
         "SELECT q.q AS q, CAST(min(w.v) AS BIGINT) AS value FROM q, w, n " +
         "WHERE w.cum >= (q.q * n.n + 99) // 100 GROUP BY q.q ORDER BY q"),
+
+    // full replay of the Robots chain: line split/clean/classify, the
+    // lag+cumsum group model, agent/rule join, specific-shadows-star,
+    // broadcast-shaped url join, max(struct) longest-match verdict
+    "q_robots" ->
+      ("WITH rb AS (SELECT DISTINCT (doc_id % 10) AS d FROM documents), " +
+        "rt AS (SELECT 'site' || d || '.example' AS domain, " +
+        "'# synthetic policy' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /p1' || chr(10) || 'Allow: /p12' || chr(10) || " +
+        "(CASE WHEN d % 2 = 0 THEN 'User-agent: alpha' || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p2' || chr(10) || 'Crawl-delay: 5' || chr(10) ELSE '' END) || " +
+        "(CASE WHEN d % 3 = 0 THEN 'Disallow:' || chr(10) ELSE '' END) AS txt FROM rb), " +
+        "ls0 AS (SELECT domain, string_split(txt, chr(10)) AS ls FROM rt), " +
+        "ln0 AS (SELECT domain, i AS idx, trim(regexp_replace(ls[i], '#.*$', '')) AS l FROM ls0, unnest(generate_series(1, len(ls))) AS t(i)), " +
+        s"cl AS (SELECT domain, idx, lower(regexp_extract(l, '${graft.extract.Robots.KeyPattern}', 1)) AS key, " +
+        s"regexp_extract(l, '${graft.extract.Robots.ValuePattern}', 1) AS value FROM ln0), " +
+        "cf AS (SELECT * FROM cl WHERE key <> '' AND value <> ''), " +
+        "hg AS (SELECT domain, idx, key, value, CASE WHEN key = 'user-agent' AND coalesce(lag(key) OVER (PARTITION BY domain ORDER BY idx), '') <> 'user-agent' THEN 1 ELSE 0 END AS hdr FROM cf), " +
+        "gg AS (SELECT domain, idx, key, value, sum(hdr) OVER (PARTITION BY domain ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM hg), " +
+        "ag AS (SELECT domain, gid, lower(value) AS agent FROM gg WHERE key = 'user-agent' AND gid >= 1), " +
+        "rl AS (SELECT domain, gid, (key = 'allow') AS allow, value AS path FROM gg WHERE key IN ('allow', 'disallow') AND gid >= 1), " +
+        "rules AS (SELECT ag.domain, ag.agent, rl.allow, rl.path FROM ag JOIN rl ON ag.domain = rl.domain AND ag.gid = rl.gid), " +
+        "spec AS (SELECT * FROM rules WHERE agent = 'graftbot'), " +
+        "star AS (SELECT * FROM rules WHERE agent = '*' AND domain NOT IN (SELECT DISTINCT domain FROM spec)), " +
+        "app AS (SELECT domain, allow, path FROM spec UNION ALL SELECT domain, allow, path FROM star), " +
+        "u AS (SELECT doc_id, 'https://WWW.Site' || (doc_id % 10) || '.example/p' || (doc_id % 50) AS url FROM documents), " +
+        s"uu AS (SELECT doc_id, url, ${domCaseSql(hostSql("url"))} AS domain, " +
+        "CASE WHEN regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') = '' THEN '/' ELSE regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') END AS upath FROM u), " +
+        "j AS (SELECT uu.doc_id, uu.url, CASE WHEN app.path IS NOT NULL AND starts_with(uu.upath, app.path) THEN {'len': len(app.path), 'a': CAST(app.allow AS INT), 'p': app.path} END AS m " +
+        "FROM uu LEFT JOIN app ON uu.domain = app.domain), " +
+        "b AS (SELECT doc_id, url, max(m) AS best FROM j GROUP BY doc_id, url) " +
+        "SELECT doc_id, url, coalesce(best.a = 1, TRUE) AS allowed, best.p AS rule_path FROM b ORDER BY doc_id"),
 
     "q_domain_stats" ->
       (s"WITH h AS (SELECT doc_id, 'https://WWW.Site' || (doc_id % 10) || '.example/p' || (doc_id % 50) AS url, text FROM documents), " +

@@ -1,0 +1,112 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt crawl-policy evaluation (RFC 9309, the prefix-match
+  * core) — the missing half of crawl hygiene: the corpus-side
+  * operators decide what to KEEP, this decides what should have been
+  * FETCHED; auditing a crawl against the policies it was subject to
+  * (and re-filtering third-party dumps whose collectors ignored
+  * them) is a standard webtext compliance pass. Reference analog:
+  * none — [EXT], training-data ops.
+  *
+  * Documented simplifications (all replayed verbatim by the oracle):
+  * prefix-only path matching (no `*`/`$` wildcards), exact
+  * case-insensitive agent tokens, and the RFC's group model —
+  * CONSECUTIVE `User-agent:` lines share the following rule block;
+  * rules before any group header have no agents and bind nothing.
+  * Empty-path rules (`Disallow:` = "allow everything") are no-ops
+  * and are dropped at parse time. Decision: most specific agent
+  * first (a domain with any exact-agent group ignores its `*`
+  * groups for that agent), then LONGEST matching path wins, allow
+  * beating disallow at equal length; no matching rule = allowed.
+  *
+  * Scale shape: parsing explodes each robots payload into its lines
+  * and windows PER DOMAIN (a robots.txt is a few hundred lines — the
+  * window partition is file-sized, never corpus-sized). The rule
+  * table is domain-grain and rides to the corpus as a BROADCAST
+  * join; the per-url verdict is ONE map-side-combinable max(struct)
+  * — no window sort over the corpus, urls with no applicable rule
+  * never produce more than their single left-join row.
+  */
+object Robots {
+
+  /** Shared key/value line grammar (engine + oracle). */
+  val KeyPattern: String = "(?i)^(user-agent|allow|disallow)\\s*:"
+  val ValuePattern: String = "(?i)^(?:user-agent|allow|disallow)\\s*:\\s*(\\S*)"
+
+  /** Parsed rule table: one (domain, agent, allow, path) row per
+    * (group agent, rule) pair — a rule under a multi-agent header
+    * appears once per agent. Comments (`#…`) stripped, unknown lines
+    * ignored, empty-path rules dropped.
+    */
+  def rules(robots: DataFrame, domainCol: String = "domain",
+      txtCol: String = "robots_txt"): DataFrame = {
+    val lines = robots.select(col(domainCol).as("domain"),
+      posexplode(split(col(txtCol), "\n")).as(Seq("idx", "raw")))
+    val classified = lines.select(col("domain"), col("idx"),
+      lower(regexp_extract(trim(regexp_replace(col("raw"), "#.*$", "")),
+        KeyPattern, 1)).as("key"),
+      regexp_extract(trim(regexp_replace(col("raw"), "#.*$", "")),
+        ValuePattern, 1).as("value"))
+      .filter(col("key") =!= "" && col("value") =!= "")
+    val w = Window.partitionBy("domain").orderBy("idx")
+    val grouped = classified
+      .withColumn("prev_key", lag(col("key"), 1).over(w))
+      // a UA line STARTS a group unless it extends a UA run
+      .withColumn("hdr", (col("key") === "user-agent" &&
+        (col("prev_key").isNull || col("prev_key") =!= "user-agent"))
+        .cast("long"))
+      .withColumn("gid", sum(col("hdr")).over(w))
+      .filter(col("gid") >= 1)
+    val agents = grouped.filter(col("key") === "user-agent")
+      .select(col("domain"), col("gid"), lower(col("value")).as("agent"))
+    val ruleLines = grouped.filter(col("key").isin("allow", "disallow"))
+      .select(col("domain"), col("gid"),
+        (col("key") === "allow").as("allow"), col("value").as("path"))
+    agents.join(ruleLines, Seq("domain", "gid"))
+      .select(col("domain"), col("agent"), col("allow"), col("path"))
+  }
+
+  /** Url path for matching: everything after the authority (query
+    * kept — robots prefixes may cover it); pathless urls match "/".
+    */
+  def urlPath(url: Column): Column = {
+    val p = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Verdict table for `agent`: (idCol, url, allowed, rule_path) per
+    * input url — `rule_path` the winning rule (longest match, allow
+    * beats disallow at equal length, lexicographically-last path
+    * breaks exact ties deterministically), null when no rule
+    * applied. Keep `allowed` to filter, keep the whole table to
+    * audit.
+    */
+  def verdicts(urls: DataFrame, robots: DataFrame, agent: String,
+      idCol: String = "doc_id", urlCol: String = "url"): DataFrame = {
+    require(agent.nonEmpty && agent.trim == agent)
+    val r = rules(robots)
+    val specific = r.filter(col("agent") === agent.toLowerCase)
+    val star = r.filter(col("agent") === "*")
+      .join(specific.select("domain").distinct(), Seq("domain"), "left_anti")
+    val applicable = specific.unionByName(star)
+      .select(col("domain"), col("allow"), col("path"))
+    val u = urls.select(col(idCol), col(urlCol).as("url"),
+      graft.text.UrlNorm.registrableDomain(col(urlCol)).as("domain"),
+      urlPath(col(urlCol)).as("upath"))
+    u.join(broadcast(applicable), Seq("domain"), "left")
+      .select(col(idCol), col("url"),
+        when(col("path").isNotNull && col("upath").startsWith(col("path")),
+          struct(length(col("path")).as("len"),
+            col("allow").cast("int").as("a"), col("path").as("p")))
+          .as("m"))
+      .groupBy(col(idCol), col("url"))
+      .agg(max(col("m")).as("best"))
+      .select(col(idCol), col("url"),
+        coalesce(col("best.a") === 1, lit(true)).as("allowed"),
+        col("best.p").as("rule_path"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.extract
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val robotsA =
+    """# site A policy
+      |User-agent: *
+      |Disallow: /private
+      |Allow: /private/ok
+      |
+      |User-agent: alpha
+      |User-agent: graftbot
+      |Disallow: /beta
+      |Crawl-delay: 10
+      |Disallow:
+      |""".stripMargin
+  private val robotsB =
+    """User-agent: *
+      |Disallow: /
+      |""".stripMargin
+
+  private def robots = Seq(
+    ("a.example", robotsA), ("b.example", robotsB)).toDF("domain", "robots_txt")
+
+  test("rules: grouping, multi-UA headers, comments, no-op and unknown lines") {
+    val r = Robots.rules(robots).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getBoolean(2), x.getString(3))).toSet
+    assert(r == Set(
+      ("a.example", "*", false, "/private"),
+      ("a.example", "*", true, "/private/ok"),
+      ("a.example", "alpha", false, "/beta"),   // shared header: both agents
+      ("a.example", "graftbot", false, "/beta"),
+      ("b.example", "*", false, "/")))
+  }
+
+  test("verdicts: specific agent shadows *, longest match, allow wins ties, no-rule allows") {
+    val urls = Seq(
+      (1L, "https://a.example/private/x"),    // * says no — but graftbot group exists: allowed
+      (2L, "https://a.example/beta/page"),    // graftbot group: disallowed
+      (3L, "https://a.example/open"),         // no matching rule: allowed
+      (4L, "https://b.example/anything"),     // no graftbot group: * applies, Disallow /: blocked
+      (5L, "https://c.example/no-robots"),    // domain without robots: allowed
+      (6L, "https://WWW.A.example/beta"))     // www + case collapse into a.example
+      .toDF("doc_id", "url")
+    val out = Robots.verdicts(urls, robots, "GraftBot")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), Option(r.getString(3)))).toMap
+    assert(out == Map(
+      1L -> (true, None), 2L -> (false, Some("/beta")), 3L -> (true, None),
+      4L -> (false, Some("/")), 5L -> (true, None), 6L -> (false, Some("/beta"))))
+    // an agent with no specific group anywhere: * governs both domains
+    val star = Robots.verdicts(urls, robots, "otherbot")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), Option(r.getString(3)))).toMap
+    assert(star(1L) == (false, Some("/private")) && star(2L) == (true, None))
+    // longest-match + allow-beats-disallow-at-tie
+    assert(star(5L) == (true, None))
+    val deep = Seq((7L, "https://a.example/private/ok/deep")).toDF("doc_id", "url")
+    assert(Robots.verdicts(deep, robots, "otherbot").collect()
+      .map(r => (r.getBoolean(2), r.getString(3))).toSeq == Seq((true, "/private/ok")))
+  }
+
+  test("urlPath: authority stripped, pathless becomes /") {
+    val out = Seq("https://a.example", "https://a.example/x?q=1#f", "http://a.example:8080/y")
+      .toDF("u").select(Robots.urlPath(col("u"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("/", "/x?q=1#f", "/y"))
+  }
+}
