@@ -1438,7 +1438,25 @@ object SparkEntry {
           idCol = "doc_id", salt = "epoch0")
         .select(col("id").as("doc_id"), col("n_tokens"),
           col("seq_id"), col("seq_offset"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- token-budget corpus selection: keep the best-scored docs
+    // whose cumulative token mass fits a 10k training budget — exact
+    // greedy prefix in (score desc, md5 tie-shuffle, id) order with
+    // NO global sort (score-class offsets over the |distinct scores|
+    // frame, then a two-phase prefix sum over ONLY the one boundary
+    // class the budget cuts through). Score = token-count decade, so
+    // the boundary class holds ~tens of docs and the prefix-sum path
+    // is genuinely exercised. The oracle recomputes the verdict with
+    // ONE global window — equality proves the decomposition exact
+    "q_budget_select" -> ((s, dir) => {
+      val nt = coalesce(TextStats.tokenCount(col("text")).cast("long"), lit(0L))
+      graft.corpus.BudgetSelect.select(
+          docs(s, dir).select(col("doc_id"), nt.as("nt")),
+          expr("nt DIV 10"), col("nt"), budget = 10000L, idCol = "doc_id")
+        .select(col("id").as("doc_id"), col("score"), col("n_tokens"), col("kept"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared oracle CTE: distinct 5-token-shingle STRING sets per doc —
@@ -2294,6 +2312,19 @@ object SparkEntry {
         "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER " +
         "(ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM b) " +
         "SELECT doc_id, n_tokens, CAST(cb // 512 AS BIGINT) AS seq_id, " +
-        "CAST(cb % 512 AS BIGINT) AS seq_offset FROM c ORDER BY doc_id")
+        "CAST(cb % 512 AS BIGINT) AS seq_offset FROM c ORDER BY doc_id"),
+    // one global window over (score desc, md5 tie-shuffle, id) replays
+    // the greedy-prefix budget verdict the engine computes without a
+    // global sort
+    "q_budget_select" ->
+      ("WITH b AS (SELECT doc_id, " +
+        "CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents), " +
+        "c AS (SELECT doc_id, CAST(nt // 10 AS BIGINT) AS score, nt, " +
+        "sum(nt) OVER (ORDER BY nt // 10 DESC, ord, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b) " +
+        "SELECT doc_id, score, nt AS n_tokens, (cum <= 10000) AS kept " +
+        "FROM c ORDER BY doc_id")
   )
 }
