@@ -1456,6 +1456,28 @@ object SparkEntry {
           expr("nt DIV 10"), col("nt"), budget = 10000L, idCol = "doc_id")
         .select(col("id").as("doc_id"), col("score"), col("n_tokens"), col("kept"))
         .orderBy("doc_id")
+    }),
+
+    // ---- main-content extraction (jusText-class): per-block length +
+    // link-density verdicts over a synthesized page — a nav link farm
+    // (dropped: density, with an entity in both the anchor and the
+    // block units), the real text as the article body (kept), a
+    // variable-density block whose pad length id%6 and anchor width
+    // (id*7+3)%13 flip its verdict per doc, and a short W{id%7} block
+    // (dropped: floor). The oracle replays split/normalize/density in
+    // DuckDB with the SAME regex constants
+    "q_main_content" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About &amp; contact</a></nav><p>"),
+        coalesce(col("text"), lit("")),
+        lit("</p><p>see <a href=\"/x\">link W"), ((id * 7 + 3) % 13).cast("string"),
+        lit("</a> "), expr("repeat('pad ', CAST(doc_id % 6 AS INT))"),
+        lit("end</p><p>W"), (id % 7).cast("string"), lit("</p></body></html>"))
+      graft.extract.ContentExtract.mainContent(
+          docs(s, dir).select(col("doc_id"), html.as("h")), col("h"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2325,6 +2347,35 @@ object SparkEntry {
         "sum(nt) OVER (ORDER BY nt // 10 DESC, ord, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b) " +
         "SELECT doc_id, score, nt AS n_tokens, (cum <= 10000) AS kept " +
-        "FROM c ORDER BY doc_id")
+        "FROM c ORDER BY doc_id"),
+    // full replay of the ContentExtract chain — pre-clean, block split
+    // and per-block normalize/link-density with the engine's OWN regex
+    // constants interpolated verbatim, struct lambdas in DuckDB
+    "q_main_content" -> {
+      def norm(x: String): String =
+        "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+          s"regexp_replace($x, '<[^>]*>', ' ', 'g'), " +
+          "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+          "'&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g'))"
+      "WITH h AS (SELECT doc_id, '<html><body><nav><a href=\"/\">Home</a> " +
+        "<a href=\"/about\">About &amp; contact</a></nav><p>' || coalesce(text, '') || " +
+        "'</p><p>see <a href=\"/x\">link W' || ((doc_id*7+3)%13) || '</a> ' || " +
+        "repeat('pad ', CAST(doc_id%6 AS INT)) || 'end</p><p>W' || (doc_id%7) || " +
+        "'</p></body></html>' AS html FROM documents), " +
+        "pc AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, " +
+        "'(?is)<!DOCTYPE[^>]*>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g'), " +
+        "'(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'), " +
+        "'(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS s FROM h), " +
+        "bl AS (SELECT doc_id, list_filter(list_transform(" +
+        s"string_split_regex(s, '${graft.extract.ContentExtract.BlockTagPattern}'), " +
+        s"f -> {'clean': ${norm("f")}, 'link_chars': coalesce(list_sum(list_transform(" +
+        s"regexp_extract_all(f, '${graft.extract.ContentExtract.AnchorPattern}', 1), " +
+        s"a -> length(${norm("a")}))), 0)}), b -> length(b.clean) > 0) AS blocks FROM pc), " +
+        "g AS (SELECT doc_id, blocks, list_filter(blocks, b -> " +
+        "length(b.clean) >= 25 AND b.link_chars * 3 <= length(b.clean)) AS good FROM bl) " +
+        "SELECT doc_id, array_to_string(list_transform(good, b -> b.clean), chr(10)) AS main_text, " +
+        "CAST(len(blocks) AS BIGINT) AS n_blocks, CAST(len(good) AS BIGINT) AS n_good " +
+        "FROM g ORDER BY doc_id"
+    }
   )
 }
