@@ -1478,6 +1478,41 @@ object SparkEntry {
       graft.extract.ContentExtract.mainContent(
           docs(s, dir).select(col("doc_id"), html.as("h")), col("h"))
         .orderBy("doc_id")
+    }),
+
+    // ---- sitemap coverage: per-domain sitemap XML (loc whitespace, a
+    // loc-less entry, lastmod variants, an even-domain extra entry)
+    // audited against the crawled corpus — the join is on CANONICAL
+    // urls, so the sitemap's HTTPS://Site{d}.example:443/p{k}/ surface
+    // form must meet the crawl's https://WWW.Site{d}.example/p{k}
+    // through case/www/port/slash normalization on BOTH sides
+    "q_sitemap" -> ((s, dir) => {
+      val d10 = docs(s, dir).select((col("doc_id") % 10).as("d")).distinct()
+      val ds = col("d").cast("string")
+      def entry(k: Column): Column = concat(
+        lit("<url><loc> HTTPS://Site"), ds, lit(".example:443/p"),
+        k.cast("string"), lit("/ </loc></url>"))
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        entry(col("d")),
+        lit("<url><lastmod>2026-01-01</lastmod></url>"),
+        entry(col("d") + 10),
+        concat(lit("<url><loc>HTTPS://Site"), ds, lit(".example/p"),
+          (col("d") + 20).cast("string"), lit("</loc><lastmod>2026-02-0"),
+          ((col("d") % 9) + 1).cast("string"), lit("</lastmod></url>")),
+        when(col("d") % 2 === 0, entry(col("d") + 30)).otherwise(lit("")),
+        concat(lit("<url><loc>https://site"), ds, lit(".example/extra"), ds,
+          lit("</loc></url>")),
+        lit("</urlset>"))
+      val sitemaps = d10.select(
+        concat(lit("site"), ds, lit(".example")).as("domain"),
+        xml.as("sitemap_xml"))
+      val crawled = docs(s, dir).select(
+        graft.text.UrlNorm.registrableDomain(graphUrl).as("domain"),
+        graphUrl.as("url"))
+      graft.extract.Sitemaps.coverage(
+          graft.extract.Sitemaps.urls(sitemaps), crawled)
+        .orderBy("domain")
     })
   )
 
@@ -2376,6 +2411,46 @@ object SparkEntry {
         "SELECT doc_id, array_to_string(list_transform(good, b -> b.clean), chr(10)) AS main_text, " +
         "CAST(len(blocks) AS BIGINT) AS n_blocks, CAST(len(good) AS BIGINT) AS n_good " +
         "FROM g ORDER BY doc_id"
+    },
+    // sitemap parse + the q_url_canon chain on BOTH join sides, then
+    // the distinct/full-outer/count replay of Sitemaps.coverage
+    "q_sitemap" -> {
+      // the q_url_canon CTE chain, prefixed: src must provide
+      // (domain, u); emits ${p}c AS (domain, cu) distinct
+      def chain(p: String, src: String): String =
+        s"${p}1 AS (SELECT domain, regexp_replace(u, '#.*$$', '') AS a FROM $src), " +
+          s"${p}2 AS (SELECT *, regexp_extract(a, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS hostpre FROM ${p}1), " +
+          s"${p}3 AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(lower(hostpre), " +
+          s"'^([a-z0-9+.-]+://)www\\.', '\\1'), '^(https://[^:/]+):443$$', '\\1'), '^(http://[^:/]+):80$$', '\\1') " +
+          s"|| substr(a, length(hostpre) + 1) AS b FROM ${p}2), " +
+          s"${p}4 AS (SELECT *, regexp_extract(b, '^[^?]*') AS base, " +
+          s"substr(b, length(regexp_extract(b, '^[^?]*')) + 2) AS q FROM ${p}3), " +
+          s"${p}5 AS (SELECT *, regexp_replace(regexp_replace('&' || q, " +
+          s"'&(${graft.text.UrlNorm.trackerPattern})=[^&]*', '', 'g'), '^&', '') AS qc FROM ${p}4), " +
+          s"${p}c AS (SELECT DISTINCT domain, regexp_replace(CASE WHEN q = '' OR qc = '' THEN base " +
+          s"ELSE base || '?' || qc END, '/$$', '') AS cu FROM ${p}5)"
+      "WITH dd AS (SELECT DISTINCT (doc_id % 10) AS d FROM documents), " +
+        "sm0 AS (SELECT 'site' || d || '.example' AS domain, " +
+        "'<?xml version=\"1.0\"?><urlset><url><loc> HTTPS://Site' || d || '.example:443/p' || d || '/ </loc></url>' || " +
+        "'<url><lastmod>2026-01-01</lastmod></url>' || " +
+        "'<url><loc> HTTPS://Site' || d || '.example:443/p' || (d+10) || '/ </loc></url>' || " +
+        "'<url><loc>HTTPS://Site' || d || '.example/p' || (d+20) || '</loc><lastmod>2026-02-0' || ((d%9)+1) || '</lastmod></url>' || " +
+        "(CASE WHEN d % 2 = 0 THEN '<url><loc> HTTPS://Site' || d || '.example:443/p' || (d+30) || '/ </loc></url>' ELSE '' END) || " +
+        "'<url><loc>https://site' || d || '.example/extra' || d || '</loc></url></urlset>' AS xml FROM dd), " +
+        s"en AS (SELECT domain, unnest(regexp_extract_all(xml, '${graft.extract.Sitemaps.EntryPattern}', 1)) AS entry FROM sm0), " +
+        s"lc AS (SELECT domain, regexp_extract(entry, '${graft.extract.Sitemaps.LocPattern}', 1) AS u FROM en), " +
+        "lcf AS (SELECT domain, u FROM lc WHERE u <> ''), " +
+        chain("a", "lcf") + ", " +
+        "u0 AS (SELECT 'https://WWW.Site' || (doc_id%10) || '.example/p' || (doc_id%50) AS u FROM documents), " +
+        s"cd AS (SELECT ${domCaseSql(hostSql("u"))} AS domain, u FROM u0), " +
+        chain("b", "cd") + ", " +
+        "j AS (SELECT coalesce(s.domain, c.domain) AS domain, " +
+        "(s.cu IS NOT NULL) AS in_sm, (c.cu IS NOT NULL) AS in_cr " +
+        "FROM ac s FULL OUTER JOIN bc c ON s.domain = c.domain AND s.cu = c.cu) " +
+        "SELECT domain, CAST(sum(CASE WHEN in_sm THEN 1 ELSE 0 END) AS BIGINT) AS n_sitemap, " +
+        "CAST(sum(CASE WHEN in_cr THEN 1 ELSE 0 END) AS BIGINT) AS n_crawled, " +
+        "CAST(sum(CASE WHEN in_sm AND in_cr THEN 1 ELSE 0 END) AS BIGINT) AS n_both " +
+        "FROM j GROUP BY domain ORDER BY domain"
     }
   )
 }
