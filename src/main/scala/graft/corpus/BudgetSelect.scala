@@ -38,6 +38,11 @@ import org.apache.spark.sql.functions._
   *      in parallel) — exact even when the whole corpus shares one
   *      score.
   *
+  * The easy/boundary branches each re-read the input (two scans of
+  * (id, score, tokens) — deliberately, so NEITHER branch pays a
+  * corpus-wide window; the tiny class-totals exchange is identical in
+  * all branches and AQE's query-stage reuse computes it once).
+  *
   * Reference scope: the reference engine (Engine.pm) selects by
   * identity only; budget selection is the [EXT] LLM-pipeline scope
   * this engine adds (SURVEY.md §2 extensions).
