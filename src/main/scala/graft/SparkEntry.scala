@@ -1513,6 +1513,24 @@ object SparkEntry {
       graft.extract.Sitemaps.coverage(
           graft.extract.Sitemaps.urls(sitemaps), crawled)
         .orderBy("domain")
+    }),
+
+    // ---- per-domain quota (C4/Dolma site balancing): keep the 20
+    // best-token-mass docs per registrable domain via the exact
+    // two-phase top-k (bucketed phase-1 rank bounds every sort
+    // partition; phase-2 re-ranks <= k·16^hexChars survivors). The
+    // oracle is ONE global per-domain window — equality proves the
+    // phase-1 cut lossless. 50 docs/domain at sf0.01 and 500 at
+    // sf0.1 both cap to 20, with tie-heavy token counts forcing the
+    // md5 tie order through the bucket decomposition
+    "q_domain_quota" -> ((s, dir) => {
+      val nt = coalesce(TextStats.tokenCount(col("text")).cast("long"), lit(0L))
+      graft.corpus.DomainQuota.cap(
+          docs(s, dir).select(col("doc_id"), graphUrl.as("url"), nt.as("nt")),
+          graft.text.UrlNorm.registrableDomain(col("url")), col("nt"),
+          k = 20, idCol = "doc_id")
+        .select(col("id").as("doc_id"), col("domain"), col("score"), col("rank"))
+        .orderBy("domain", "rank")
     })
   )
 
@@ -2451,6 +2469,20 @@ object SparkEntry {
         "CAST(sum(CASE WHEN in_cr THEN 1 ELSE 0 END) AS BIGINT) AS n_crawled, " +
         "CAST(sum(CASE WHEN in_sm AND in_cr THEN 1 ELSE 0 END) AS BIGINT) AS n_both " +
         "FROM j GROUP BY domain ORDER BY domain"
+    },
+    // one global per-domain window replays the two-phase top-k —
+    // equality proves the bucketed phase-1 cut lossless
+    "q_domain_quota" -> {
+      val uSql = "'https://WWW.Site' || (doc_id%10) || '.example/p' || (doc_id%50)"
+      "WITH u0 AS (SELECT doc_id, " + uSql + " AS u, " +
+        "CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 " +
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt FROM documents), " +
+        s"b AS (SELECT doc_id, ${domCaseSql(hostSql("u"))} AS domain, nt, " +
+        "md5(CAST(doc_id AS VARCHAR)) AS ord FROM u0), " +
+        "r AS (SELECT doc_id, domain, nt AS score, " +
+        "row_number() OVER (PARTITION BY domain ORDER BY nt DESC, ord, doc_id) AS rank FROM b) " +
+        "SELECT doc_id, domain, score, CAST(rank AS BIGINT) AS rank " +
+        "FROM r WHERE rank <= 20 ORDER BY domain, rank"
     }
   )
 }

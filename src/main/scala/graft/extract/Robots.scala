@@ -84,9 +84,17 @@ object Robots {
     * breaks exact ties deterministically), null when no rule
     * applied. Keep `allowed` to filter, keep the whole table to
     * audit.
+    *
+    * `hintBroadcast` (default true) pins the rule join broadcast —
+    * right up to config-scale rule tables (millions of domains). A
+    * FULL-web rule table (10^8+ domains) exceeds broadcast size: pass
+    * false and the join falls back to a shuffle hash join on domain,
+    * which the per-url max(struct) agg downstream absorbs (the urls
+    * were about to shuffle on (id, url) anyway).
     */
   def verdicts(urls: DataFrame, robots: DataFrame, agent: String,
-      idCol: String = "doc_id", urlCol: String = "url"): DataFrame = {
+      idCol: String = "doc_id", urlCol: String = "url",
+      hintBroadcast: Boolean = true): DataFrame = {
     require(agent.nonEmpty && agent.trim == agent)
     val r = rules(robots)
     val specific = r.filter(col("agent") === agent.toLowerCase)
@@ -97,7 +105,8 @@ object Robots {
     val u = urls.select(col(idCol), col(urlCol).as("url"),
       graft.text.UrlNorm.registrableDomain(col(urlCol)).as("domain"),
       urlPath(col(urlCol)).as("upath"))
-    u.join(broadcast(applicable), Seq("domain"), "left")
+    u.join(if (hintBroadcast) broadcast(applicable) else applicable,
+        Seq("domain"), "left")
       .select(col(idCol), col("url"),
         when(col("path").isNotNull && col("upath").startsWith(col("path")),
           struct(length(col("path")).as("len"),
