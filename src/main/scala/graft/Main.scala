@@ -20,7 +20,7 @@ import graft.report.Report
   *   --ignore-empty          drop zero-byte docs (F2)
   *   --exact-only            skip MinHash/SimHash/CC extensions
   *   --outfile PATH|-        tab report destination (default stdout)
-  *   --format report|clusters|clean|lines|paragraphs|spans|splits|overlap|lm|c4|ccnet|pack  output: P2 tab
+  *   --format report|clusters|clean|lines|paragraphs|spans|splits|overlap|lm|c4|ccnet|pack|quota|budget  output: P2 tab
   *                           report, normalized (url, cluster_id),
   *                           the chunk-deduped corpus (url,
   *                           clean_text — the TILED Lee et al.
@@ -42,12 +42,23 @@ import graft.report.Report
   *                           only), `pack` = the training-sequence
   *                           layout of the survivor corpus (url,
   *                           n_tokens, seq_id, seq_offset — dedup
-  *                           then pack, the release-pipeline order)
+  *                           then pack, the release-pipeline order),
+  *                           `quota` = the site-balanced survivor
+  *                           corpus (url, domain, score, rank — the
+  *                           C4/Dolma per-domain cap, exact two-phase
+  *                           top-k by quality micro-units), `budget` =
+  *                           the token-budget selection of the
+  *                           survivor corpus (url, score, n_tokens —
+  *                           kept rows of the greedy quality prefix)
   *   --prefilter gopher      drop docs failing the Gopher quality-rule
   *                           battery BEFORE dedup (map-side, composes
   *                           with --block-domains — the webtext
   *                           pipeline order: hygiene → quality gate →
   *                           dedup)
+  *   --domain-cap K          with --format quota: max docs kept per
+  *                           registrable domain (default 1000)
+  *   --token-budget B        with --format budget: the token budget
+  *                           (default 10^9)
   *   --ccnet-sample F        with --format ccnet: the deterministic
   *                           hash-sample fraction the tercile
   *                           thresholds are cut from (default 0.5;
@@ -155,6 +166,8 @@ object Main {
       blockDomains: Seq[String] = Nil,
       prefilter: Option[String] = None,
       ccnetSample: Double = 0.5,
+      domainCap: Int = 1000,
+      tokenBudget: Long = 1000000000L,
       split: Option[Seq[(String, Double)]] = None,
       substring: Option[Int] = None, // minShared windows
       longrun: Option[Int] = None, // minLen chars
@@ -219,6 +232,16 @@ object Main {
     // length <= 9 keeps v.toInt in range — an over-Int literal like
     // 99999999999 falls through to the usage error, not a raw
     // NumberFormatException (ADVICE r4 #5)
+    case "--domain-cap" :: v :: rest
+        if v.forall(_.isDigit) && v.nonEmpty && v.length <= 9 && v.toInt >= 1 =>
+      parse(rest, c.copy(domainCap = v.toInt), algsSet)
+    case "--domain-cap" :: v :: _ =>
+      throw new IllegalArgumentException(s"--domain-cap needs a positive int: $v")
+    case "--token-budget" :: v :: rest
+        if v.forall(_.isDigit) && v.nonEmpty && v.length <= 18 =>
+      parse(rest, c.copy(tokenBudget = v.toLong), algsSet)
+    case "--token-budget" :: v :: _ =>
+      throw new IllegalArgumentException(s"--token-budget needs a non-negative long: $v")
     case "--substring" :: v :: rest if v.forall(_.isDigit) && v.nonEmpty && v.length <= 9 =>
       parse(rest, c.copy(substring = Some(v.toInt)), algsSet)
     case "--substring" :: rest => parse(rest, c.copy(substring = Some(2)), algsSet)
@@ -326,7 +349,7 @@ object Main {
       if (auditOnly) None else keepPolicyKeepers(docs, result, conf.keepPolicy)
     keepers.foreach(_.persist())
     val out0 = formatOutput(docs, result, conf.format, keepers, conf.split,
-      conf.ccnetSample)
+      conf.ccnetSample, conf.domainCap, conf.tokenBudget)
     val out =
       if (conf.progress) graft.progress.Progress.tap(out0, "report_out") else out0
     if (conf.debug) System.err.println(out.queryExecution.explainString(
@@ -606,7 +629,16 @@ object Main {
       result: => DedupPipeline.Result, format: String,
       keepers: Option[DataFrame],
       splitFracs: Option[Seq[(String, Double)]] = None,
-      ccnetSample: Double = 0.5): DataFrame = {
+      ccnetSample: Double = 0.5,
+      domainCap: Int = 1000,
+      tokenBudget: Long = 1000000000L): DataFrame = {
+    // quality in integer micro-units (the exact-arithmetic discipline:
+    // BudgetSelect/DomainQuota collapse the corpus to its DISTINCT
+    // scores, so the score space must be bounded — rounded micro-units
+    // cap it at ~10^6 classes; undecodable docs rank below everything)
+    def qualityMicro = when(col("text").isNull, lit(-1000000L))
+      .otherwise((coalesce(graft.text.TextStats.qualityFeatures(col("text"))
+        .toMap.apply("quality_score"), lit(-1.0)) * 1000000).cast("long"))
     // survivor set for the corpus-shaped formats: one url per cluster
     def survivors: DataFrame = keepers match {
       case Some(k) => k.select(col("keep_id").as("url"))
@@ -701,6 +733,28 @@ object Main {
             idCol = "url", salt = "epoch0")
           .select(col("id").as("url"), col("n_tokens"),
             col("seq_id"), col("seq_offset"))
+      case "quota" =>
+        // site-balanced survivor corpus (C4/Dolma per-domain cap,
+        // dedup-first order): the K best docs per registrable domain
+        // by quality micro-units — DomainQuota's exact two-phase
+        // top-k, so a mega-domain never sorts in one task
+        val canon = docs.join(survivors, "url")
+        graft.corpus.DomainQuota.cap(canon,
+            graft.text.UrlNorm.registrableDomain(col("url")),
+            qualityMicro, k = domainCap, idCol = "url")
+          .select(col("id").as("url"), col("domain"), col("score"), col("rank"))
+      case "budget" =>
+        // token-budget selection of the survivor corpus: the greedy
+        // quality prefix under B tokens (BudgetSelect's boundary-class
+        // prefix sum — no global sort), kept rows only
+        val canon = docs.join(survivors, "url")
+        val nt = coalesce(
+          graft.text.TextStats.tokenCount(col("text")).cast("long"), lit(0L))
+        graft.corpus.BudgetSelect.select(
+            canon.select(col("url"), qualityMicro.as("__q"), nt.as("__nt")),
+            col("__q"), col("__nt"), budget = tokenBudget, idCol = "url")
+          .filter(col("kept"))
+          .select(col("id").as("url"), col("score"), col("n_tokens"))
       case "splits" =>
         // leakage-safe train/val/test labels at CLUSTER grain: the
         // split hashes the cluster component, so no dup/near-dup pair

@@ -1102,6 +1102,38 @@ class IncrementalCliSpec extends SparkSpec {
     assert(trainN > 20 && trainN < 100, s"degenerate split: $trainN/120 train")
   }
 
+  test("--format quota and budget select survivors by quality micro-units") {
+    def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    // quality_score is dominated by its length term below 100 tokens,
+    // so token count orders quality; every doc's vocabulary is unique
+    // (no dup/near-dup merges — all eight are their own survivors)
+    def doc(name: String, toks: Int): (String, String) =
+      (s"https://$name",
+        (0 until toks).map(j => s"${name.split('/')(1)}w$j").mkString(" "))
+    val docs = mk(Seq(
+      doc("a.example/ninety", 90), doc("a.example/sixty", 60),
+      doc("a.example/thirty", 30),
+      doc("b.example/eighty", 80), doc("b.example/fifty", 50)))
+    val result = graft.pipeline.DedupPipeline.run(docs)
+    val quota = graft.Main.formatOutput(docs, result, "quota", None,
+        domainCap = 2)
+      .collect().map(r => (r.getString(1), r.getString(0), r.getLong(3))).toSet
+    assert(quota == Set(
+      ("a.example", "https://a.example/ninety", 1L),
+      ("a.example", "https://a.example/sixty", 2L),
+      ("b.example", "https://b.example/eighty", 1L),
+      ("b.example", "https://b.example/fifty", 2L)))
+    // greedy quality prefix: 90, 80, 60 fit in 230 tokens; 50 would not
+    val budget = graft.Main.formatOutput(docs, result, "budget", None,
+        tokenBudget = 230L)
+      .collect().map(_.getString(0)).toSet
+    assert(budget == Set("https://a.example/ninety", "https://b.example/eighty",
+      "https://a.example/sixty"))
+  }
+
   test("--near-snapshot pins its banding: a mismatched --jaccard config fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nsnap-pin").toString + "/snap"
     def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
@@ -1384,6 +1416,25 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       graft.Main.parse(List("--input", "x.parquet", "--jaccard", "abc"))
+    }
+  }
+
+  test("--domain-cap and --token-budget parse with overflow guards") {
+    val c = graft.Main.parse(List("--input", "x.parquet",
+      "--domain-cap", "50", "--token-budget", "2000000000000"))
+    assert(c.domainCap == 50 && c.tokenBudget == 2000000000000L)
+    val d = graft.Main.parse(List("--input", "x.parquet"))
+    assert(d.domainCap == 1000 && d.tokenBudget == 1000000000L)
+    intercept[IllegalArgumentException] {
+      graft.Main.parse(List("--input", "x.parquet", "--domain-cap", "0"))
+    }
+    intercept[IllegalArgumentException] {
+      // over-Int digits fall through to the usage error, not a raw
+      // NumberFormatException (the --substring guard discipline)
+      graft.Main.parse(List("--input", "x.parquet", "--domain-cap", "99999999999"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.Main.parse(List("--input", "x.parquet", "--token-budget", "abc"))
     }
   }
 
