@@ -637,7 +637,7 @@ object Main {
     // scores, so the score space must be bounded — rounded micro-units
     // cap it at ~10^6 classes; undecodable docs rank below everything)
     def qualityMicro = when(col("text").isNull, lit(-1000000L))
-      .otherwise((coalesce(graft.text.TextStats.qualityFeatures(col("text"))
+      .otherwise(round(coalesce(graft.text.TextStats.qualityFeatures(col("text"))
         .toMap.apply("quality_score"), lit(-1.0)) * 1000000).cast("long"))
     // survivor set for the corpus-shaped formats: one url per cluster
     def survivors: DataFrame = keepers match {

@@ -636,6 +636,11 @@ object SparkEntry {
           when(col("d") % 2 === 0,
             lit("User-agent: alpha\nUser-agent: graftbot\nDisallow: /p2\nCrawl-delay: 5\n"))
             .otherwise(lit("")),
+          // explicit whitelist (RFC empty-group = allow everything):
+          // the graftbot group EXISTS but carries only an empty-path
+          // no-op — it must still shadow `*`, so site5 allows all
+          when(col("d") === 5, lit("User-agent: graftbot\nDisallow:\n"))
+            .otherwise(lit("")),
           when(col("d") % 3 === 0, lit("Disallow:\n")).otherwise(lit("")))
           .as("robots_txt"))
       graft.extract.Robots.verdicts(
@@ -1904,6 +1909,7 @@ object SparkEntry {
         "rt AS (SELECT 'site' || d || '.example' AS domain, " +
         "'# synthetic policy' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /p1' || chr(10) || 'Allow: /p12' || chr(10) || " +
         "(CASE WHEN d % 2 = 0 THEN 'User-agent: alpha' || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p2' || chr(10) || 'Crawl-delay: 5' || chr(10) ELSE '' END) || " +
+        "(CASE WHEN d = 5 THEN 'User-agent: graftbot' || chr(10) || 'Disallow:' || chr(10) ELSE '' END) || " +
         "(CASE WHEN d % 3 = 0 THEN 'Disallow:' || chr(10) ELSE '' END) AS txt FROM rb), " +
         "ls0 AS (SELECT domain, string_split(txt, chr(10)) AS ls FROM rt), " +
         "ln0 AS (SELECT domain, i AS idx, trim(regexp_replace(ls[i], '#.*$', '')) AS l FROM ls0, unnest(generate_series(1, len(ls))) AS t(i)), " +
@@ -1916,7 +1922,8 @@ object SparkEntry {
         "rl AS (SELECT domain, gid, (key = 'allow') AS allow, value AS path FROM gg WHERE key IN ('allow', 'disallow') AND gid >= 1), " +
         "rules AS (SELECT ag.domain, ag.agent, rl.allow, rl.path FROM ag JOIN rl ON ag.domain = rl.domain AND ag.gid = rl.gid), " +
         "spec AS (SELECT * FROM rules WHERE agent = 'graftbot'), " +
-        "star AS (SELECT * FROM rules WHERE agent = '*' AND domain NOT IN (SELECT DISTINCT domain FROM spec)), " +
+        "star AS (SELECT * FROM rules WHERE agent = '*' AND domain NOT IN " +
+        "(SELECT DISTINCT domain FROM ag WHERE agent = 'graftbot')), " +
         "app AS (SELECT domain, allow, path FROM spec UNION ALL SELECT domain, allow, path FROM star), " +
         "u AS (SELECT doc_id, 'https://WWW.Site' || (doc_id % 10) || '.example/p' || (doc_id % 50) AS url FROM documents), " +
         s"uu AS (SELECT doc_id, url, ${domCaseSql(hostSql("url"))} AS domain, " +
@@ -2415,10 +2422,12 @@ object SparkEntry {
         "'</p><p>see <a href=\"/x\">link W' || ((doc_id*7+3)%13) || '</a> ' || " +
         "repeat('pad ', CAST(doc_id%6 AS INT)) || 'end</p><p>W' || (doc_id%7) || " +
         "'</p></body></html>' AS html FROM documents), " +
-        "pc AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, " +
+        "pc AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, " +
         "'(?is)<!DOCTYPE[^>]*>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g'), " +
+        "'(?is)<head\\b[^>]*>.*?</head>', ' ', 'g'), " +
         "'(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'), " +
-        "'(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS s FROM h), " +
+        "'(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'), " +
+        "'(?is)<noscript\\b[^>]*>.*?</noscript>', ' ', 'g') AS s FROM h), " +
         "bl AS (SELECT doc_id, list_filter(list_transform(" +
         s"string_split_regex(s, '${graft.extract.ContentExtract.BlockTagPattern}'), " +
         s"f -> {'clean': ${norm("f")}, 'link_chars': coalesce(list_sum(list_transform(" +

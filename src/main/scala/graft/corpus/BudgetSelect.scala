@@ -101,7 +101,7 @@ object BudgetSelect {
     // the within-class global order by construction (Packing).
     val bdry = withCls.filter(!wholeKept && !wholeDropped)
       .withColumn("bucket",
-        conv(substring(col("ord"), 1, hexChars), 16, 10).cast("int"))
+        conv(substring(col("ord"), 1, hexChars), 16, 10).cast("long"))
     val bucketOff = bdry.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bucket_tokens"))
       .select(col("bucket"),

@@ -52,7 +52,7 @@ object DomainQuota {
       md5(concat(lit(if (salt.isEmpty) "" else salt + ":"),
         col(idCol).cast("string")).cast("binary")).as("ord"))
       .withColumn("bucket",
-        conv(substring(col("ord"), 1, hexChars), 16, 10).cast("int"))
+        conv(substring(col("ord"), 1, hexChars), 16, 10).cast("long"))
     val order = Seq(col("score").desc_nulls_last, col("ord").asc, col("id").asc)
     val w1 = Window.partitionBy("domain", "bucket").orderBy(order: _*)
     val candidates = base

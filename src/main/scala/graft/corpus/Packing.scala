@@ -59,7 +59,7 @@ object Packing {
       col(idCol).as("id"),
       coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"),
       md5(concat(lit(salt + ":"), col(idCol).cast("string")).cast("binary")).as("ord"))
-      .withColumn("bucket", conv(substring(col("ord"), 1, hexChars), 16, 10).cast("int"))
+      .withColumn("bucket", conv(substring(col("ord"), 1, hexChars), 16, 10).cast("long"))
 
     // phase 2: per-bucket start offsets — a ≤16^hexChars-row frame
     val offsets = base.groupBy(col("bucket"))

@@ -46,29 +46,25 @@ object ContentExtract {
   /** Anchor inner text (group 1), dotall + case-insensitive. */
   val AnchorPattern: String = "(?is)<a\\b[^>]*>(.*?)</a>"
 
-  private def stripNormalize(c: Column): Column = {
-    val s = regexp_replace(c, "<[^>]*>", " ")
-    val e1 = regexp_replace(s, "&lt;", "<")
-    val e2 = regexp_replace(e1, "&gt;", ">")
-    val e3 = regexp_replace(e2, "&quot;", "\"")
-    val e4 = regexp_replace(e3, "&#39;", "'")
-    val e5 = regexp_replace(e4, "&nbsp;", " ")
-    val e6 = regexp_replace(e5, "&amp;", "&")
-    trim(regexp_replace(e6, "\\s+", " "))
-  }
+  /** The [[TextExtract]] normal form, per block — ONE shared
+    * definition, so page-level and block-level units can never
+    * diverge.
+    */
+  private def stripNormalize(c: Column): Column =
+    TextExtract.stripTagsNormalize(c)
 
   /** Pre-clean (the TextExtract gate without the tag strip): null on
-    * invalid UTF-8, drop doctype/comments/script/style wholesale.
+    * invalid UTF-8, drop doctype/comments/head/script/style/noscript
+    * wholesale. `<head>` goes as a block — a page TITLE is metadata,
+    * not content, and without this it would strip to plain text long
+    * enough to pass the block verdict on every page (jusText operates
+    * on the body for the same reason).
     */
   private def preClean(html: Column): Column = {
-    val s0 = html.cast("string")
-    val s1 = regexp_replace(s0, "(?is)<!DOCTYPE[^>]*>", " ")
-    val s2 = regexp_replace(s1, "(?s)<!--.*?-->", " ")
-    val s3 = regexp_replace(s2, "(?is)<script\\b[^>]*>.*?</script>", " ")
-    val s4 = regexp_replace(s3, "(?is)<style\\b[^>]*>.*?</style>", " ")
-    when(html.isNull, lit(null: String))
-      .when(!call_function("is_valid_utf8", s0), lit(null: String))
-      .otherwise(s4)
+    val cleaned = Seq("head", "script", "style", "noscript")
+      .foldLeft(TextExtract.stripDocComments(html.cast("string")))(
+        TextExtract.stripBlock)
+    TextExtract.utf8Gate(html, cleaned)
   }
 
   /** (idCols..., main_text, n_blocks, n_good) — `n_blocks` counts

@@ -37,20 +37,24 @@ object Robots {
   val KeyPattern: String = "(?i)^(user-agent|allow|disallow)\\s*:"
   val ValuePattern: String = "(?i)^(?:user-agent|allow|disallow)\\s*:\\s*(\\S*)"
 
-  /** Parsed rule table: one (domain, agent, allow, path) row per
-    * (group agent, rule) pair — a rule under a multi-agent header
-    * appears once per agent. Comments (`#…`) stripped, unknown lines
-    * ignored, empty-path rules dropped.
+  /** (agents, ruleLines) group frames: agents = one (domain, gid,
+    * agent) row per `User-agent:` line — a group PRESENCE record even
+    * when the group carries no usable rules (the RFC's empty-group =
+    * allow-everything case rides on this); ruleLines = one (domain,
+    * gid, allow, path) row per non-empty-path rule. The cleaned line
+    * is staged in its own select so the comment-strip/trim tree
+    * evaluates once per line, not once per extracted field (SCALE.md
+    * invariant 7).
     */
-  def rules(robots: DataFrame, domainCol: String = "domain",
-      txtCol: String = "robots_txt"): DataFrame = {
+  private def groups(robots: DataFrame, domainCol: String,
+      txtCol: String): (DataFrame, DataFrame) = {
     val lines = robots.select(col(domainCol).as("domain"),
       posexplode(split(col(txtCol), "\n")).as(Seq("idx", "raw")))
+      .select(col("domain"), col("idx"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("l"))
     val classified = lines.select(col("domain"), col("idx"),
-      lower(regexp_extract(trim(regexp_replace(col("raw"), "#.*$", "")),
-        KeyPattern, 1)).as("key"),
-      regexp_extract(trim(regexp_replace(col("raw"), "#.*$", "")),
-        ValuePattern, 1).as("value"))
+      lower(regexp_extract(col("l"), KeyPattern, 1)).as("key"),
+      regexp_extract(col("l"), ValuePattern, 1).as("value"))
       .filter(col("key") =!= "" && col("value") =!= "")
     val w = Window.partitionBy("domain").orderBy("idx")
     val grouped = classified
@@ -66,6 +70,19 @@ object Robots {
     val ruleLines = grouped.filter(col("key").isin("allow", "disallow"))
       .select(col("domain"), col("gid"),
         (col("key") === "allow").as("allow"), col("value").as("path"))
+    (agents, ruleLines)
+  }
+
+  /** Parsed rule table: one (domain, agent, allow, path) row per
+    * (group agent, rule) pair — a rule under a multi-agent header
+    * appears once per agent. Comments (`#…`) stripped, unknown lines
+    * ignored, empty-path rules dropped. NOTE: a group whose rules are
+    * all empty-path no-ops has no row here — [[verdicts]] decides
+    * agent shadowing from group PRESENCE, not from this table.
+    */
+  def rules(robots: DataFrame, domainCol: String = "domain",
+      txtCol: String = "robots_txt"): DataFrame = {
+    val (agents, ruleLines) = groups(robots, domainCol, txtCol)
     agents.join(ruleLines, Seq("domain", "gid"))
       .select(col("domain"), col("agent"), col("allow"), col("path"))
   }
@@ -96,10 +113,19 @@ object Robots {
       idCol: String = "doc_id", urlCol: String = "url",
       hintBroadcast: Boolean = true): DataFrame = {
     require(agent.nonEmpty && agent.trim == agent)
-    val r = rules(robots)
+    val (agents, ruleLines) = groups(robots, "domain", "robots_txt")
+    val r = agents.join(ruleLines, Seq("domain", "gid"))
+      .select(col("domain"), col("agent"), col("allow"), col("path"))
     val specific = r.filter(col("agent") === agent.toLowerCase)
+    // shadowing is decided by group PRESENCE (User-agent lines), not
+    // by surviving rules: an exact-agent group whose rules are all
+    // empty-path no-ops still shadows the domain's `*` groups — the
+    // RFC's explicit-whitelist pattern ("User-agent: bot\nDisallow:")
+    // means allow-everything for bot, not fall-through to `*`
+    val specificDomains = agents.filter(col("agent") === agent.toLowerCase)
+      .select("domain").distinct()
     val star = r.filter(col("agent") === "*")
-      .join(specific.select("domain").distinct(), Seq("domain"), "left_anti")
+      .join(specificDomains, Seq("domain"), "left_anti")
     val applicable = specific.unionByName(star)
       .select(col("domain"), col("allow"), col("path"))
     val u = urls.select(col(idCol), col(urlCol).as("url"),

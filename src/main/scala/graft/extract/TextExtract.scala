@@ -23,28 +23,51 @@ import org.apache.spark.sql.functions._
   */
 object TextExtract {
 
-  def extractText(html: Column): Column = {
-    // cast(binary→string) wraps the raw bytes unvalidated; Spark 4's
-    // is_valid_utf8 then gates the quarantine path explicitly (ANSI
-    // decode() would throw mid-pipeline on bad bytes — per-row
-    // validity must be data, not an exception)
-    val s0 = html.cast("string")
-    val s1 = regexp_replace(s0, "(?is)<!DOCTYPE[^>]*>", " ")
-    val s2 = regexp_replace(s1, "(?s)<!--.*?-->", " ")
-    val s3 = regexp_replace(s2, "(?is)<script\\b[^>]*>.*?</script>", " ")
-    val s4 = regexp_replace(s3, "(?is)<style\\b[^>]*>.*?</style>", " ")
-    val s5 = regexp_replace(s4, "<[^>]*>", " ")
-    val e1 = regexp_replace(s5, "&lt;", "<")
+  /** Doctype + comment strip — the first steps of every html chain. */
+  private[extract] def stripDocComments(c: Column): Column =
+    regexp_replace(regexp_replace(c, "(?is)<!DOCTYPE[^>]*>", " "),
+      "(?s)<!--.*?-->", " ")
+
+  /** Remove a whole `<tag ...>...</tag>` block (dotall, case-
+    * insensitive) — script/style here, +head/noscript in
+    * [[ContentExtract]].
+    */
+  private[extract] def stripBlock(c: Column, tag: String): Column =
+    regexp_replace(c, s"(?is)<$tag\\b[^>]*>.*?</$tag>", " ")
+
+  /** Tag strip → the 5 core entities (&amp; last) → whitespace
+    * collapse → trim: THE normal form both the page-level extraction
+    * and [[ContentExtract]]'s per-block units share (one definition,
+    * so an entity or whitespace fix can never diverge them).
+    */
+  private[extract] def stripTagsNormalize(c: Column): Column = {
+    val s = regexp_replace(c, "<[^>]*>", " ")
+    val e1 = regexp_replace(s, "&lt;", "<")
     val e2 = regexp_replace(e1, "&gt;", ">")
     val e3 = regexp_replace(e2, "&quot;", "\"")
     val e4 = regexp_replace(e3, "&#39;", "'")
     val e5 = regexp_replace(e4, "&nbsp;", " ")
     val e6 = regexp_replace(e5, "&amp;", "&")
-    val t = trim(regexp_replace(e6, "\\s+", " "))
-    // undecodable bytes → NULL (quarantined, counted, never silently
-    // dropped — Files.t:290-299); null html propagates null.
+    trim(regexp_replace(e6, "\\s+", " "))
+  }
+
+  /** Quarantine gate: null html or invalid UTF-8 → null, else
+    * `cleaned` (undecodable bytes are counted, never silently
+    * dropped — Files.t:290-299). cast(binary→string) wraps the raw
+    * bytes unvalidated; Spark 4's is_valid_utf8 then gates
+    * explicitly (ANSI decode() would throw mid-pipeline on bad
+    * bytes — per-row validity must be data, not an exception).
+    */
+  private[extract] def utf8Gate(html: Column, cleaned: Column): Column =
     when(html.isNull, lit(null: String))
-      .when(!call_function("is_valid_utf8", s0), lit(null: String))
-      .otherwise(t)
+      .when(!call_function("is_valid_utf8", html.cast("string")),
+        lit(null: String))
+      .otherwise(cleaned)
+
+  def extractText(html: Column): Column = {
+    val s0 = html.cast("string")
+    val cleaned = stripTagsNormalize(
+      stripBlock(stripBlock(stripDocComments(s0), "script"), "style"))
+    utf8Gate(html, cleaned)
   }
 }

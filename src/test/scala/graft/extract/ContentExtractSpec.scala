@@ -59,6 +59,18 @@ class ContentExtractSpec extends SparkSpec {
     assert(text.get == "The one real content sentence of this fixture, nicely long.")
   }
 
+  test("head/title and noscript are metadata, never content blocks") {
+    val html =
+      "<head><title>Breaking news: a descriptive page title well over the floor</title>" +
+        "<style>body { color: red }</style></head>" +
+        "<body><noscript>Please enable JavaScript to view this page properly.</noscript>" +
+        "<p>The body paragraph is the only real content on this page.</p></body>"
+    val (text, nBlocks, nGood) = run(html)
+    assert(nGood == 1)
+    assert(text.get == "The body paragraph is the only real content on this page.")
+    assert(nBlocks == 1) // title/noscript never even count as blocks
+  }
+
   test("quarantine and empties: null html, invalid utf8, no good blocks") {
     val rows = Seq(
       (1L, "<p>ok content block long enough to pass the floor easily</p>".getBytes("UTF-8")),

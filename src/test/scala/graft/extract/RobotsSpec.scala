@@ -62,6 +62,24 @@ class RobotsSpec extends SparkSpec {
       .map(r => (r.getBoolean(2), r.getString(3))).toSeq == Seq((true, "/private/ok")))
   }
 
+  test("explicit whitelist: an all-no-op specific group still shadows * (RFC empty group)") {
+    // the canonical whitelist pattern — the graftbot group EXISTS but
+    // its only rule is the empty-path no-op; RFC 9309: an empty
+    // matching group means allow-everything, NOT fall-through to *
+    val wl = Seq(("w.example",
+      "User-agent: *\nDisallow: /\nUser-agent: graftbot\nDisallow:\n"))
+      .toDF("domain", "robots_txt")
+    val urls = Seq((1L, "https://w.example/anything"),
+      (2L, "https://w.example/")).toDF("doc_id", "url")
+    val out = Robots.verdicts(urls, wl, "graftbot")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), Option(r.getString(3)))).toMap
+    assert(out == Map(1L -> ((true, None)), 2L -> ((true, None))))
+    // any other agent is still fully blocked by *
+    val other = Robots.verdicts(urls, wl, "otherbot")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(other == Map(1L -> false, 2L -> false))
+  }
+
   test("urlPath: authority stripped, pathless becomes /") {
     val out = Seq("https://a.example", "https://a.example/x?q=1#f", "http://a.example:8080/y")
       .toDF("u").select(Robots.urlPath(col("u"))).collect().map(_.getString(0))
