@@ -1536,6 +1536,53 @@ object SparkEntry {
           k = 20, idCol = "doc_id")
         .select(col("id").as("doc_id"), col("domain"), col("score"), col("rank"))
         .orderBy("domain", "rank")
+    }),
+
+    // ---- b-bit MinHash sketch (Li-Koenig): per doc, the oracle-grade
+    // 128-perm signature of its text and of the text MINUS its last
+    // token (a planted per-row near-dup), then the full-width and
+    // 2-bit match counts + integer-micro Jaccard estimates — the
+    // verified estimator contract behind the 32x sketch-footprint
+    // reduction Hashing.bbitPack gives signature-holding consumers
+    // (incremental near-dup snapshots, the streaming state store).
+    // BbitSpec pins the %4 Column form == the packed-kernel form
+    "q_bbit_sketch" -> ((s, dir) => {
+      def shingleStrs(t: Column) = when(size(t) < 5, array(concat_ws(" ", t)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(t) - 4),
+          i => concat_ws(" ", slice(t, i, lit(5))))))
+      def hashes(ss: Column) = transform(ss,
+        x => conv(substring(md5(x.cast("binary")), 1, 7), 16, 10).cast("long"))
+      val aLit = lit(verifPerms.map(_._1).toArray)
+      val bLit = lit(verifPerms.map(_._2).toArray)
+      def sigs(hs: Column) = transform(
+        sequence(lit(0), lit(verifPerms.length - 1)),
+        p => aggregate(hs, lit(Long.MaxValue),
+          (acc, h) => least(acc,
+            (element_at(aLit, p + 1) * h + element_at(bLit, p + 1)) % lit(2147483647L))))
+      def matches(cond: (Column, Column) => Column) = aggregate(
+        zip_with(col("g1"), col("g2"),
+          (a, b) => when(cond(a, b), 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+      docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= 6)
+        // each stage materialized once per row (invariant 7)
+        .select(col("doc_id"), col("toks"),
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("toks2"))
+        .select(col("doc_id"),
+          shingleStrs(col("toks")).as("ss1"), shingleStrs(col("toks2")).as("ss2"))
+        .select(col("doc_id"), hashes(col("ss1")).as("h1"), hashes(col("ss2")).as("h2"))
+        .select(col("doc_id"), sigs(col("h1")).as("g1"), sigs(col("h2")).as("g2"))
+        .select(col("doc_id"),
+          matches(_ === _).as("m_full"),
+          matches((a, b) => (a % 4) === (b % 4)).as("m_bbit"))
+        .select(col("doc_id"), col("m_full"), col("m_bbit"),
+          expr("CAST(m_full * 1000000 DIV 128 AS BIGINT)").as("est_full_micro"),
+          expr("CAST(greatest(4 * m_bbit - 128, 0) * 1000000 DIV 384 AS BIGINT)")
+            .as("est_bbit_micro"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2492,6 +2539,40 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY domain ORDER BY nt DESC, ord, doc_id) AS rank FROM b) " +
         "SELECT doc_id, domain, score, CAST(rank AS BIGINT) AS rank " +
         "FROM r WHERE rank <= 20 ORDER BY domain, rank"
+    },
+    // the full minhash chain replayed for text and text-minus-last-
+    // token, joined per (doc, perm): full-width and 2-bit match
+    // counts, then the same integer-micro estimates (all terms
+    // non-negative, so // and DIV agree)
+    "q_bbit_sketch" -> {
+      val perms = verifPerms.zipWithIndex
+        .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
+      def sgf(x: String): String =
+        s"CASE WHEN len($x) < 5 THEN [array_to_string($x, ' ')] " +
+          s"ELSE list_distinct(list_transform(range(1, len($x) - 3), " +
+          s"i -> $x[i] || ' ' || $x[i+1] || ' ' || $x[i+2] || ' ' || $x[i+3] || ' ' || $x[i+4])) END"
+      "WITH t0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "t AS (SELECT doc_id, ts, ts[1:len(ts)-1] AS ts2 FROM t0 WHERE len(ts) >= 6), " +
+        s"sg AS (SELECT doc_id, ${sgf("ts")} AS sh1, ${sgf("ts2")} AS sh2 FROM t), " +
+        "e1 AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, unnest(sh1) AS s FROM sg)), " +
+        "e2 AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, unnest(sh2) AS s FROM sg)), " +
+        s"p(perm_idx, a, b) AS (VALUES $perms), " +
+        "s1 AS (SELECT doc_id, perm_idx, min((a * h + b) % 2147483647) AS g " +
+        "FROM e1 CROSS JOIN p GROUP BY doc_id, perm_idx), " +
+        "s2 AS (SELECT doc_id, perm_idx, min((a * h + b) % 2147483647) AS g " +
+        "FROM e2 CROSS JOIN p GROUP BY doc_id, perm_idx), " +
+        "m AS (SELECT s1.doc_id, " +
+        "sum(CASE WHEN s1.g = s2.g THEN 1 ELSE 0 END) AS mf, " +
+        "sum(CASE WHEN s1.g % 4 = s2.g % 4 THEN 1 ELSE 0 END) AS mb " +
+        "FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id AND s1.perm_idx = s2.perm_idx " +
+        "GROUP BY s1.doc_id) " +
+        "SELECT doc_id, CAST(mf AS BIGINT) AS m_full, CAST(mb AS BIGINT) AS m_bbit, " +
+        "CAST((mf * 1000000) // 128 AS BIGINT) AS est_full_micro, " +
+        "CAST((greatest(4 * mb - 128, 0) * 1000000) // 384 AS BIGINT) AS est_bbit_micro " +
+        "FROM m ORDER BY doc_id"
     }
   )
 }

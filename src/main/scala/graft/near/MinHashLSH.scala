@@ -105,6 +105,64 @@ object Hashing {
     while (i < x.length) { if (x(i) == y(i)) agree += 1; i += 1 }
     agree.toDouble / x.length
   }
+
+  /** b-bit MinHash (Li & Koenig, WWW'10): keep only the lowest `b`
+    * bits of each signature value, bit-packed little-endian into
+    * longs — a 64/b-fold signature-footprint reduction (128 perms at
+    * b=2: 1 KB -> 32 B), the storage shape for signature CONSUMERS
+    * that hold sketches per key at corpus scale (the incremental
+    * near-dup snapshot, the streaming state store). Collisions now
+    * happen by chance with probability C = 2^-b, so the match
+    * fraction m estimates J via the unbiased correction
+    * (m - C)/(1 - C) ([[bbitEstimate]]); the variance penalty is the
+    * known Li-Koenig trade for the footprint.
+    */
+  def bbitPack(sig: Array[Long], b: Int): Array[Long] = {
+    require(b >= 1 && b <= 32, s"b in [1,32]: $b")
+    val out = new Array[Long]((sig.length * b + 63) >> 6)
+    val mask = (1L << b) - 1
+    var bit = 0
+    var i = 0
+    while (i < sig.length) {
+      val x = sig(i) & mask
+      val w = bit >> 6
+      val off = bit & 63
+      out(w) |= x << off
+      if (off + b > 64) out(w + 1) |= x >>> (64 - off)
+      bit += b
+      i += 1
+    }
+    out
+  }
+
+  /** The i-th b-bit component of a [[bbitPack]]ed sketch. */
+  def bbitAt(packed: Array[Long], i: Int, b: Int): Long = {
+    val bit = i * b
+    val w = bit >> 6
+    val off = bit & 63
+    val lo = packed(w) >>> off
+    val v = if (off + b > 64) lo | (packed(w + 1) << (64 - off)) else lo
+    v & ((1L << b) - 1)
+  }
+
+  /** Agreeing components between two packed b-bit sketches of `n`
+    * permutations.
+    */
+  def bbitMatches(x: Array[Long], y: Array[Long], n: Int, b: Int): Int = {
+    var agree = 0
+    var i = 0
+    while (i < n) { if (bbitAt(x, i, b) == bbitAt(y, i, b)) agree += 1; i += 1 }
+    agree
+  }
+
+  /** Li-Koenig corrected Jaccard estimate from `matches` agreeing
+    * b-bit components of `n`: (m/n - C)/(1 - C) with C = 2^-b,
+    * clamped at 0 (chance-level agreement estimates J = 0).
+    */
+  def bbitEstimate(matches: Int, n: Int, b: Int): Double = {
+    val c = 1.0 / (1L << b).toDouble
+    math.max(0.0, (matches.toDouble / n - c) / (1.0 - c))
+  }
 }
 
 /** MinHash + LSH near-duplicate detection [EXT] (SURVEY §7.1 module 7):
