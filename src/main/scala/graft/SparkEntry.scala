@@ -1568,13 +1568,25 @@ object SparkEntry {
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
         .filter(size(col("toks")) >= 6)
-        // each stage materialized once per row (invariant 7)
+        // each stage materialized once per row (invariant 7). The sig
+        // column wraps sigs(h) in `when(size(h) >= 0, ...)` — a
+        // SECOND static reference of h inside the SAME expression:
+        // CollapseProject counts an attribute once inside a HOF
+        // lambda even though the lambda re-evaluates it per element,
+        // so an unguarded sigs(h) would get the md5 hash arrays
+        // re-inlined into the 128-perm transform (measured 40x on
+        // this query; a separate anchor column gets ColumnPruned
+        // before the collapse, so the guard must live in-expression).
+        // The m-select's two uses of g1/g2 block the next collapse
+        // naturally
         .select(col("doc_id"), col("toks"),
           slice(col("toks"), lit(1), size(col("toks")) - 1).as("toks2"))
         .select(col("doc_id"),
           shingleStrs(col("toks")).as("ss1"), shingleStrs(col("toks2")).as("ss2"))
         .select(col("doc_id"), hashes(col("ss1")).as("h1"), hashes(col("ss2")).as("h2"))
-        .select(col("doc_id"), sigs(col("h1")).as("g1"), sigs(col("h2")).as("g2"))
+        .select(col("doc_id"),
+          when(size(col("h1")) >= 0, sigs(col("h1"))).as("g1"),
+          when(size(col("h2")) >= 0, sigs(col("h2"))).as("g2"))
         .select(col("doc_id"),
           matches(_ === _).as("m_full"),
           matches((a, b) => (a % 4) === (b % 4)).as("m_bbit"))
