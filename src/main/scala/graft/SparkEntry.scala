@@ -283,6 +283,33 @@ object SparkEntry {
     (a, b)
   }
 
+  /** The oracle-grade verification kernel, ONE definition shared by
+    * q_minhash_sigs and q_bbit_sketch (the two contracts cannot
+    * diverge): distinct 5-token shingle strings → 28-bit md5-prefix
+    * hashes → min over the 128 affine permutations mod 2^31-1.
+    * Callers must pass MATERIALIZED column inputs (invariant 7).
+    */
+  private def verifShingleStrs(t: Column): Column =
+    when(size(t) < 5, array(concat_ws(" ", t)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(t) - 4),
+        i => concat_ws(" ", slice(t, i, lit(5))))))
+  private def verifHashes(ss: Column): Column = transform(ss,
+    x => conv(substring(md5(x.cast("binary")), 1, 7), 16, 10).cast("long"))
+  private def verifSigs(hs: Column): Column = {
+    val aLit = lit(verifPerms.map(_._1).toArray)
+    val bLit = lit(verifPerms.map(_._2).toArray)
+    transform(sequence(lit(0), lit(verifPerms.length - 1)),
+      p => aggregate(hs, lit(Long.MaxValue),
+        (acc, h) => least(acc,
+          (element_at(aLit, p + 1) * h + element_at(bLit, p + 1)) % lit(2147483647L))))
+  }
+  /** SQL mirror of [[verifShingleStrs]] (DuckDB list lambda form). */
+  private def shingleSqlExpr(x: String): String =
+    s"CASE WHEN len($x) < 5 THEN [array_to_string($x, ' ')] " +
+      s"ELSE list_distinct(list_transform(range(1, len($x) - 3), " +
+      s"i -> $x[i] || ' ' || $x[i+1] || ' ' || $x[i+2] || ' ' || $x[i+3] || ' ' || $x[i+4])) END"
+
   /** Flagship: the full dedup pipeline (exact cascade + MinHash/LSH +
     * SimHash + alias identity + connected components) over the
     * sf0.001 documents table mapped into the corpus shape.
@@ -632,7 +659,13 @@ object SparkEntry {
       val robots = d10.select(
         concat(lit("site"), col("d").cast("string"), lit(".example")).as("domain"),
         concat(
-          lit("# synthetic policy\nUser-agent: *\nDisallow: /p1\nAllow: /p12\n"),
+          lit("# synthetic policy\n"),
+          // whitelist group FIRST: the no-op Disallow: must still end
+          // the graftbot UA run, or graftbot merges into `*` and
+          // inherits its rules (the drop-before-window bug)
+          when(col("d") === 7, lit("User-agent: graftbot\nDisallow:\n"))
+            .otherwise(lit("")),
+          lit("User-agent: *\nDisallow: /p1\nAllow: /p12\n"),
           when(col("d") % 2 === 0,
             lit("User-agent: alpha\nUser-agent: graftbot\nDisallow: /p2\nCrawl-delay: 5\n"))
             .otherwise(lit("")),
@@ -1058,28 +1091,16 @@ object SparkEntry {
     // checkable (the production path uses the faster 64-bit UDF
     // hashes, exercised end-to-end by q_minhash_clusters). Pure
     // Column expressions, map-side only.
-    "q_minhash_sigs" -> ((s, dir) => {
-      val toks = col("toks") // materialized (see q_ngram_jaccard note)
-      val shingleStrs = when(size(toks) < 5, array(concat_ws(" ", toks)))
-        .otherwise(array_distinct(transform(
-          sequence(lit(1), size(toks) - 4),
-          i => concat_ws(" ", slice(toks, i, lit(5))))))
-      val aLit = lit(verifPerms.map(_._1).toArray)
-      val bLit = lit(verifPerms.map(_._2).toArray)
-      val sigs = transform(sequence(lit(0), lit(verifPerms.length - 1)),
-        p => aggregate(col("hs"), lit(Long.MaxValue),
-          (acc, h) => least(acc,
-            (element_at(aLit, p + 1) * h + element_at(bLit, p + 1)) % lit(2147483647L))))
+    "q_minhash_sigs" -> ((s, dir) =>
       docs(s, dir)
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
         // materialize each stage ONCE per row — inlined trees would be
         // re-evaluated per lambda element / per permutation
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-        .select(col("doc_id"), shingleStrs.as("ss"))
-        .select(col("doc_id"), transform(col("ss"),
-          x => conv(substring(md5(x.cast("binary")), 1, 7), 16, 10).cast("long")).as("hs"))
-        .select(col("doc_id"), posexplode(sigs).as(Seq("perm_idx", "sig")))
-    }),
+        .select(col("doc_id"), verifShingleStrs(col("toks")).as("ss"))
+        .select(col("doc_id"), verifHashes(col("ss")).as("hs"))
+        .select(col("doc_id"),
+          posexplode(verifSigs(col("hs"))).as(Seq("perm_idx", "sig")))),
 
     // LSH-bucketed approximate kNN (the at-scale ANN path): bits are
     // scale-adaptive (log2(n/target)); queries are planted scaled
@@ -1547,19 +1568,6 @@ object SparkEntry {
     // (incremental near-dup snapshots, the streaming state store).
     // BbitSpec pins the %4 Column form == the packed-kernel form
     "q_bbit_sketch" -> ((s, dir) => {
-      def shingleStrs(t: Column) = when(size(t) < 5, array(concat_ws(" ", t)))
-        .otherwise(array_distinct(transform(
-          sequence(lit(1), size(t) - 4),
-          i => concat_ws(" ", slice(t, i, lit(5))))))
-      def hashes(ss: Column) = transform(ss,
-        x => conv(substring(md5(x.cast("binary")), 1, 7), 16, 10).cast("long"))
-      val aLit = lit(verifPerms.map(_._1).toArray)
-      val bLit = lit(verifPerms.map(_._2).toArray)
-      def sigs(hs: Column) = transform(
-        sequence(lit(0), lit(verifPerms.length - 1)),
-        p => aggregate(hs, lit(Long.MaxValue),
-          (acc, h) => least(acc,
-            (element_at(aLit, p + 1) * h + element_at(bLit, p + 1)) % lit(2147483647L))))
       def matches(cond: (Column, Column) => Column) = aggregate(
         zip_with(col("g1"), col("g2"),
           (a, b) => when(cond(a, b), 1L).otherwise(0L)),
@@ -1582,11 +1590,13 @@ object SparkEntry {
         .select(col("doc_id"), col("toks"),
           slice(col("toks"), lit(1), size(col("toks")) - 1).as("toks2"))
         .select(col("doc_id"),
-          shingleStrs(col("toks")).as("ss1"), shingleStrs(col("toks2")).as("ss2"))
-        .select(col("doc_id"), hashes(col("ss1")).as("h1"), hashes(col("ss2")).as("h2"))
+          verifShingleStrs(col("toks")).as("ss1"),
+          verifShingleStrs(col("toks2")).as("ss2"))
         .select(col("doc_id"),
-          when(size(col("h1")) >= 0, sigs(col("h1"))).as("g1"),
-          when(size(col("h2")) >= 0, sigs(col("h2"))).as("g2"))
+          verifHashes(col("ss1")).as("h1"), verifHashes(col("ss2")).as("h2"))
+        .select(col("doc_id"),
+          when(size(col("h1")) >= 0, verifSigs(col("h1"))).as("g1"),
+          when(size(col("h2")) >= 0, verifSigs(col("h2"))).as("g2"))
         .select(col("doc_id"),
           matches(_ === _).as("m_full"),
           matches((a, b) => (a % 4) === (b % 4)).as("m_bbit"))
@@ -1606,9 +1616,7 @@ object SparkEntry {
   private val shingleCte: String =
     "t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents " +
       "WHERE text IS NOT NULL AND trim(text) <> ''), " +
-      "sgl AS (SELECT doc_id, CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')] " +
-      "ELSE list_distinct(list_transform(range(1, len(ts) - 3), " +
-      "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])) END AS sh FROM t)"
+      s"sgl AS (SELECT doc_id, ${shingleSqlExpr("ts")} AS sh FROM t)"
 
   /** Planted scaled-copy CTE over the embeddings table (mirror of
     * `plantedCopies` — bit-identical float vectors).
@@ -1966,7 +1974,9 @@ object SparkEntry {
     "q_robots" ->
       ("WITH rb AS (SELECT DISTINCT (doc_id % 10) AS d FROM documents), " +
         "rt AS (SELECT 'site' || d || '.example' AS domain, " +
-        "'# synthetic policy' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /p1' || chr(10) || 'Allow: /p12' || chr(10) || " +
+        "'# synthetic policy' || chr(10) || " +
+        "(CASE WHEN d = 7 THEN 'User-agent: graftbot' || chr(10) || 'Disallow:' || chr(10) ELSE '' END) || " +
+        "'User-agent: *' || chr(10) || 'Disallow: /p1' || chr(10) || 'Allow: /p12' || chr(10) || " +
         "(CASE WHEN d % 2 = 0 THEN 'User-agent: alpha' || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p2' || chr(10) || 'Crawl-delay: 5' || chr(10) ELSE '' END) || " +
         "(CASE WHEN d = 5 THEN 'User-agent: graftbot' || chr(10) || 'Disallow:' || chr(10) ELSE '' END) || " +
         "(CASE WHEN d % 3 = 0 THEN 'Disallow:' || chr(10) ELSE '' END) AS txt FROM rb), " +
@@ -1974,11 +1984,11 @@ object SparkEntry {
         "ln0 AS (SELECT domain, i AS idx, trim(regexp_replace(ls[i], '#.*$', '')) AS l FROM ls0, unnest(generate_series(1, len(ls))) AS t(i)), " +
         s"cl AS (SELECT domain, idx, lower(regexp_extract(l, '${graft.extract.Robots.KeyPattern}', 1)) AS key, " +
         s"regexp_extract(l, '${graft.extract.Robots.ValuePattern}', 1) AS value FROM ln0), " +
-        "cf AS (SELECT * FROM cl WHERE key <> '' AND value <> ''), " +
+        "cf AS (SELECT * FROM cl WHERE key <> ''), " +
         "hg AS (SELECT domain, idx, key, value, CASE WHEN key = 'user-agent' AND coalesce(lag(key) OVER (PARTITION BY domain ORDER BY idx), '') <> 'user-agent' THEN 1 ELSE 0 END AS hdr FROM cf), " +
         "gg AS (SELECT domain, idx, key, value, sum(hdr) OVER (PARTITION BY domain ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM hg), " +
-        "ag AS (SELECT domain, gid, lower(value) AS agent FROM gg WHERE key = 'user-agent' AND gid >= 1), " +
-        "rl AS (SELECT domain, gid, (key = 'allow') AS allow, value AS path FROM gg WHERE key IN ('allow', 'disallow') AND gid >= 1), " +
+        "ag AS (SELECT domain, gid, lower(value) AS agent FROM gg WHERE key = 'user-agent' AND value <> '' AND gid >= 1), " +
+        "rl AS (SELECT domain, gid, (key = 'allow') AS allow, value AS path FROM gg WHERE key IN ('allow', 'disallow') AND value <> '' AND gid >= 1), " +
         "rules AS (SELECT ag.domain, ag.agent, rl.allow, rl.path FROM ag JOIN rl ON ag.domain = rl.domain AND ag.gid = rl.gid), " +
         "spec AS (SELECT * FROM rules WHERE agent = 'graftbot'), " +
         "star AS (SELECT * FROM rules WHERE agent = '*' AND domain NOT IN " +
@@ -2559,14 +2569,10 @@ object SparkEntry {
     "q_bbit_sketch" -> {
       val perms = verifPerms.zipWithIndex
         .map { case ((a, b), p) => s"($p, $a, $b)" }.mkString(", ")
-      def sgf(x: String): String =
-        s"CASE WHEN len($x) < 5 THEN [array_to_string($x, ' ')] " +
-          s"ELSE list_distinct(list_transform(range(1, len($x) - 3), " +
-          s"i -> $x[i] || ' ' || $x[i+1] || ' ' || $x[i+2] || ' ' || $x[i+3] || ' ' || $x[i+4])) END"
       "WITH t0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts " +
         "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
         "t AS (SELECT doc_id, ts, ts[1:len(ts)-1] AS ts2 FROM t0 WHERE len(ts) >= 6), " +
-        s"sg AS (SELECT doc_id, ${sgf("ts")} AS sh1, ${sgf("ts2")} AS sh2 FROM t), " +
+        s"sg AS (SELECT doc_id, ${shingleSqlExpr("ts")} AS sh1, ${shingleSqlExpr("ts2")} AS sh2 FROM t), " +
         "e1 AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h " +
         "FROM (SELECT doc_id, unnest(sh1) AS s FROM sg)), " +
         "e2 AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h " +

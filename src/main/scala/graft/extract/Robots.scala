@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * CONSECUTIVE `User-agent:` lines share the following rule block;
   * rules before any group header have no agents and bind nothing.
   * Empty-path rules (`Disallow:` = "allow everything") are no-ops
-  * and are dropped at parse time. Decision: most specific agent
+  * dropped AFTER grouping — they still delimit UA runs, so a
+  * whitelist group never merges into its successor. Decision: most
+  * specific agent
   * first (a domain with any exact-agent group ignores its `*`
   * groups for that agent), then LONGEST matching path wins, allow
   * beating disallow at equal length; no matching rule = allowed.
@@ -41,10 +43,15 @@ object Robots {
     * agent) row per `User-agent:` line — a group PRESENCE record even
     * when the group carries no usable rules (the RFC's empty-group =
     * allow-everything case rides on this); ruleLines = one (domain,
-    * gid, allow, path) row per non-empty-path rule. The cleaned line
-    * is staged in its own select so the comment-strip/trim tree
-    * evaluates once per line, not once per extracted field (SCALE.md
-    * invariant 7).
+    * gid, allow, path) row per non-empty-path rule. Empty-VALUE lines
+    * stay visible through the grouping window and drop only
+    * afterwards: a no-op `Disallow:` between two `User-agent:` lines
+    * still ENDS the first UA run (dropping it pre-window would merge
+    * a leading whitelist group into the next group and hand the
+    * whitelisted agent that group's rules — the opposite verdict).
+    * The cleaned line is staged in its own select so the
+    * comment-strip/trim tree evaluates once per line, not once per
+    * extracted field (SCALE.md invariant 7).
     */
   private def groups(robots: DataFrame, domainCol: String,
       txtCol: String): (DataFrame, DataFrame) = {
@@ -55,7 +62,7 @@ object Robots {
     val classified = lines.select(col("domain"), col("idx"),
       lower(regexp_extract(col("l"), KeyPattern, 1)).as("key"),
       regexp_extract(col("l"), ValuePattern, 1).as("value"))
-      .filter(col("key") =!= "" && col("value") =!= "")
+      .filter(col("key") =!= "")
     val w = Window.partitionBy("domain").orderBy("idx")
     val grouped = classified
       .withColumn("prev_key", lag(col("key"), 1).over(w))
@@ -65,9 +72,11 @@ object Robots {
         .cast("long"))
       .withColumn("gid", sum(col("hdr")).over(w))
       .filter(col("gid") >= 1)
-    val agents = grouped.filter(col("key") === "user-agent")
+    val agents = grouped
+      .filter(col("key") === "user-agent" && col("value") =!= "")
       .select(col("domain"), col("gid"), lower(col("value")).as("agent"))
-    val ruleLines = grouped.filter(col("key").isin("allow", "disallow"))
+    val ruleLines = grouped
+      .filter(col("key").isin("allow", "disallow") && col("value") =!= "")
       .select(col("domain"), col("gid"),
         (col("key") === "allow").as("allow"), col("value").as("path"))
     (agents, ruleLines)

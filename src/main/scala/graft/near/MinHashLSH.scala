@@ -146,13 +146,38 @@ object Hashing {
   }
 
   /** Agreeing components between two packed b-bit sketches of `n`
-    * permutations.
+    * permutations. For the power-of-two widths (components never
+    * straddle a word) the comparison is word-wise — XOR, fold each
+    * component's bits onto its LSB, popcount the mismatches — ~30x
+    * fewer operations than per-component extraction, which is the
+    * point of the packed layout on the corpus-scale compare path
+    * (unused tail bits are zero in both sketches, so they contribute
+    * no mismatch and `n - mismatches` stays exact). Non-power widths
+    * fall back to [[bbitAt]].
     */
   def bbitMatches(x: Array[Long], y: Array[Long], n: Int, b: Int): Int = {
-    var agree = 0
-    var i = 0
-    while (i < n) { if (bbitAt(x, i, b) == bbitAt(y, i, b)) agree += 1; i += 1 }
-    agree
+    if ((b & (b - 1)) == 0) {
+      // LSB-of-each-component mask, e.g. b=2: 0x5555...; b=8: 0x0101...
+      var lsb = 1L
+      var s = b
+      while (s < 64) { lsb |= lsb << s; s <<= 1 }
+      var mismatches = 0
+      var w = 0
+      val words = (n * b + 63) >> 6
+      while (w < words) {
+        var z = x(w) ^ y(w)
+        var sh = 1
+        while (sh < b) { z |= z >>> sh; sh <<= 1 }
+        mismatches += java.lang.Long.bitCount(z & lsb)
+        w += 1
+      }
+      n - mismatches
+    } else {
+      var agree = 0
+      var i = 0
+      while (i < n) { if (bbitAt(x, i, b) == bbitAt(y, i, b)) agree += 1; i += 1 }
+      agree
+    }
   }
 
   /** Li-Koenig corrected Jaccard estimate from `matches` agreeing

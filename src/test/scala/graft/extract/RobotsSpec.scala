@@ -78,6 +78,18 @@ class RobotsSpec extends SparkSpec {
     val other = Robots.verdicts(urls, wl, "otherbot")
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(other == Map(1L -> false, 2L -> false))
+    // whitelist group FIRST (the common real layout): the no-op
+    // Disallow: must still END the graftbot UA run — dropping it
+    // before the group window would merge graftbot into the `*` run
+    // and hand it 'Disallow: /'
+    val wlFirst = Seq(("wf.example",
+      "User-agent: graftbot\nDisallow:\nUser-agent: *\nDisallow: /\n"))
+      .toDF("domain", "robots_txt")
+    val u2 = Seq((1L, "https://wf.example/anything")).toDF("doc_id", "url")
+    val first = Robots.verdicts(u2, wlFirst, "graftbot").collect()(0)
+    assert(first.getBoolean(2) && first.getString(3) == null)
+    val firstOther = Robots.verdicts(u2, wlFirst, "otherbot").collect()(0)
+    assert(!firstOther.getBoolean(2))
   }
 
   test("urlPath: authority stripped, pathless becomes /") {

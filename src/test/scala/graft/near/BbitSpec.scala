@@ -17,6 +17,30 @@ class BbitSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Hashing.bbitPack(sig, 0) }
   }
 
+  test("word-wise fast path equals per-component extraction at every power-of-two width") {
+    val rnd = new scala.util.Random(3)
+    for (b <- Seq(1, 2, 4, 8, 16, 32); n <- Seq(7, 100, 128)) {
+      val sa = Array.fill(n)(rnd.nextLong())
+      // plant agreements so the count is neither 0 nor n
+      val sb = sa.zipWithIndex.map { case (v, i) =>
+        if (i % 3 == 0) v else rnd.nextLong()
+      }
+      val pa = Hashing.bbitPack(sa, b)
+      val pb = Hashing.bbitPack(sb, b)
+      val ref = (0 until n).count(i =>
+        Hashing.bbitAt(pa, i, b) == Hashing.bbitAt(pb, i, b))
+      assert(Hashing.bbitMatches(pa, pb, n, b) == ref, s"b=$b n=$n")
+    }
+    // a non-power width exercises the extraction fallback
+    val sa = Array.fill(50)(rnd.nextLong())
+    val sb = Array.fill(50)(rnd.nextLong())
+    val pa = Hashing.bbitPack(sa, 3)
+    val pb = Hashing.bbitPack(sb, 3)
+    val ref = (0 until 50).count(i =>
+      Hashing.bbitAt(pa, i, 3) == Hashing.bbitAt(pb, i, 3))
+    assert(Hashing.bbitMatches(pa, pb, 50, 3) == ref)
+  }
+
   test("matches and estimator: identity, chance floor, clamp") {
     val rnd = new scala.util.Random(11)
     val sig = Array.fill(128)(rnd.nextLong())
