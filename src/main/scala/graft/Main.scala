@@ -59,6 +59,15 @@ import graft.report.Report
   *                           registrable domain (default 1000)
   *   --token-budget B        with --format budget: the token budget
   *                           (default 10^9)
+  *   --robots PATH           crawl-policy re-filter (compliance pass
+  *                           for third-party dumps): PATH is a
+  *                           (domain, robots_txt) table
+  *                           (parquet/json/csv); docs whose url the
+  *                           policy DISALLOWS for --agent are dropped
+  *                           BEFORE dedup; url-less docs pass (no
+  *                           policy can apply). Requires --agent
+  *   --agent NAME            the user-agent --robots evaluates
+  *                           (RFC 9309 most-specific-group rules)
   *   --ccnet-sample F        with --format ccnet: the deterministic
   *                           hash-sample fraction the tercile
   *                           thresholds are cut from (default 0.5;
@@ -168,6 +177,8 @@ object Main {
       ccnetSample: Double = 0.5,
       domainCap: Int = 1000,
       tokenBudget: Long = 1000000000L,
+      robots: Option[String] = None,
+      agent: Option[String] = None,
       split: Option[Seq[(String, Double)]] = None,
       substring: Option[Int] = None, // minShared windows
       longrun: Option[Int] = None, // minLen chars
@@ -232,6 +243,10 @@ object Main {
     // length <= 9 keeps v.toInt in range — an over-Int literal like
     // 99999999999 falls through to the usage error, not a raw
     // NumberFormatException (ADVICE r4 #5)
+    case "--robots" :: v :: rest if v.nonEmpty && !v.startsWith("--") =>
+      parse(rest, c.copy(robots = Some(v)), algsSet)
+    case "--agent" :: v :: rest if v.nonEmpty && !v.startsWith("--") =>
+      parse(rest, c.copy(agent = Some(v)), algsSet)
     case "--domain-cap" :: v :: rest
         if v.forall(_.isDigit) && v.nonEmpty && v.length <= 9 && v.toInt >= 1 =>
       parse(rest, c.copy(domainCap = v.toInt), algsSet)
@@ -282,12 +297,23 @@ object Main {
     val docs1 =
       if (conf.blockDomains.isEmpty) docs0
       else graft.text.UrlNorm.dropBlockedDomains(docs0, conf.blockDomains)
+    // crawl-policy compliance re-filter (the --robots pass): disallowed
+    // urls never enter the pipeline — the rule table is domain-grain
+    val docs1r = conf.robots match {
+      case Some(path) =>
+        val agent = conf.agent.getOrElse(throw new IllegalArgumentException(
+          "--robots requires --agent"))
+        robotsSurvivors(docs1, loadRobots(spark, path), agent)
+      case None =>
+        require(conf.agent.isEmpty, "--agent requires --robots")
+        docs1
+    }
     // quality gate BEFORE dedup (the webtext pipeline order): docs
     // failing the Gopher rule battery never enter the pipeline —
     // map-side, same scan as the hygiene filter above
     val docs2 = conf.prefilter match {
-      case Some("gopher") => gopherSurvivors(docs1)
-      case _ => docs1
+      case Some("gopher") => gopherSurvivors(docs1r)
+      case _ => docs1r
     }
     val docs =
       if (conf.progress) graft.progress.Progress.tap(docs2, "scan_docs", Some("html"))
@@ -829,6 +855,34 @@ object Main {
         docs.select(col("url"), when(col("text").isNull, lit(-1.0))
           .otherwise(coalesce(q, lit(-1.0))).as("score"))
     }
+
+  /** (domain, robots_txt) policy table for `--robots`. */
+  private[graft] def loadRobots(spark: SparkSession, path: String): DataFrame = {
+    val df =
+      if (path.endsWith(".json") || path.endsWith(".jsonl")) spark.read.json(path)
+      else if (path.endsWith(".csv"))
+        spark.read.option("header", "true").csv(path)
+      else spark.read.parquet(path)
+    require(df.columns.contains("domain") && df.columns.contains("robots_txt"),
+      s"--robots table needs (domain, robots_txt) columns: $path")
+    df.select(col("domain").cast("string"), col("robots_txt").cast("string"))
+  }
+
+  /** Docs whose url the robots policy ALLOWS for `agent`, plus all
+    * url-less docs (no policy can apply to them — the null
+    * passthrough convention of dropBlockedDomains). Verdicts are
+    * computed once per DISTINCT url and joined back left-semi, so the
+    * corpus rows never enter the verdict aggregation.
+    */
+  private[graft] def robotsSurvivors(docs: DataFrame, robots: DataFrame,
+      agent: String): DataFrame = {
+    val urls = docs.filter(col("url").isNotNull)
+      .select(col("url").as("u_id"), col("url")).distinct()
+    val allowed = graft.extract.Robots.verdicts(urls, robots, agent, idCol = "u_id")
+      .filter(col("allowed")).select(col("url"))
+    docs.filter(col("url").isNull)
+      .unionByName(docs.join(allowed, Seq("url"), "left_semi"))
+  }
 
   private[graft] def load(spark: SparkSession, input: String): DataFrame =
     if (input.startsWith("synth:"))

@@ -1102,6 +1102,27 @@ class IncrementalCliSpec extends SparkSpec {
     assert(trainN > 20 && trainN < 100, s"degenerate split: $trainN/120 train")
   }
 
+  test("--robots pre-filter drops disallowed urls, keeps allowed and url-less docs") {
+    val docs = Seq(
+      (1L, "https://a.example/private/secret"), // * disallows /private
+      (2L, "https://a.example/public/page"),
+      (3L, "https://b.example/anything"),       // no robots: allowed
+      (4L, null))                                // url-less: passes
+      .toDF("doc_id", "url")
+    val robots = Seq(("a.example",
+      "User-agent: *\nDisallow: /private\n")).toDF("domain", "robots_txt")
+    val out = graft.Main.robotsSurvivors(docs, robots, "graftbot")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L, 4L))
+    // a graftbot whitelist group re-admits the private path
+    val robots2 = Seq(("a.example",
+      "User-agent: *\nDisallow: /private\nUser-agent: graftbot\nDisallow:\n"))
+      .toDF("domain", "robots_txt")
+    val out2 = graft.Main.robotsSurvivors(docs, robots2, "graftbot")
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 == Set(1L, 2L, 3L, 4L))
+  }
+
   test("--format quota and budget select survivors by quality micro-units") {
     def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
       .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
@@ -1417,6 +1438,14 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.Main.parse(List("--input", "x.parquet", "--jaccard", "abc"))
     }
+  }
+
+  test("--robots and --agent parse as a pair") {
+    val c = graft.Main.parse(List("--input", "x.parquet",
+      "--robots", "/tmp/r.parquet", "--agent", "graftbot"))
+    assert(c.robots.contains("/tmp/r.parquet") && c.agent.contains("graftbot"))
+    val d = graft.Main.parse(List("--input", "x.parquet"))
+    assert(d.robots.isEmpty && d.agent.isEmpty)
   }
 
   test("--domain-cap and --token-budget parse with overflow guards") {
