@@ -856,12 +856,20 @@ object Main {
           .otherwise(coalesce(q, lit(-1.0))).as("score"))
     }
 
+  /** Quoted-field CSV reader shared by the corpus and policy loaders:
+    * multiLine because both text and robots_txt payloads legitimately
+    * contain newlines inside quotes — without it the quoted field
+    * splits into one corrupt record per line.
+    */
+  private[graft] def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(path)
+
   /** (domain, robots_txt) policy table for `--robots`. */
   private[graft] def loadRobots(spark: SparkSession, path: String): DataFrame = {
     val df =
       if (path.endsWith(".json") || path.endsWith(".jsonl")) spark.read.json(path)
-      else if (path.endsWith(".csv"))
-        spark.read.option("header", "true").csv(path)
+      else if (path.endsWith(".csv")) readCsv(spark, path)
       else spark.read.parquet(path)
     require(df.columns.contains("domain") && df.columns.contains("robots_txt"),
       s"--robots table needs (domain, robots_txt) columns: $path")
@@ -890,8 +898,7 @@ object Main {
     else if (input.endsWith(".json") || input.endsWith(".jsonl"))
       normalize(spark.read.json(input))
     else if (input.endsWith(".csv"))
-      normalize(spark.read.option("header", "true").option("multiLine", "true")
-        .option("escape", "\"").csv(input))
+      normalize(readCsv(spark, input))
     else if (input.endsWith(".warc") || input.endsWith(".warc.gz"))
       graft.sources.Warc.read(spark, input)
         .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))

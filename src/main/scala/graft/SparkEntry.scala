@@ -669,6 +669,12 @@ object SparkEntry {
           when(col("d") % 2 === 0,
             lit("User-agent: alpha\nUser-agent: graftbot\nDisallow: /p2\nCrawl-delay: 5\n"))
             .otherwise(lit("")),
+          // INVALID empty-token UA line then a live rule: the line is
+          // ignored, so /p4 extends the graftbot group above — if the
+          // invalid line wrongly started an agent-less group, the rule
+          // would orphan and site4's /p4* docs would slip through
+          when(col("d") === 4, lit("User-agent:\nDisallow: /p4\n"))
+            .otherwise(lit("")),
           // explicit whitelist (RFC empty-group = allow everything):
           // the graftbot group EXISTS but carries only an empty-path
           // no-op — it must still shadow `*`, so site5 allows all
@@ -1978,13 +1984,14 @@ object SparkEntry {
         "(CASE WHEN d = 7 THEN 'User-agent: graftbot' || chr(10) || 'Disallow:' || chr(10) ELSE '' END) || " +
         "'User-agent: *' || chr(10) || 'Disallow: /p1' || chr(10) || 'Allow: /p12' || chr(10) || " +
         "(CASE WHEN d % 2 = 0 THEN 'User-agent: alpha' || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p2' || chr(10) || 'Crawl-delay: 5' || chr(10) ELSE '' END) || " +
+        "(CASE WHEN d = 4 THEN 'User-agent:' || chr(10) || 'Disallow: /p4' || chr(10) ELSE '' END) || " +
         "(CASE WHEN d = 5 THEN 'User-agent: graftbot' || chr(10) || 'Disallow:' || chr(10) ELSE '' END) || " +
         "(CASE WHEN d % 3 = 0 THEN 'Disallow:' || chr(10) ELSE '' END) AS txt FROM rb), " +
         "ls0 AS (SELECT domain, string_split(txt, chr(10)) AS ls FROM rt), " +
         "ln0 AS (SELECT domain, i AS idx, trim(regexp_replace(ls[i], '#.*$', '')) AS l FROM ls0, unnest(generate_series(1, len(ls))) AS t(i)), " +
         s"cl AS (SELECT domain, idx, lower(regexp_extract(l, '${graft.extract.Robots.KeyPattern}', 1)) AS key, " +
         s"regexp_extract(l, '${graft.extract.Robots.ValuePattern}', 1) AS value FROM ln0), " +
-        "cf AS (SELECT * FROM cl WHERE key <> ''), " +
+        "cf AS (SELECT * FROM cl WHERE key <> '' AND NOT (key = 'user-agent' AND value = '')), " +
         "hg AS (SELECT domain, idx, key, value, CASE WHEN key = 'user-agent' AND coalesce(lag(key) OVER (PARTITION BY domain ORDER BY idx), '') <> 'user-agent' THEN 1 ELSE 0 END AS hdr FROM cf), " +
         "gg AS (SELECT domain, idx, key, value, sum(hdr) OVER (PARTITION BY domain ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM hg), " +
         "ag AS (SELECT domain, gid, lower(value) AS agent FROM gg WHERE key = 'user-agent' AND value <> '' AND gid >= 1), " +

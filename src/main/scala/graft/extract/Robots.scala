@@ -43,12 +43,14 @@ object Robots {
     * agent) row per `User-agent:` line — a group PRESENCE record even
     * when the group carries no usable rules (the RFC's empty-group =
     * allow-everything case rides on this); ruleLines = one (domain,
-    * gid, allow, path) row per non-empty-path rule. Empty-VALUE lines
-    * stay visible through the grouping window and drop only
+    * gid, allow, path) row per non-empty-path rule. Empty-path RULE
+    * lines stay visible through the grouping window and drop only
     * afterwards: a no-op `Disallow:` between two `User-agent:` lines
     * still ENDS the first UA run (dropping it pre-window would merge
     * a leading whitelist group into the next group and hand the
     * whitelisted agent that group's rules — the opposite verdict).
+    * Empty-token `User-agent:` lines, by contrast, are INVALID and
+    * drop pre-window: they neither start groups nor end UA runs.
     * The cleaned line is staged in its own select so the
     * comment-strip/trim tree evaluates once per line, not once per
     * extracted field (SCALE.md invariant 7).
@@ -62,7 +64,13 @@ object Robots {
     val classified = lines.select(col("domain"), col("idx"),
       lower(regexp_extract(col("l"), KeyPattern, 1)).as("key"),
       regexp_extract(col("l"), ValuePattern, 1).as("value"))
-      .filter(col("key") =!= "")
+      // an empty-token `User-agent:` line is INVALID (RFC 9309 needs a
+      // product token) and is ignored entirely — it must neither start
+      // a group (orphaning the rules after it) nor end a UA run; the
+      // empty-path allow/disallow lines below are VALID no-op rules
+      // and stay visible so they still delimit UA runs
+      .filter(col("key") =!= "" &&
+        !(col("key") === "user-agent" && col("value") === ""))
     val w = Window.partitionBy("domain").orderBy("idx")
     val grouped = classified
       .withColumn("prev_key", lag(col("key"), 1).over(w))

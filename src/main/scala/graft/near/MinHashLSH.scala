@@ -150,10 +150,12 @@ object Hashing {
     * straddle a word) the comparison is word-wise — XOR, fold each
     * component's bits onto its LSB, popcount the mismatches — ~30x
     * fewer operations than per-component extraction, which is the
-    * point of the packed layout on the corpus-scale compare path
-    * (unused tail bits are zero in both sketches, so they contribute
-    * no mismatch and `n - mismatches` stays exact). Non-power widths
-    * fall back to [[bbitAt]].
+    * point of the packed layout on the corpus-scale compare path.
+    * The final word is masked to the first `n` components, so a
+    * PREFIX compare against sketches packed from more than `n`
+    * permutations is exact too (real differing components past `n`
+    * must not count as mismatches). Non-power widths fall back to
+    * [[bbitAt]].
     */
   def bbitMatches(x: Array[Long], y: Array[Long], n: Int, b: Int): Int = {
     if ((b & (b - 1)) == 0) {
@@ -164,8 +166,10 @@ object Hashing {
       var mismatches = 0
       var w = 0
       val words = (n * b + 63) >> 6
+      val rem = (n * b) & 63
       while (w < words) {
         var z = x(w) ^ y(w)
+        if (w == words - 1 && rem != 0) z &= (1L << rem) - 1
         var sh = 1
         while (sh < b) { z |= z >>> sh; sh <<= 1 }
         mismatches += java.lang.Long.bitCount(z & lsb)

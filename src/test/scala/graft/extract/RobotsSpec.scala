@@ -92,6 +92,26 @@ class RobotsSpec extends SparkSpec {
     assert(!firstOther.getBoolean(2))
   }
 
+  test("invalid empty-token User-agent line is ignored: no group start, no run break") {
+    // RFC 9309: unparseable lines are ignored as if absent. The empty
+    // UA line must not start an agent-less group (orphaning /secret —
+    // under-blocking) and must not end the preceding UA run
+    val inv = Seq(("i.example",
+      "User-agent: *\nDisallow: /a\nUser-agent:\nDisallow: /secret\n"))
+      .toDF("domain", "robots_txt")
+    val r = Robots.rules(inv).collect()
+      .map(x => (x.getString(1), x.getBoolean(2), x.getString(3))).toSet
+    assert(r == Set(("*", false, "/a"), ("*", false, "/secret")))
+    val urls = Seq((1L, "https://i.example/secret/x")).toDF("doc_id", "url")
+    assert(!Robots.verdicts(urls, inv, "anybot").collect()(0).getBoolean(2))
+    // between two valid UA lines: both agents share one group
+    val mid = Seq(("m.example",
+      "User-agent: a\nUser-agent:\nUser-agent: b\nDisallow: /x\n"))
+      .toDF("domain", "robots_txt")
+    val rm = Robots.rules(mid).collect().map(_.getString(1)).toSet
+    assert(rm == Set("a", "b"))
+  }
+
   test("urlPath: authority stripped, pathless becomes /") {
     val out = Seq("https://a.example", "https://a.example/x?q=1#f", "http://a.example:8080/y")
       .toDF("u").select(Robots.urlPath(col("u"))).collect().map(_.getString(0))

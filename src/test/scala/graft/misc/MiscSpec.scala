@@ -1123,6 +1123,24 @@ class IncrementalCliSpec extends SparkSpec {
     assert(out2 == Set(1L, 2L, 3L, 4L))
   }
 
+  test("loadRobots reads multi-line robots_txt from quoted CSV intact") {
+    // a real robots.txt is always multi-line; default CSV parsing
+    // would split the quoted field into corrupt one-line records and
+    // silently pass every disallowed doc
+    val dir = java.nio.file.Files.createTempDirectory("robots-csv")
+    val f = dir.resolve("policies.csv")
+    java.nio.file.Files.writeString(f,
+      "domain,robots_txt\n" +
+        "a.example,\"User-agent: *\nDisallow: /private\n\"\n")
+    val loaded = graft.Main.loadRobots(spark, f.toString)
+    assert(loaded.count() == 1)
+    val docs = Seq((1L, "https://a.example/private/x"),
+      (2L, "https://a.example/open")).toDF("doc_id", "url")
+    val out = graft.Main.robotsSurvivors(docs, loaded, "graftbot")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L))
+  }
+
   test("--format quota and budget select survivors by quality micro-units") {
     def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
       .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))

@@ -31,6 +31,20 @@ class BbitSpec extends AnyFunSuite {
         Hashing.bbitAt(pa, i, b) == Hashing.bbitAt(pb, i, b))
       assert(Hashing.bbitMatches(pa, pb, n, b) == ref, s"b=$b n=$n")
     }
+    // PREFIX compare: sketches packed from 128 perms, compared over
+    // the first n only — real differing components past n live in the
+    // last word and must be masked out, not counted as mismatches
+    for (b <- Seq(1, 2, 4, 8); n <- Seq(100, 96, 31)) {
+      val sa = Array.fill(128)(rnd.nextLong())
+      val sb = sa.zipWithIndex.map { case (v, i) =>
+        if (i % 3 == 0) v else rnd.nextLong()
+      }
+      val pa = Hashing.bbitPack(sa, b)
+      val pb = Hashing.bbitPack(sb, b)
+      val ref = (0 until n).count(i =>
+        Hashing.bbitAt(pa, i, b) == Hashing.bbitAt(pb, i, b))
+      assert(Hashing.bbitMatches(pa, pb, n, b) == ref, s"prefix b=$b n=$n")
+    }
     // a non-power width exercises the extraction fallback
     val sa = Array.fill(50)(rnd.nextLong())
     val sb = Array.fill(50)(rnd.nextLong())
