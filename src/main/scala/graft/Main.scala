@@ -240,13 +240,17 @@ object Main {
       parse(rest, c.copy(jaccard = Some(v.toDouble)), algsSet)
     case "--jaccard" :: v :: _ =>
       throw new IllegalArgumentException(s"--jaccard must be in (0,1), got: $v")
+    case "--robots" :: v :: rest if v.nonEmpty && !v.startsWith("--") =>
+      parse(rest, c.copy(robots = Some(v)), algsSet)
+    case "--robots" :: _ =>
+      throw new IllegalArgumentException("--robots needs a policy-table path")
+    case "--agent" :: v :: rest if v.nonEmpty && !v.startsWith("--") =>
+      parse(rest, c.copy(agent = Some(v)), algsSet)
+    case "--agent" :: _ =>
+      throw new IllegalArgumentException("--agent needs a user-agent token")
     // length <= 9 keeps v.toInt in range — an over-Int literal like
     // 99999999999 falls through to the usage error, not a raw
     // NumberFormatException (ADVICE r4 #5)
-    case "--robots" :: v :: rest if v.nonEmpty && !v.startsWith("--") =>
-      parse(rest, c.copy(robots = Some(v)), algsSet)
-    case "--agent" :: v :: rest if v.nonEmpty && !v.startsWith("--") =>
-      parse(rest, c.copy(agent = Some(v)), algsSet)
     case "--domain-cap" :: v :: rest
         if v.forall(_.isDigit) && v.nonEmpty && v.length <= 9 && v.toInt >= 1 =>
       parse(rest, c.copy(domainCap = v.toInt), algsSet)
@@ -873,23 +877,40 @@ object Main {
       else spark.read.parquet(path)
     require(df.columns.contains("domain") && df.columns.contains("robots_txt"),
       s"--robots table needs (domain, robots_txt) columns: $path")
-    df.select(col("domain").cast("string"), col("robots_txt").cast("string"))
+    val policies =
+      df.select(col("domain").cast("string"), col("robots_txt").cast("string"))
+    // one policy per domain, verified up front: Robots.groups numbers
+    // lines per PAYLOAD, so two rows for one domain would interleave
+    // their lines in the grouping window and scramble rule-to-group
+    // attribution nondeterministically (third-party dumps commonly
+    // carry multiple snapshots). The check is one aggregation over the
+    // domain-grain policy table — never corpus-sized.
+    val dup = policies.groupBy("domain").count()
+      .filter(col("count") > 1).select("domain").limit(1).collect()
+    require(dup.isEmpty,
+      s"--robots table has multiple rows for domain '${dup.head.getString(0)}' " +
+        s"($path): keep one policy per domain (e.g. the latest snapshot)")
+    policies
   }
 
   /** Docs whose url the robots policy ALLOWS for `agent`, plus all
     * url-less docs (no policy can apply to them — the null
     * passthrough convention of dropBlockedDomains). Verdicts are
-    * computed once per DISTINCT url and joined back left-semi, so the
-    * corpus rows never enter the verdict aggregation.
+    * computed once per DISTINCT url, then the corpus anti-joins the
+    * BLOCKED urls: one scan of the corpus side (a null-filter +
+    * semi-join union would scan it twice), null urls never equal a
+    * blocked url so they pass for free, and the broadcast side is the
+    * blocked set — typically far smaller than the allowed one.
     */
   private[graft] def robotsSurvivors(docs: DataFrame, robots: DataFrame,
       agent: String): DataFrame = {
     val urls = docs.filter(col("url").isNotNull)
       .select(col("url").as("u_id"), col("url")).distinct()
-    val allowed = graft.extract.Robots.verdicts(urls, robots, agent, idCol = "u_id")
-      .filter(col("allowed")).select(col("url"))
-    docs.filter(col("url").isNull)
-      .unionByName(docs.join(allowed, Seq("url"), "left_semi"))
+    val blocked = graft.extract.Robots.verdicts(urls, robots, agent, idCol = "u_id")
+      .filter(!col("allowed")).select(col("url"))
+    // the join hoists the key column first — restore the input order
+    docs.join(blocked, Seq("url"), "left_anti")
+      .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
   private[graft] def load(spark: SparkSession, input: String): DataFrame =

@@ -158,6 +158,9 @@ object Hashing {
     * [[bbitAt]].
     */
   def bbitMatches(x: Array[Long], y: Array[Long], n: Int, b: Int): Int = {
+    // mirrors bbitPack's domain: b=0 would pass the power-of-two test
+    // below and spin the lsb-mask loop forever
+    require(b >= 1 && b <= 32, s"b in [1,32]: $b")
     if ((b & (b - 1)) == 0) {
       // LSB-of-each-component mask, e.g. b=2: 0x5555...; b=8: 0x0101...
       var lsb = 1L

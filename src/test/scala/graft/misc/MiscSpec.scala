@@ -1139,6 +1139,29 @@ class IncrementalCliSpec extends SparkSpec {
     val out = graft.Main.robotsSurvivors(docs, loaded, "graftbot")
       .collect().map(_.getLong(0)).toSet
     assert(out == Set(2L))
+    // url-less docs pass (no policy can apply), exercising the
+    // anti-join's null-passthrough on the single corpus scan
+    val withNull = docs.unionByName(
+      Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "url"))
+    val out2 = graft.Main.robotsSurvivors(withNull, loaded, "graftbot")
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 == Set(2L, 3L))
+  }
+
+  test("loadRobots rejects a policy table with duplicate domains") {
+    // two snapshots for one domain would interleave their lines in the
+    // grouping window and scramble rule-to-group attribution — fail
+    // fast instead of producing nondeterministic verdicts
+    val dir = java.nio.file.Files.createTempDirectory("robots-dup")
+    val f = dir.resolve("policies.csv")
+    java.nio.file.Files.writeString(f,
+      "domain,robots_txt\n" +
+        "a.example,\"User-agent: *\nDisallow: /x\n\"\n" +
+        "a.example,\"User-agent: *\nDisallow: /y\n\"\n")
+    val e = intercept[IllegalArgumentException] {
+      graft.Main.loadRobots(spark, f.toString)
+    }
+    assert(e.getMessage.contains("a.example"))
   }
 
   test("--format quota and budget select survivors by quality micro-units") {
@@ -1464,6 +1487,15 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(c.robots.contains("/tmp/r.parquet") && c.agent.contains("graftbot"))
     val d = graft.Main.parse(List("--input", "x.parquet"))
     assert(d.robots.isEmpty && d.agent.isEmpty)
+    // a forgotten value must name the flag, not report 'unknown option'
+    val e1 = intercept[IllegalArgumentException] {
+      graft.Main.parse(List("--input", "x.parquet", "--robots", "--agent", "g"))
+    }
+    assert(e1.getMessage.contains("--robots"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.Main.parse(List("--input", "x.parquet", "--agent"))
+    }
+    assert(e2.getMessage.contains("--agent"))
   }
 
   test("--domain-cap and --token-budget parse with overflow guards") {

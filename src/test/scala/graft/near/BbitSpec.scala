@@ -53,6 +53,11 @@ class BbitSpec extends AnyFunSuite {
     val ref = (0 until 50).count(i =>
       Hashing.bbitAt(pa, i, 3) == Hashing.bbitAt(pb, i, 3))
     assert(Hashing.bbitMatches(pa, pb, 50, 3) == ref)
+    // b=0 passes the power-of-two test but would spin the lsb-mask
+    // loop forever — rejected up front, mirroring bbitPack's domain
+    intercept[IllegalArgumentException] {
+      Hashing.bbitMatches(pa, pb, 50, 0)
+    }
   }
 
   test("matches and estimator: identity, chance floor, clamp") {
