@@ -696,6 +696,24 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // cross-domain mirror/syndication detection: domain pairs ranked
+    // by DISTINCT shared 20-token chunk hashes (two-sided block cap
+    // 2..20 on engine AND oracle, the q_ngram_jaccard convention)
+    "q_mirror_domains" -> ((s, dir) => {
+      graft.report.DomainStats.mirrorPairs(
+          docs(s, dir).select(graphUrl.as("url"), col("text")))
+        .orderBy("d1", "d2")
+    }),
+
+    // writer-side shard manifest: deterministic md5-prefix shard
+    // assignment (portable arithmetic, re-derivable without the
+    // manifest) with per-shard doc/char mass
+    "q_shard_manifest" -> ((s, dir) => {
+      graft.corpus.ShardManifest.manifest(
+          docs(s, dir).select(col("doc_id"), col("text")), nShards = 64)
+        .orderBy("shard")
+    }),
+
     // ---- line-level dedup (CCNet policy): the synthetic corpus has
     // no newlines, so the query deterministically re-lines the text
     // (5-token lines — same regexp in the oracle), then keeps each
@@ -2016,6 +2034,27 @@ object SparkEntry {
         "SELECT domain, count(*) AS n_docs, count(DISTINCT m) AS n_unique_texts, " +
         "count(*) - count(DISTINCT m) AS dup_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
         "FROM d WHERE domain <> '' GROUP BY domain ORDER BY domain"),
+    // chunk CTE = q_chunk_dedup's chain keyed on domain; the 2..20
+    // count gate and d1 < d2 expansion mirror the engine's two-sided
+    // cap exactly
+    "q_mirror_domains" ->
+      (s"WITH h AS (SELECT doc_id, 'https://WWW.Site' || (doc_id % 10) || '.example/p' || (doc_id % 50) AS url, text FROM documents), " +
+        s"hd AS (SELECT ${domCaseSql(hostSql("url"))} AS domain, text FROM h WHERE text IS NOT NULL), " +
+        "t AS (SELECT domain, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) " +
+        "ELSE string_split_regex(trim(text), '\\s+') END AS ts FROM hd WHERE domain <> ''), " +
+        "c AS (SELECT DISTINCT domain, " +
+        "md5(array_to_string(ts[(CAST(i AS INT)*20+1):(CAST(i AS INT)*20+20)], ' ')) ch " +
+        "FROM (SELECT domain, ts, unnest(range(0, len(ts)//20)) AS i FROM t)), " +
+        "g AS (SELECT ch FROM c GROUP BY ch HAVING count(*) BETWEEN 2 AND 20), " +
+        "p AS (SELECT a.domain AS d1, b.domain AS d2 FROM c a JOIN c b USING (ch) " +
+        "JOIN g USING (ch) WHERE a.domain < b.domain) " +
+        "SELECT d1, d2, CAST(count(*) AS BIGINT) AS shared_chunks FROM p " +
+        "GROUP BY d1, d2 ORDER BY d1, d2"),
+    "q_shard_manifest" ->
+      ("WITH s AS (SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 64 AS shard, " +
+        "CAST(coalesce(len(text), 0) AS BIGINT) AS n FROM documents) " +
+        "SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_chars " +
+        "FROM s GROUP BY shard ORDER BY shard"),
     "q_decontaminate" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts " +
         "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +

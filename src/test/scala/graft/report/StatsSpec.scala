@@ -53,4 +53,54 @@ class StatsSpec extends SparkSpec {
       "a.example" -> (3L, 2L, 1L, 23L), // 9+9+5 chars
       "b.example" -> (2L, 2L, 0L, 9L)))
   }
+
+  /** A distinct 20-token chunk: "<tag>0 <tag>1 ... <tag>19". */
+  private def chunk(tag: String): String =
+    (0 until 20).map(tag + _).mkString(" ")
+
+  test("mirrorPairs counts distinct shared chunks per domain pair, d1 < d2") {
+    val a = chunk("a"); val b = chunk("b"); val c = chunk("c"); val d = chunk("d")
+    val docs = Seq(
+      ("https://x.example/1", s"$a $b"),
+      ("https://x.example/2", s"$a tail under twenty tokens"), // a repeated ON x: counts once
+      ("https://y.example/1", s"$a $c"),
+      ("https://z.example/1", s"$c $d"),
+      ("https://z.example/2", null.asInstanceOf[String]), // null text: dropped
+      (null.asInstanceOf[String], s"$a $c $d")) // url-less: no domain, dropped
+      .toDF("url", "text")
+    val out = DomainStats.mirrorPairs(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // a is on x and y; c is on y and z; b, d and the short tail pair nothing
+    assert(out == Map(
+      ("x.example", "y.example") -> 1L,
+      ("y.example", "z.example") -> 1L))
+  }
+
+  test("mirrorPairs: two-sided domain cap excludes universal boilerplate") {
+    val u = chunk("u"); val v = chunk("v")
+    val docs = (1 to 4).map(i => (s"https://d$i.example/p", s"$u $v")) ++
+      Seq(("https://d1.example/q", chunk("w"))) // w on one domain only
+    val df = docs.toDF("url", "text")
+    // u and v are each on 4 domains: included at maxDomains = 4
+    // (C(4,2) = 6 pairs, 2 shared chunks each), excluded at 3
+    val wide = DomainStats.mirrorPairs(df, maxDomains = 4).collect()
+    assert(wide.length == 6 && wide.forall(_.getLong(2) == 2L))
+    assert(DomainStats.mirrorPairs(df, maxDomains = 3).isEmpty)
+    intercept[IllegalArgumentException] { DomainStats.mirrorPairs(df, minDomains = 1) }
+  }
+
+  test("mirrorPairs: only full w-token chunks pair; partitioning-invariant") {
+    val a = chunk("a")
+    // y's page carries a PLUS 19 extra tokens — the partial tail chunk
+    // never hashes, so only a itself links x and y
+    val docs = Seq(
+      ("https://x.example/1", a),
+      ("https://y.example/1", s"$a ${(0 until 19).map("t" + _).mkString(" ")}"))
+      .toDF("url", "text")
+    for (parts <- Seq(1, 3)) {
+      val out = DomainStats.mirrorPairs(docs.repartition(parts))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(out.toSeq == Seq(("x.example", "y.example", 1L)), s"parts=$parts")
+    }
+  }
 }
