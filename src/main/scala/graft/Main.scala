@@ -20,7 +20,7 @@ import graft.report.Report
   *   --ignore-empty          drop zero-byte docs (F2)
   *   --exact-only            skip MinHash/SimHash/CC extensions
   *   --outfile PATH|-        tab report destination (default stdout)
-  *   --format report|clusters|clean|lines|paragraphs|spans|splits|overlap|lm|c4|ccnet|pack|quota|budget  output: P2 tab
+  *   --format report|clusters|clean|lines|paragraphs|spans|splits|overlap|lm|c4|ccnet|pack|quota|budget|mirrors  output: P2 tab
   *                           report, normalized (url, cluster_id),
   *                           the chunk-deduped corpus (url,
   *                           clean_text — the TILED Lee et al.
@@ -49,7 +49,11 @@ import graft.report.Report
   *                           top-k by quality micro-units), `budget` =
   *                           the token-budget selection of the
   *                           survivor corpus (url, score, n_tokens —
-  *                           kept rows of the greedy quality prefix)
+  *                           kept rows of the greedy quality prefix),
+  *                           `mirrors` = the cross-domain mirror
+  *                           audit over the INPUT corpus (d1, d2,
+  *                           shared_chunks — domain pairs sharing
+  *                           distinct 20-token chunks)
   *   --prefilter gopher      drop docs failing the Gopher quality-rule
   *                           battery BEFORE dedup (map-side, composes
   *                           with --block-domains — the webtext
@@ -59,6 +63,12 @@ import graft.report.Report
   *                           registrable domain (default 1000)
   *   --token-budget B        with --format budget: the token budget
   *                           (default 10^9)
+  *   --shards N              with --outfile PATH: write the output as
+  *                           parquet hash-sharded into shard=K/ dirs
+  *                           (deterministic md5-prefix assignment on
+  *                           url) plus a _manifest table, instead of
+  *                           one TSV — the trainer-facing layout.
+  *                           Output format must carry a url column
   *   --robots PATH           crawl-policy re-filter (compliance pass
   *                           for third-party dumps): PATH is a
   *                           (domain, robots_txt) table
@@ -179,6 +189,7 @@ object Main {
       tokenBudget: Long = 1000000000L,
       robots: Option[String] = None,
       agent: Option[String] = None,
+      shards: Int = 0,
       split: Option[Seq[(String, Double)]] = None,
       substring: Option[Int] = None, // minShared windows
       longrun: Option[Int] = None, // minLen chars
@@ -254,6 +265,11 @@ object Main {
     case "--domain-cap" :: v :: rest
         if v.forall(_.isDigit) && v.nonEmpty && v.length <= 9 && v.toInt >= 1 =>
       parse(rest, c.copy(domainCap = v.toInt), algsSet)
+    case "--shards" :: v :: rest
+        if v.forall(_.isDigit) && v.nonEmpty && v.length <= 9 && v.toInt >= 1 =>
+      parse(rest, c.copy(shards = v.toInt), algsSet)
+    case "--shards" :: v :: _ =>
+      throw new IllegalArgumentException(s"--shards needs a positive int: $v")
     case "--domain-cap" :: v :: _ =>
       throw new IllegalArgumentException(s"--domain-cap needs a positive int: $v")
     case "--token-budget" :: v :: rest
@@ -364,7 +380,7 @@ object Main {
     // pairing, CC iterations) to then never read its result would cost
     // a corpus-scale pass for nothing, so the pipeline is lazy and the
     // audit formats never force it
-    val auditOnly = Set("overlap", "lm", "ccnet").contains(conf.format)
+    val auditOnly = Set("overlap", "lm", "ccnet", "mirrors").contains(conf.format)
     lazy val result = conf.checkpoint match {
       case Some(dir) =>
         DedupPipeline.runCheckpointed(docs, new graft.checkpoint.Catalog(dir, spark), cfg)
@@ -384,7 +400,7 @@ object Main {
       if (conf.progress) graft.progress.Progress.tap(out0, "report_out") else out0
     if (conf.debug) System.err.println(out.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
-    emit(conf.outfile, out)
+    emit(conf.outfile, out, conf.shards)
 
     // observed progress metrics land in the checkpoint catalog's
     // metrics table (S5: metrics stream → metrics sink)
@@ -425,12 +441,27 @@ object Main {
     * partition-at-a-time: corpus-sized formats (clean) would OOM the
     * driver under collect() (review finding #6).
     */
-  private def emit(outfile: String, out: DataFrame): Unit = outfile match {
-    case "-" =>
-      out.toLocalIterator().forEachRemaining(r => println(r.mkString("\t")))
-    case path =>
-      out.coalesce(1).write.mode("overwrite").option("sep", "\t").csv(path)
-  }
+  private[graft] def emit(outfile: String, out: DataFrame, shards: Int = 0): Unit =
+    (outfile, shards) match {
+      case ("-", 0) =>
+        out.toLocalIterator().forEachRemaining(r => println(r.mkString("\t")))
+      case ("-", _) =>
+        throw new IllegalArgumentException("--shards requires --outfile PATH")
+      case (path, 0) =>
+        out.coalesce(1).write.mode("overwrite").option("sep", "\t").csv(path)
+      case (path, n) =>
+        // the trainer-facing layout: shard=K/ parquet plus _manifest
+        // (ShardManifest's deterministic md5-prefix assignment on url)
+        require(out.columns.contains("url"),
+          s"--shards needs a url-keyed output format, got: ${out.columns.mkString(",")}")
+        // char mass from whichever text column this format carries
+        // (clean/lines emit clean_text); id-grain formats get 0
+        val tc = Seq("text", "clean_text").find(out.columns.contains)
+          .getOrElse("text")
+        graft.corpus.ShardManifest.writeSharded(out, path, n, idCol = "url",
+          textCol = tc)
+        ()
+    }
 
   /** Incremental mode (--snapshot DIR): per-doc verdicts for the batch
     * against the digest snapshot parquet at DIR (bootstrapped empty
@@ -543,7 +574,7 @@ object Main {
       graft.progress.Progress.tap(verdicts, "report_out") else verdicts
     if (conf.debug) System.err.println(out.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
-    emit(conf.outfile, out)
+    emit(conf.outfile, out, conf.shards)
     if (conf.verbose || conf.checkpoint.isDefined) {
       val n = verdicts.agg(
         coalesce(sum(when(col("is_novel"), 1L).otherwise(0L)), lit(0L)),
@@ -785,6 +816,11 @@ object Main {
             col("__q"), col("__nt"), budget = tokenBudget, idCol = "url")
           .filter(col("kept"))
           .select(col("id").as("url"), col("score"), col("n_tokens"))
+      case "mirrors" =>
+        // cross-domain mirror/syndication audit over the INPUT corpus
+        // (auditOnly: the dedup DAG never runs); pair grain is tiny,
+        // the orderBy is for stable console output
+        graft.report.DomainStats.mirrorPairs(docs).orderBy("d1", "d2")
       case "splits" =>
         // leakage-safe train/val/test labels at CLUSTER grain: the
         // split hashes the cluster component, so no dup/near-dup pair

@@ -38,14 +38,21 @@ object ShardManifest {
   /** (shard, n_docs, total_chars) per non-empty shard — the scheduler
     * manifest. One map-side-combining aggregate over at most
     * `nShards` + 1 keys; text itself never shuffles (lengths do).
+    * Outputs without a `textCol` column (id-grain formats like
+    * cluster assignments) get total_chars = 0, not an error — the
+    * manifest's doc counts are the part every consumer needs.
     */
   def manifest(docs: DataFrame, nShards: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    val chars =
+      if (docs.columns.contains(textCol))
+        coalesce(length(col(textCol)), lit(0)).cast("long")
+      else lit(0L)
     assign(docs, nShards, idCol)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
-        sum(coalesce(length(col(textCol)), lit(0)).cast("long"))
-          .as("total_chars"))
+        sum(chars).as("total_chars"))
+  }
 
   /** Write `docs` under `outDir` hive-partitioned by shard
     * (`shard=K/` directories, one file per shard via the

@@ -1196,6 +1196,45 @@ class IncrementalCliSpec extends SparkSpec {
       "https://a.example/sixty"))
   }
 
+  test("--format mirrors is audit-only and --shards writes the trainer layout") {
+    def chunk(tag: String): String = (0 until 20).map(tag + _).mkString(" ")
+    val docs = Seq(
+      ("https://x.example/1", chunk("a")),
+      ("https://y.example/1", chunk("a") + " " + chunk("b")),
+      ("https://z.example/1", chunk("b")))
+      .toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    // auditOnly contract: the by-name result is NEVER forced
+    val mirrors = graft.Main.formatOutput(docs,
+        sys.error("mirrors must not run the dedup DAG"), "mirrors", None)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(mirrors.toSeq == Seq(
+      ("x.example", "y.example", 1L), ("y.example", "z.example", 1L)))
+    // parse: valid, rejects junk and over-Int
+    assert(graft.Main.parse(List("--input", "x", "--shards", "8")).shards == 8)
+    intercept[IllegalArgumentException] {
+      graft.Main.parse(List("--input", "x", "--shards", "0"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.Main.parse(List("--input", "x", "--shards", "99999999999"))
+    }
+    // sharded sink: shard=K dirs + _manifest; console mode refuses
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-shards").toString
+    graft.Main.emit(dir + "/out", docs.select("url", "text"), shards = 2)
+    val names = new java.io.File(dir + "/out").listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("shard=")) && names.contains("_manifest"))
+    assert(spark.read.parquet(dir + "/out").count() == 3L)
+    intercept[IllegalArgumentException] {
+      graft.Main.emit("-", docs.select("url"), shards = 2)
+    }
+    // a url-less output shape is rejected, not mis-sharded
+    intercept[IllegalArgumentException] {
+      graft.Main.emit(dir + "/bad", docs.select(col("text")), shards = 2)
+    }
+  }
+
   test("--near-snapshot pins its banding: a mismatched --jaccard config fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nsnap-pin").toString + "/snap"
     def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
