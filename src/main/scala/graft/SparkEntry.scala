@@ -295,7 +295,7 @@ object SparkEntry {
         sequence(lit(1), size(t) - 4),
         i => concat_ws(" ", slice(t, i, lit(5))))))
   private def verifHashes(ss: Column): Column = transform(ss,
-    x => conv(substring(md5(x.cast("binary")), 1, 7), 16, 10).cast("long"))
+    x => graft.functions.Hashing.hexPrefixLong(x.cast("binary"), 7))
   private def verifSigs(hs: Column): Column = {
     val aLit = lit(verifPerms.map(_._1).toArray)
     val bLit = lit(verifPerms.map(_._2).toArray)

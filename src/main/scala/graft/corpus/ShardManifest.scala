@@ -27,8 +27,8 @@ object ShardManifest {
   /** The shard id of `id` under `nShards` — pure codegen'd Column. */
   def shardCol(id: Column, nShards: Int): Column = {
     require(nShards >= 1, s"nShards >= 1: $nShards")
-    conv(substring(md5(id.cast("string").cast("binary")), 1, 6), 16, 10)
-      .cast("long") % nShards
+    graft.functions.Hashing.hexPrefixLong(
+      id.cast("string").cast("binary"), 6) % nShards
   }
 
   /** `docs` plus a `shard` column (see [[shardCol]]). */
@@ -54,19 +54,60 @@ object ShardManifest {
         sum(chars).as("total_chars"))
   }
 
+  /** Murmur3(seed 42) preimages for partitions 0..n-1: `pre(s)` is an
+    * int whose Spark hash-partition under `n` partitions is exactly
+    * `s`. Lets a plain hash `repartition` place shard s in task s —
+    * a naive `repartition(n, col("shard"))` balls-in-bins ~37% of
+    * tasks empty and piles ~3 shards on the max task; and
+    * `repartitionByRange` would fix the layout but at the cost of a
+    * SECOND full execution of the upstream DAG for range-boundary
+    * sampling. Expected n·H(n) driver-side probes — microseconds for
+    * any real shard count.
+    */
+  private def partitionPreimages(n: Int): Array[Int] = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt
+    val out = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var j = 0
+    while (remaining > 0) {
+      val p = ((hashInt(j, 42) % n) + n) % n
+      if (!found(p)) { found(p) = true; out(p) = j; remaining -= 1 }
+      j += 1
+    }
+    out
+  }
+
   /** Write `docs` under `outDir` hive-partitioned by shard
-    * (`shard=K/` directories, one file per shard via the
-    * shard-keyed repartition — each shard is one task's sequential
-    * write), plus the manifest at `outDir/_manifest`. Returns the
-    * manifest. At corpus scale, raise `nShards` until a shard fits
-    * one task comfortably (the repartition is the only exchange).
+    * (`shard=K/` directories, ONE file per shard: the preimage-keyed
+    * repartition places each shard in its own task — see
+    * [[partitionPreimages]]), plus the manifest at
+    * `outDir/_manifest`. Returns the manifest.
+    *
+    * The upstream DAG executes exactly ONCE (the shard write); the
+    * manifest is then aggregated from the WRITTEN parquet — a
+    * column-pruned re-read of `textCol` + the partition dirs, so it
+    * is (a) cheap at corpus scale and (b) guaranteed to describe the
+    * shards actually on disk even if the input is live. At corpus
+    * scale, raise `nShards` until a shard fits one task comfortably
+    * (the repartition is the only exchange). Null-id docs (shard
+    * null) ride whichever task their null routing hash picks —
+    * they are a single degenerate group, not a layout concern.
     */
   def writeSharded(docs: DataFrame, outDir: String, nShards: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pre = partitionPreimages(nShards)
     assign(docs, nShards, idCol)
-      .repartition(nShards, col("shard"))
+      .repartition(nShards, element_at(lit(pre), (col("shard") + 1).cast("int")))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    val m = manifest(docs, nShards, idCol, textCol)
+    val written = docs.sparkSession.read.parquet(outDir)
+      .withColumn("shard", col("shard").cast("long"))
+    val chars =
+      if (written.columns.contains(textCol))
+        coalesce(length(col(textCol)), lit(0)).cast("long")
+      else lit(0L)
+    val m = written.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(chars).as("total_chars"))
     m.coalesce(1).write.mode("overwrite").parquet(outDir + "/_manifest")
     m
   }

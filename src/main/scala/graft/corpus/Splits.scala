@@ -25,8 +25,7 @@ object Splits {
 
   /** u32 bucket of a group key under a salt: uniform in [0, 2^32). */
   def bucket(key: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), key).cast("binary")), 1, 8), 16, 10)
-      .cast("long")
+    graft.functions.Hashing.hexPrefixLong(concat(lit(salt), key).cast("binary"), 8)
 
   /** Integer thresholds for cumulative fractions: floor(cum · 2^32).
     * Exposed so tests and oracle SQL share the exact boundary values.

@@ -46,12 +46,24 @@ class ShardManifestSpec extends SparkSpec {
 
   test("writeSharded lays out shard=K dirs and a manifest matching the read-back") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
-    val df = docsDf(100)
+    // row-counting UDF: proves the upstream DAG executes exactly ONCE
+    // (the shard write) — the manifest must come from the written
+    // parquet, not a second source pass
+    val seen = spark.sparkContext.longAccumulator("rows-seen")
+    val tap = udf { (t: String) => seen.add(1); t }
+    val df = docsDf(100).withColumn("text", tap(col("text")))
     val m = ShardManifest.writeSharded(df, dir, 8)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(seen.value == 100L)
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.count(_.startsWith("shard=")) == m.size)
     assert(dirs.contains("_manifest")) // underscore-prefixed: invisible to readers of dir
+    // one-shard-per-task contract: every shard dir holds exactly one file
+    dirs.filter(_.startsWith("shard=")).foreach { d =>
+      val parts = new java.io.File(dir, d).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"$d should hold exactly one part file")
+    }
     // Spark reads the data back WITHOUT the manifest riding along
     val back = spark.read.parquet(dir)
     assert(back.count() == 100L && back.columns.contains("shard"))
