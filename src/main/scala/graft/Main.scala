@@ -134,6 +134,13 @@ import graft.report.Report
   *                           matches are dropped BEFORE dedup —
   *                           subdomains match for free
   *                           (UrlNorm.registrableDomain)
+  *   --badwords LIST         comma-separated word/phrase blocklist
+  *                           (the C4 §2.2 LDNOOBW page gate): docs
+  *                           whose text contains any entry as a
+  *                           whole token are dropped BEFORE dedup;
+  *                           entries are lowercase ASCII
+  *                           (C4Clean.hasBlockedWord fails fast
+  *                           otherwise)
   *   --split SPEC            with --format splits: the fraction spec
   *                           `name=frac,...` (default
   *                           train=0.8,val=0.1,test=0.1); output is
@@ -183,6 +190,7 @@ object Main {
       byteVerify: Boolean = false,
       jaccard: Option[Double] = None,
       blockDomains: Seq[String] = Nil,
+      badWords: Seq[String] = Nil,
       prefilter: Option[String] = None,
       ccnetSample: Double = 0.5,
       domainCap: Int = 1000,
@@ -221,6 +229,9 @@ object Main {
     case "--block-domains" :: v :: rest if v.nonEmpty && !v.startsWith("--") =>
       parse(rest, c.copy(blockDomains =
         c.blockDomains ++ v.split(",").map(_.trim).filter(_.nonEmpty)), algsSet)
+    case "--badwords" :: v :: rest if v.nonEmpty && !v.startsWith("--") =>
+      parse(rest, c.copy(badWords =
+        c.badWords ++ v.split(",").map(_.trim).filter(_.nonEmpty)), algsSet)
     case "--prefilter" :: v :: rest if v == "gopher" =>
       parse(rest, c.copy(prefilter = Some(v)), algsSet)
     case "--prefilter" :: v :: _ =>
@@ -314,9 +325,13 @@ object Main {
     val docs0 = conf.inputs.distinct.map(load(spark, _)).reduce(_ unionByName _)
     // release-hygiene pre-filter: blocked domains never enter the
     // pipeline (map-side codegen'd filter — pushes to the scan)
-    val docs1 =
+    val docs1d =
       if (conf.blockDomains.isEmpty) docs0
       else graft.text.UrlNorm.dropBlockedDomains(docs0, conf.blockDomains)
+    // word-blocklist page gate (C4 §2.2) — same map-side scan
+    val docs1 =
+      if (conf.badWords.isEmpty) docs1d
+      else graft.text.C4Clean.dropBadWordPages(docs1d, conf.badWords)
     // crawl-policy compliance re-filter (the --robots pass): disallowed
     // urls never enter the pipeline — the rule table is domain-grain
     val docs1r = conf.robots match {

@@ -498,6 +498,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- Gopher within-doc duplicate line/paragraph fractions (the
+    // Table-A1 signals the bigram grain can't see): deterministic
+    // re-structuring — "\n\n" every 3 tokens (paragraphs), then "\n"
+    // every 2 tokens within them (lines) — identical regexes in the
+    // oracle; both grains show both outcomes at sf0.01
+    "q_gopher_rep" -> ((s, dir) => {
+      val feats = TextStats.dupUnitFeatures(col("lns"), "lines") ++
+        TextStats.dupUnitFeatures(col("paras"), "paras")
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          regexp_replace(col("text"),
+            "((?:[^ \\t\\n\\x0B\\f\\r]+ ){2}[^ \\t\\n\\x0B\\f\\r]+) ",
+            "$1\n\n").as("t1"))
+        .select(col("doc_id"),
+          regexp_replace(col("t1"),
+            "((?:[^ \\t\\n\\x0B\\f\\r]+ ){1}[^ \\t\\n\\x0B\\f\\r]+) ",
+            "$1\n").as("text"))
+        .select(col("doc_id"),
+          TextStats.unitArray(col("text"), "\n").as("lns"),
+          TextStats.unitArray(col("text"), "\n\n").as("paras"))
+        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
     // ---- canonical selection: keep the BEST-quality member of each
     // identity group (the webtext keep-policy — min-id is the
     // reference's resolve-aliases tie-rule, arg-max-quality is what a
@@ -1476,6 +1500,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- C4 word-blocklist page gate: whole-token (and phrase)
+    // case-insensitive match against a config list — the LDNOOBW rule
+    // with a corpus-token stand-in list; identical \b regex in RE2
+    "q_badwords" -> ((s, dir) => {
+      val words = Seq("slow", "vector", "big table")
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.text.C4Clean.hasBlockedWord(col("text"), words).as("blocked"))
+        .orderBy("doc_id")
+    }),
+
     // ---- training-sequence packing: the corpus as one deterministic
     // shuffled token stream cut every 512 tokens — seq_id/seq_offset
     // assign each doc its training sequence without a global sort
@@ -1782,6 +1817,27 @@ object SparkEntry {
         "round(CASE WHEN len(bgs) > 0 THEN list_max(list_transform(list_distinct(bgs), " +
         "x -> len(list_filter(bgs, y -> y = x)))) / CAST(len(bgs) AS DOUBLE) ELSE 0 END, 6) AS top_bigram_frac " +
         "FROM b ORDER BY doc_id"),
+    "q_gopher_rep" ->
+      ("WITH s AS (SELECT doc_id, regexp_replace(text, " +
+        "'((?:[^ \\t\\n\\x0B\\f\\r]+ ){2}[^ \\t\\n\\x0B\\f\\r]+) ', '\\1' || chr(10) || chr(10), 'g') AS t1 " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "s2 AS (SELECT doc_id, regexp_replace(t1, " +
+        "'((?:[^ \\t\\n\\x0B\\f\\r]+ ){1}[^ \\t\\n\\x0B\\f\\r]+) ', '\\1' || chr(10), 'g') AS text FROM s), " +
+        "u AS (SELECT doc_id, " +
+        "list_filter(string_split(text, chr(10)), x -> x <> '') AS lns, " +
+        "list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '') AS paras FROM s2), " +
+        "m AS (SELECT doc_id, lns, paras, " +
+        "coalesce(list_sum(list_transform(lns, x -> length(x))), 0) AS lc, " +
+        "coalesce(list_sum(list_transform(list_distinct(lns), x -> length(x))), 0) AS ldc, " +
+        "coalesce(list_sum(list_transform(paras, x -> length(x))), 0) AS pc, " +
+        "coalesce(list_sum(list_transform(list_distinct(paras), x -> length(x))), 0) AS pdc FROM u) " +
+        "SELECT doc_id, len(lns) AS n_lines, " +
+        "round(CASE WHEN len(lns) > 0 THEN (len(lns) - len(list_distinct(lns))) / CAST(len(lns) AS DOUBLE) ELSE 0 END, 6) AS dup_lines_frac, " +
+        "round(CASE WHEN lc > 0 THEN (lc - ldc) / CAST(lc AS DOUBLE) ELSE 0 END, 6) AS dup_lines_char_frac, " +
+        "len(paras) AS n_paras, " +
+        "round(CASE WHEN len(paras) > 0 THEN (len(paras) - len(list_distinct(paras))) / CAST(len(paras) AS DOUBLE) ELSE 0 END, 6) AS dup_paras_frac, " +
+        "round(CASE WHEN pc > 0 THEN (pc - pdc) / CAST(pc AS DOUBLE) ELSE 0 END, 6) AS dup_paras_char_frac " +
+        "FROM m ORDER BY doc_id"),
     "q_line_dedup" ->
       ("WITH s AS (SELECT doc_id, regexp_replace(text, '((?:[^ \\t\\n\\x0B\\f\\r]+ ){4}[^ \\t\\n\\x0B\\f\\r]+) ', '\\1' || chr(10), 'g') AS text FROM documents), " +
         "s2 AS (SELECT doc_id, text, string_split(coalesce(text, ''), chr(10)) AS lns FROM s), " +
@@ -2501,6 +2557,10 @@ object SparkEntry {
         "SELECT doc_id, CASE WHEN pk THEN array_to_string(kept, chr(10)) END AS clean_text, " +
         "CAST(len(kept) AS BIGINT) AS n_lines_kept, pk AS page_kept " +
         "FROM p ORDER BY doc_id"),
+    "q_badwords" ->
+      ("SELECT doc_id, regexp_matches(lower(coalesce(text, '')), " +
+        "'\\b(slow|vector|big table)\\b') AS blocked " +
+        "FROM documents ORDER BY doc_id"),
     "q_pack" ->
       ("WITH b AS (SELECT doc_id, " +
         "CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0 " +

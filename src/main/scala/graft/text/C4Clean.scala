@@ -31,6 +31,31 @@ import org.apache.spark.sql.functions._
   */
 object C4Clean {
 
+  /** True iff `text` contains any blocklisted word or phrase
+    * (whole-token, case-insensitive) — the other C4 §2.2 page gate:
+    * the original dropped any page with a word on the LDNOOBW
+    * blocklist. The list is caller config (this engine ships no word
+    * list); entries must be lowercase ASCII `[a-z0-9 ]+` — enforced
+    * fail-fast — which keeps the alternation metachar-free AND keeps
+    * `\b` parity between Java (Unicode-aware) and the oracle's RE2
+    * (ASCII-aware), the stopwordHits contract. Multi-word entries
+    * match as exact token phrases. One codegen'd rlike, map-side.
+    */
+  def hasBlockedWord(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    words.foreach(w => require(w.matches("[a-z0-9]+( [a-z0-9]+)*"),
+      s"blocklist entries are lowercase ASCII words/phrases: '$w'"))
+    lower(coalesce(text, lit(""))).rlike(words.mkString("\\b(", "|", ")\\b"))
+  }
+
+  /** `docs` minus every page matching the word blocklist (see
+    * [[hasBlockedWord]]); null-text pages survive — they carry
+    * nothing matchable and the empty/validity gates own them.
+    */
+  def dropBadWordPages(docs: DataFrame, words: Seq[String],
+      textCol: String = "text"): DataFrame =
+    docs.filter(!hasBlockedWord(col(textCol), words))
+
   /** The surviving lines of a MATERIALIZED `lines` array. */
   def keptLines(lines: Column, minWords: Int = 5): Column =
     filter(lines, l =>

@@ -106,6 +106,53 @@ object TextStats {
         .otherwise(lit(0.0)), 6))
   }
 
+  /** Non-empty unit array of `text` split at separator regex `sep`
+    * (lines: `"\n"`, paragraphs: `"\n\n"`) — the input
+    * [[dupUnitFeatures]] consumes. Same contract as [[bigrams]]: the
+    * result MUST be materialized (a prior select) before features
+    * reference it, or CollapseProject re-splits per reference. Null
+    * text → empty array; paragraph separators split into empty units
+    * at line grain, which the filter drops. Splitting is left-to-right
+    * non-overlapping (identical in Spark regex split and the oracle's
+    * literal string_split), so an odd separator run like "\n\n\n"
+    * leaves a lone "\n" unit at paragraph grain — whitespace units are
+    * content to this signal, only EMPTY pieces are structural.
+    */
+  def unitArray(text: Column, sep: String): Column =
+    filter(split(coalesce(text, lit("")), sep), u => u =!= "")
+
+  /** Within-doc duplicate-unit repetition signals at line/paragraph
+    * grain — the half of Rae et al. 2021 Table A1 the n-gram signals
+    * in [[repetitionFeatures]] don't cover ("duplicate line fraction",
+    * "duplicate paragraph fraction", and their character-mass forms).
+    * Over a MATERIALIZED unit array `us` (from [[unitArray]]); `p`
+    * names the grain in the output columns:
+    *
+    *  - `n_<p>`: unit count;
+    *  - `dup_<p>_frac`: occurrences beyond each distinct unit's first,
+    *    over total units;
+    *  - `dup_<p>_char_frac`: those occurrences' character mass over
+    *    total unit characters. Equal strings have equal lengths, so
+    *    duplicate mass = total mass − distinct mass exactly.
+    *
+    * Pure Column expressions, map-side (each doc judges itself — the
+    * cross-doc policies live in LineDedup); unit-less docs fail-safe
+    * to 0.0, never 0/0.
+    */
+  def dupUnitFeatures(us: Column, p: String): Seq[(String, Column)] = {
+    val n = size(us).cast("double")
+    val nDis = size(array_distinct(us)).cast("double")
+    val chars = aggregate(us, lit(0L), (a, x) => a + length(x)).cast("double")
+    val disChars = aggregate(array_distinct(us), lit(0L),
+      (a, x) => a + length(x)).cast("double")
+    Seq(
+      s"n_$p" -> size(us).cast("long"),
+      s"dup_${p}_frac" -> round(when(n > 0, (n - nDis) / n)
+        .otherwise(lit(0.0)), 6),
+      s"dup_${p}_char_frac" -> round(when(chars > 0, (chars - disChars) / chars)
+        .otherwise(lit(0.0)), 6))
+  }
+
   /** Stopword tables for the n-gram-heuristic language ID. Small,
     * high-frequency, language-distinctive words.
     */

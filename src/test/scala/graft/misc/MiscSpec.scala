@@ -81,6 +81,36 @@ class TextStatsSpec extends SparkSpec {
   }
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
+  test("dup-unit signals: within-doc duplicate line/paragraph fractions (Gopher Table A1)") {
+    val feats = TextStats.dupUnitFeatures(col("lns"), "lines") ++
+      TextStats.dupUnitFeatures(col("paras"), "paras")
+    val df = Seq(
+      // lines: [ab, ab, c] → dup 1/3; chars 2+2+1=5, distinct 3 → dup 2/5
+      // paras: [ab\nab, c] → both distinct
+      ("dups", "ab\nab\n\nc"),
+      // para-grain repeat: paras [x, x, y] → dup 1/3; chars 1+1+1, distinct 2 → 1/3
+      ("paradups", "x\n\nx\n\ny"),
+      // "\n\n\n" = one "\n\n" split + a leftover "\n" unit at para
+      // grain (left-to-right non-overlapping in both engines); line
+      // grain filters every empty piece
+      ("blanks", "\n\n\n"),
+      ("empty", ""),
+      ("null", null: String)).toDF("name", "text")
+      .select(col("name"),
+        TextStats.unitArray(col("text"), "\n").as("lns"),
+        TextStats.unitArray(col("text"), "\n\n").as("paras"))
+      .select(col("name") +: feats.map { case (n, c) => c.as(n) }: _*)
+    val rows = df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(rows("dups") == ((3L, round6(1.0 / 3), 0.4, 2L, 0.0, 0.0)))
+    assert(rows("paradups") == ((3L, round6(1.0 / 3), round6(1.0 / 3),
+      3L, round6(1.0 / 3), round6(1.0 / 3))))
+    assert(rows("blanks") == ((0L, 0.0, 0.0, 1L, 0.0, 0.0)))
+    assert(rows("empty") == ((0L, 0.0, 0.0, 0L, 0.0, 0.0)))
+    assert(rows("null") == ((0L, 0.0, 0.0, 0L, 0.0, 0.0)))
+  }
+
   test("decontamination flags 13-gram benchmark overlap at any alignment") {
     val run = (0 until 13).map(i => s"g$i").mkString(" ")
     def filler(n: Int, tag: String) = (0 until n).map(i => s"$tag$i").mkString(" ")
@@ -1501,6 +1531,10 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
       graft.Main.parse(List("--input", "x.parquet", "--split", "garbage"))
     }
     assert(graft.Main.parse(List("--input", "x.parquet")).blockDomains.isEmpty)
+    val b = graft.Main.parse(List("--input", "x.parquet",
+      "--badwords", "slow, big table", "--badwords", "vector"))
+    assert(b.badWords == Seq("slow", "big table", "vector"))
+    assert(graft.Main.parse(List("--input", "x.parquet")).badWords.isEmpty)
   }
 
   test("--jaccard plans the MinHash banding via LshPlanner (and validates its range)") {

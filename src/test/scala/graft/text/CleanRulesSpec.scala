@@ -113,4 +113,26 @@ class C4CleanSpec extends SparkSpec {
     assert(m(1L) == ((None, 0L, false)))
     assert(m(2L) == ((Some("Tiny page stays now."), 1L, true)))
   }
+
+  test("word blocklist: whole-token case-insensitive gate, phrases, null survival") {
+    val docs = Seq(
+      1L -> "The word BADTOK appears here.",
+      2L -> "badtoken is a different token and survives.",
+      3L -> "a multi word phrase mid sentence.",
+      4L -> "multi word split across | boundary phrase",
+      5L -> null.asInstanceOf[String],
+      6L -> "clean page.").toDF("id", "text")
+    val kept = C4Clean.dropBadWordPages(docs, Seq("badtok", "word phrase"), "text")
+      .collect().map(_.getLong(0)).toSet
+    // 1 blocked (case-insensitive whole token), 2 survives (substring
+    // is not a token), 3 blocked (phrase), 4 survives (tokens not
+    // adjacent), null text survives (nothing matchable)
+    assert(kept == Set(2L, 4L, 5L, 6L))
+    intercept[IllegalArgumentException] {
+      C4Clean.hasBlockedWord(col("text"), Seq("Bad*Regex"))
+    }
+    intercept[IllegalArgumentException] {
+      C4Clean.hasBlockedWord(col("text"), Nil)
+    }
+  }
 }
