@@ -712,6 +712,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // robots.txt `Sitemap:` discovery: the directive is valid anywhere
+    // (here INSIDE a UA group — it must neither bind to the group nor
+    // end its UA run), key case-insensitive, comments stripped,
+    // duplicates collapse, empty value drops
+    "q_robots_sitemaps" -> ((s, dir) => {
+      val d10 = docs(s, dir).select((col("doc_id") % 10).as("d")).distinct()
+      val ds = col("d").cast("string")
+      val robots = d10.select(
+        concat(lit("site"), ds, lit(".example")).as("domain"),
+        concat(
+          lit("# discovery fixture\nUser-agent: *\n"),
+          concat(lit("Sitemap: https://site"), ds,
+            lit(".example/sitemap.xml\n")),
+          lit("Disallow: /p1\n"),
+          when(col("d") % 2 === 0, concat(lit("sitemap: https://cdn.site"),
+            ds, lit(".example/sm-2.xml\n"))).otherwise(lit("")),
+          when(col("d") % 3 === 0, concat(lit("Sitemap: https://site"), ds,
+            lit(".example/sitemap.xml\n"))).otherwise(lit("")),
+          when(col("d") === 5, lit("Sitemap:\n")).otherwise(lit("")),
+          when(col("d") === 7,
+            lit("Sitemap: https://site7.example/news.xml # primary\n"))
+            .otherwise(lit(""))).as("robots_txt"))
+      graft.extract.Robots.sitemapDirectives(robots)
+        .orderBy("domain", "sitemap_url")
+    }),
+
     // per-domain corpus hygiene report: docs / exact distinct texts /
     // redundant remainder / byte mass per registrable domain
     "q_domain_stats" -> ((s, dir) => {
@@ -2082,6 +2108,21 @@ object SparkEntry {
         "FROM uu LEFT JOIN app ON uu.domain = app.domain), " +
         "b AS (SELECT doc_id, url, max(m) AS best FROM j GROUP BY doc_id, url) " +
         "SELECT doc_id, url, coalesce(best.a = 1, TRUE) AS allowed, best.p AS rule_path FROM b ORDER BY doc_id"),
+    "q_robots_sitemaps" ->
+      ("WITH rb AS (SELECT DISTINCT (doc_id % 10) AS d FROM documents), " +
+        "rt AS (SELECT 'site' || d || '.example' AS domain, " +
+        "'# discovery fixture' || chr(10) || 'User-agent: *' || chr(10) || " +
+        "'Sitemap: https://site' || d || '.example/sitemap.xml' || chr(10) || " +
+        "'Disallow: /p1' || chr(10) || " +
+        "(CASE WHEN d % 2 = 0 THEN 'sitemap: https://cdn.site' || d || '.example/sm-2.xml' || chr(10) ELSE '' END) || " +
+        "(CASE WHEN d % 3 = 0 THEN 'Sitemap: https://site' || d || '.example/sitemap.xml' || chr(10) ELSE '' END) || " +
+        "(CASE WHEN d = 5 THEN 'Sitemap:' || chr(10) ELSE '' END) || " +
+        "(CASE WHEN d = 7 THEN 'Sitemap: https://site7.example/news.xml # primary' || chr(10) ELSE '' END) AS txt FROM rb), " +
+        "ln0 AS (SELECT domain, trim(regexp_replace(l, '#.*$', '')) AS l " +
+        "FROM (SELECT domain, unnest(string_split(txt, chr(10))) AS l FROM rt)), " +
+        s"x AS (SELECT domain, regexp_extract(l, '${graft.extract.Robots.SitemapPattern}', 1) AS sitemap_url FROM ln0) " +
+        "SELECT DISTINCT domain, sitemap_url FROM x WHERE sitemap_url <> '' " +
+        "ORDER BY domain, sitemap_url"),
 
     "q_domain_stats" ->
       (s"WITH h AS (SELECT doc_id, 'https://WWW.Site' || (doc_id % 10) || '.example/p' || (doc_id % 50) AS url, text FROM documents), " +

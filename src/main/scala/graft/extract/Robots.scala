@@ -39,6 +39,9 @@ object Robots {
   val KeyPattern: String = "(?i)^(user-agent|allow|disallow)\\s*:"
   val ValuePattern: String = "(?i)^(?:user-agent|allow|disallow)\\s*:\\s*(\\S*)"
 
+  /** `Sitemap:` directive line (engine + oracle). */
+  val SitemapPattern: String = "(?i)^sitemap\\s*:\\s*(\\S+)"
+
   /** (agents, ruleLines) group frames: agents = one (domain, gid,
     * agent) row per `User-agent:` line — a group PRESENCE record even
     * when the group carries no usable rules (the RFC's empty-group =
@@ -161,4 +164,33 @@ object Robots {
         coalesce(col("best.a") === 1, lit(true)).as("allowed"),
         col("best.p").as("rule_path"))
   }
+
+  /** `Sitemap:` directives — the sitemaps.org discovery mechanism
+    * (RFC 9309 carries them as "other records"): one DISTINCT
+    * (domain, sitemap_url) row per directive. The key is
+    * group-INDEPENDENT — valid anywhere in the file, before, inside,
+    * or after `User-agent:` groups (it never starts or ends a UA
+    * run: [[groups]]' KeyPattern doesn't know it, so it falls through
+    * as an ignored unknown line there, and this pass reads the raw
+    * lines directly). Case-insensitive key, comments stripped by the
+    * shared line cleaning (a `#` fragment in the url is comment per
+    * robots grammar — crawlers don't fetch fragments), empty-value
+    * lines dropped, first whitespace ends the url.
+    *
+    * This is the discovery edge between the crawl-policy modules:
+    * feed these urls to a fetcher and the bodies into
+    * [[Sitemaps.urls]] → [[Sitemaps.coverage]]. Scale shape: map-side
+    * explode (a robots.txt is a few hundred lines), ONE distinct on
+    * the narrow (domain, url) pair frame — robots bodies never
+    * shuffle.
+    */
+  def sitemapDirectives(robots: DataFrame, domainCol: String = "domain",
+      txtCol: String = "robots_txt"): DataFrame =
+    robots.select(col(domainCol).as("domain"),
+        explode(split(col(txtCol), "\n")).as("raw"))
+      .select(col("domain"),
+        regexp_extract(trim(regexp_replace(col("raw"), "#.*$", "")),
+          SitemapPattern, 1).as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+      .distinct()
 }

@@ -117,4 +117,35 @@ class RobotsSpec extends SparkSpec {
       .toDF("u").select(Robots.urlPath(col("u"))).collect().map(_.getString(0))
     assert(out.toSeq == Seq("/", "/x?q=1#f", "/y"))
   }
+
+  test("sitemapDirectives: group-independent, case-insensitive, comments, dups, empty") {
+    val rb = Seq(
+      ("a.example",
+        // before any group, then INSIDE a group (must not bind to it
+        // or end the UA run — /deep still belongs to graftbot), then a
+        // lowercase key, a comment-trailing line, a duplicate, and an
+        // empty value
+        """Sitemap: https://a.example/sm1.xml
+          |User-agent: graftbot
+          |sitemap: https://cdn.a.example/sm2.xml
+          |Disallow: /deep
+          |Sitemap: https://a.example/sm3.xml # primary
+          |Sitemap: https://a.example/sm1.xml
+          |Sitemap:
+          |""".stripMargin),
+      ("b.example", "User-agent: *\nDisallow: /\n")).toDF("domain", "robots_txt")
+    val sm = Robots.sitemapDirectives(rb).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sm == Set(
+      ("a.example", "https://a.example/sm1.xml"),
+      ("a.example", "https://cdn.a.example/sm2.xml"),
+      ("a.example", "https://a.example/sm3.xml")))
+    // the in-group directive was an ignored unknown line for grouping:
+    // /deep still binds to graftbot
+    val r = Robots.rules(rb).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(3))).toSet
+    assert(r == Set(
+      ("a.example", "graftbot", "/deep"),
+      ("b.example", "*", "/")))
+  }
 }
