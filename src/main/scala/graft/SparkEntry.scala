@@ -1626,6 +1626,31 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // ---- sitemap INDEX files (how sites past the 50k-url per-file
+    // cap expose their url space): child-sitemap locs + lastmod
+    // recrawl signals; uppercase tags, loc whitespace, a loc-less
+    // entry, an even-domain extra child — and the wrapper
+    // <sitemapindex> tag itself must not match the entry pattern
+    "q_sitemap_index" -> ((s, dir) => {
+      val d10 = docs(s, dir).select((col("doc_id") % 10).as("d")).distinct()
+      val ds = col("d").cast("string")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex>"),
+        concat(lit("<sitemap><loc> https://site"), ds,
+          lit(".example/sm/1.xml </loc><lastmod>2026-03-0"),
+          ((col("d") % 9) + 1).cast("string"), lit("</lastmod></sitemap>")),
+        concat(lit("<SITEMAP><LOC>https://site"), ds,
+          lit(".example/sm/2.xml</LOC></SITEMAP>")),
+        lit("<sitemap><lastmod>2026-01-01</lastmod></sitemap>"),
+        when(col("d") % 2 === 0, concat(lit("<sitemap><loc>https://cdn.site"),
+          ds, lit(".example/sm/3.xml</loc></sitemap>"))).otherwise(lit("")),
+        lit("</sitemapindex>"))
+      graft.extract.Sitemaps.indexUrls(d10.select(
+          concat(lit("site"), ds, lit(".example")).as("domain"),
+          xml.as("sitemap_xml")))
+        .orderBy("domain", "loc")
+    }),
+
     // ---- per-domain quota (C4/Dolma site balancing): keep the 20
     // best-token-mass docs per registrable domain via the exact
     // two-phase top-k (bucketed phase-1 rank bounds every sort
@@ -2695,6 +2720,19 @@ object SparkEntry {
         "CAST(sum(CASE WHEN in_sm AND in_cr THEN 1 ELSE 0 END) AS BIGINT) AS n_both " +
         "FROM j GROUP BY domain ORDER BY domain"
     },
+    "q_sitemap_index" ->
+      ("WITH dd AS (SELECT DISTINCT (doc_id % 10) AS d FROM documents), " +
+        "sm0 AS (SELECT 'site' || d || '.example' AS domain, " +
+        "'<?xml version=\"1.0\"?><sitemapindex>' || " +
+        "'<sitemap><loc> https://site' || d || '.example/sm/1.xml </loc><lastmod>2026-03-0' || ((d%9)+1) || '</lastmod></sitemap>' || " +
+        "'<SITEMAP><LOC>https://site' || d || '.example/sm/2.xml</LOC></SITEMAP>' || " +
+        "'<sitemap><lastmod>2026-01-01</lastmod></sitemap>' || " +
+        "(CASE WHEN d % 2 = 0 THEN '<sitemap><loc>https://cdn.site' || d || '.example/sm/3.xml</loc></sitemap>' ELSE '' END) || " +
+        "'</sitemapindex>' AS xml FROM dd), " +
+        s"en AS (SELECT domain, unnest(regexp_extract_all(xml, '${graft.extract.Sitemaps.IndexEntryPattern}', 1)) AS entry FROM sm0), " +
+        s"x AS (SELECT domain, regexp_extract(entry, '${graft.extract.Sitemaps.LocPattern}', 1) AS loc, " +
+        s"nullif(regexp_extract(entry, '${graft.extract.Sitemaps.LastmodPattern}', 1), '') AS lastmod FROM en) " +
+        "SELECT domain, loc, lastmod FROM x WHERE loc <> '' ORDER BY domain, loc"),
     // one global per-domain window replays the two-phase top-k —
     // equality proves the bucketed phase-1 cut lossless
     "q_domain_quota" -> {

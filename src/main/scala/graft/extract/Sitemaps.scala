@@ -36,24 +36,52 @@ object Sitemaps {
   /** `<url>` entry bodies (group 1), dotall + case-insensitive. */
   val EntryPattern: String = "(?is)<url\\b[^>]*>(.*?)</url>"
 
+  /** `<sitemapindex>` `<sitemap>` entry bodies (group 1) — the `\b`
+    * keeps the wrapper `<sitemapindex>` tag itself from matching.
+    */
+  val IndexEntryPattern: String = "(?is)<sitemap\\b[^>]*>(.*?)</sitemap>"
+
   /** `<loc>` / `<lastmod>` inner text, whitespace-insensitive. */
   val LocPattern: String = "(?is)<loc>\\s*(.*?)\\s*</loc>"
   val LastmodPattern: String = "(?is)<lastmod>\\s*(.*?)\\s*</lastmod>"
 
-  /** One row per sitemap `<url>` entry: (domain, loc, lastmod) —
-    * lastmod null when absent; entries without a `<loc>` dropped.
+  /** Shared (domain, loc, lastmod) extraction for both entry shapes:
+    * explode the entry bodies, pull the two flat fields, drop loc-less
+    * entries. Pure map stage — bodies explode in-task.
     */
-  def urls(sitemaps: DataFrame, domainCol: String = "domain",
-      xmlCol: String = "sitemap_xml"): DataFrame =
-    sitemaps
+  private def entryTable(src: DataFrame, domainCol: String, xmlCol: String,
+      entryPattern: String): DataFrame =
+    src
       .select(col(domainCol).as("domain"),
-        explode(regexp_extract_all(col(xmlCol), lit(EntryPattern), lit(1)))
+        explode(regexp_extract_all(col(xmlCol), lit(entryPattern), lit(1)))
           .as("entry"))
       .select(col("domain"),
         regexp_extract(col("entry"), LocPattern, 1).as("loc"),
         nullif(regexp_extract(col("entry"), LastmodPattern, 1), lit(""))
           .as("lastmod"))
       .filter(col("loc") =!= "")
+
+  /** One row per sitemap `<url>` entry: (domain, loc, lastmod) —
+    * lastmod null when absent; entries without a `<loc>` dropped.
+    */
+  def urls(sitemaps: DataFrame, domainCol: String = "domain",
+      xmlCol: String = "sitemap_xml"): DataFrame =
+    entryTable(sitemaps, domainCol, xmlCol, EntryPattern)
+
+  /** One row per `<sitemapindex>` `<sitemap>` entry: (domain, loc,
+    * lastmod) — the CHILD sitemap urls of an index file, how sites
+    * past the protocol's 50k-url/50MB per-file cap expose their url
+    * space (protocol §"Using sitemap index files"; the entry shape is
+    * `<url>`'s with the tag renamed, same required `<loc>` / optional
+    * `<lastmod>`). Completes the fetch loop:
+    * [[Robots.sitemapDirectives]] → fetch → indexes here → fetch
+    * children → [[urls]] → [[coverage]]. `lastmod` is the recrawl
+    * signal — a scheduler diffs it against the last fetch to skip
+    * unchanged children.
+    */
+  def indexUrls(indexes: DataFrame, domainCol: String = "domain",
+      xmlCol: String = "sitemap_xml"): DataFrame =
+    entryTable(indexes, domainCol, xmlCol, IndexEntryPattern)
 
   /** Per-domain crawl coverage: n_sitemap / n_crawled / n_both count
     * DISTINCT canonical urls listed by the sitemap, captured by the

@@ -40,6 +40,27 @@ class SitemapsSpec extends SparkSpec {
       "c.example" -> ((0L, 1L, 0L))))
   }
 
+  test("indexUrls: child sitemaps extracted, wrapper tag immune, urlset entries invisible") {
+    val xml =
+      "<?xml version=\"1.0\"?><sitemapindex>" +
+        "<sitemap><loc> https://a.example/sm/1.xml </loc><lastmod>2026-03-01</lastmod></sitemap>" +
+        "<SITEMAP><LOC>https://a.example/sm/2.xml</LOC></SITEMAP>" +
+        "<sitemap><lastmod>2026-01-01</lastmod></sitemap>" + // no loc: dropped
+        "</sitemapindex>"
+    val out = Sitemaps.indexUrls(Seq(("a.example", xml)).toDF("domain", "sitemap_xml"))
+      .collect().map(r => (r.getString(1), Option(r.getString(2)))).toSet
+    assert(out == Set(
+      ("https://a.example/sm/1.xml", Some("2026-03-01")),
+      ("https://a.example/sm/2.xml", None)))
+    // the two entry shapes are disjoint: an index file has no <url>
+    // entries and a urlset has no <sitemap> entries
+    assert(Sitemaps.urls(Seq(("a.example", xml)).toDF("domain", "sitemap_xml"))
+      .count() == 0L)
+    val urlset = "<urlset><url><loc>https://a.example/p</loc></url></urlset>"
+    assert(Sitemaps.indexUrls(Seq(("a.example", urlset)).toDF("domain", "sitemap_xml"))
+      .count() == 0L)
+  }
+
   test("coverage: null urls filtered, empty sitemap side yields crawl-only rows") {
     val sm = Seq.empty[(String, String)].toDF("domain", "loc")
     val cr = Seq(("d.example", "https://d.example/p"),
