@@ -738,6 +738,30 @@ object SparkEntry {
         .orderBy("domain", "sitemap_url")
     }),
 
+    // per-domain effective Crawl-delay for 'graftbot': group-presence
+    // shadowing (a specific whitelist with no delay REMOVES the `*`
+    // delay), pre-group delays bind nothing, invalid values ignored,
+    // several applicable delays resolve to the conservative max
+    "q_crawl_delay" -> ((s, dir) => {
+      val d10 = docs(s, dir).select((col("doc_id") % 10).as("d")).distinct()
+      val ds = col("d").cast("string")
+      val robots = d10.select(
+        concat(lit("site"), ds, lit(".example")).as("domain"),
+        concat(
+          when(col("d") === 1, lit("Crawl-delay: 99\n")).otherwise(lit("")),
+          lit("# politeness fixture\nUser-agent: *\nCrawl-delay: 10\nDisallow: /p1\n"),
+          when(col("d") === 3, lit("Crawl-delay: fast\n")).otherwise(lit("")),
+          when(col("d") % 2 === 0,
+            lit("User-agent: graftbot\nCrawl-delay: 2.5\nDisallow: /p2\n"))
+            .otherwise(lit("")),
+          when(col("d") === 5, lit("User-agent: graftbot\nDisallow:\n"))
+            .otherwise(lit("")),
+          when(col("d") === 7,
+            lit("User-agent: graftbot\nCrawl-delay: 4\nCrawl-delay: 8\n"))
+            .otherwise(lit(""))).as("robots_txt"))
+      graft.extract.Robots.crawlDelays(robots, "graftbot").orderBy("domain")
+    }),
+
     // per-domain corpus hygiene report: docs / exact distinct texts /
     // redundant remainder / byte mass per registrable domain
     "q_domain_stats" -> ((s, dir) => {
@@ -2148,6 +2172,35 @@ object SparkEntry {
         s"x AS (SELECT domain, regexp_extract(l, '${graft.extract.Robots.SitemapPattern}', 1) AS sitemap_url FROM ln0) " +
         "SELECT DISTINCT domain, sitemap_url FROM x WHERE sitemap_url <> '' " +
         "ORDER BY domain, sitemap_url"),
+    // the q_robots group chain + delay-line binding (max gid whose
+    // start precedes the line) + presence shadowing + max resolution
+    "q_crawl_delay" ->
+      ("WITH rb AS (SELECT DISTINCT (doc_id % 10) AS d FROM documents), " +
+        "rt AS (SELECT 'site' || d || '.example' AS domain, " +
+        "(CASE WHEN d = 1 THEN 'Crawl-delay: 99' || chr(10) ELSE '' END) || " +
+        "'# politeness fixture' || chr(10) || 'User-agent: *' || chr(10) || 'Crawl-delay: 10' || chr(10) || 'Disallow: /p1' || chr(10) || " +
+        "(CASE WHEN d = 3 THEN 'Crawl-delay: fast' || chr(10) ELSE '' END) || " +
+        "(CASE WHEN d % 2 = 0 THEN 'User-agent: graftbot' || chr(10) || 'Crawl-delay: 2.5' || chr(10) || 'Disallow: /p2' || chr(10) ELSE '' END) || " +
+        "(CASE WHEN d = 5 THEN 'User-agent: graftbot' || chr(10) || 'Disallow:' || chr(10) ELSE '' END) || " +
+        "(CASE WHEN d = 7 THEN 'User-agent: graftbot' || chr(10) || 'Crawl-delay: 4' || chr(10) || 'Crawl-delay: 8' || chr(10) ELSE '' END) AS txt FROM rb), " +
+        "ls0 AS (SELECT domain, string_split(txt, chr(10)) AS ls FROM rt), " +
+        "ln0 AS (SELECT domain, i AS idx, trim(regexp_replace(ls[i], '#.*$', '')) AS l FROM ls0, unnest(generate_series(1, len(ls))) AS t(i)), " +
+        s"cl AS (SELECT domain, idx, lower(regexp_extract(l, '${graft.extract.Robots.KeyPattern}', 1)) AS key, " +
+        s"regexp_extract(l, '${graft.extract.Robots.ValuePattern}', 1) AS value FROM ln0), " +
+        "cf AS (SELECT * FROM cl WHERE key <> '' AND NOT (key = 'user-agent' AND value = '')), " +
+        "hg AS (SELECT domain, idx, key, value, CASE WHEN key = 'user-agent' AND coalesce(lag(key) OVER (PARTITION BY domain ORDER BY idx), '') <> 'user-agent' THEN 1 ELSE 0 END AS hdr FROM cf), " +
+        "gg AS (SELECT domain, idx, key, value, hdr, sum(hdr) OVER (PARTITION BY domain ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid FROM hg), " +
+        "st AS (SELECT domain, idx AS sidx, gid FROM gg WHERE hdr = 1), " +
+        "ag AS (SELECT domain, gid, lower(value) AS agent FROM gg WHERE key = 'user-agent' AND value <> '' AND gid >= 1), " +
+        s"dl0 AS (SELECT domain, idx, regexp_extract(l, '${graft.extract.Robots.DelayValuePattern}', 1) AS v FROM ln0), " +
+        s"dl AS (SELECT domain, idx, CAST(v AS DOUBLE) AS delay FROM dl0 WHERE regexp_matches(v, '${graft.extract.Robots.NumberPattern}')), " +
+        "bd AS (SELECT dl.domain, dl.idx, dl.delay, max(st.gid) AS gid FROM dl JOIN st ON dl.domain = st.domain AND st.sidx < dl.idx GROUP BY dl.domain, dl.idx, dl.delay), " +
+        "sp AS (SELECT DISTINCT domain FROM ag WHERE agent = 'graftbot'), " +
+        "ap AS (SELECT domain, gid FROM ag WHERE agent = 'graftbot' " +
+        "UNION SELECT domain, gid FROM ag WHERE agent = '*' AND domain NOT IN (SELECT domain FROM sp)) " +
+        "SELECT bd.domain, max(bd.delay) AS delay_secs FROM bd " +
+        "JOIN ap ON bd.domain = ap.domain AND bd.gid = ap.gid " +
+        "GROUP BY bd.domain ORDER BY bd.domain"),
 
     "q_domain_stats" ->
       (s"WITH h AS (SELECT doc_id, 'https://WWW.Site' || (doc_id % 10) || '.example/p' || (doc_id % 50) AS url, text FROM documents), " +

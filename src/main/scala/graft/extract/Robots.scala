@@ -35,12 +35,27 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** Shared key/value line grammar (engine + oracle). */
-  val KeyPattern: String = "(?i)^(user-agent|allow|disallow)\\s*:"
+  /** Shared key/value line grammar (engine + oracle). `crawl-delay`
+    * is a recognized GROUP-MEMBER line: it delimits `User-agent:`
+    * runs exactly like a rule line does (else two groups separated
+    * only by a delay line — the common real-world layout — would
+    * merge, handing the specific agent the `*` group's rules), but it
+    * contributes no rule; [[crawlDelays]] reads its value separately.
+    */
+  val KeyPattern: String = "(?i)^(user-agent|allow|disallow|crawl-delay)\\s*:"
   val ValuePattern: String = "(?i)^(?:user-agent|allow|disallow)\\s*:\\s*(\\S*)"
 
   /** `Sitemap:` directive line (engine + oracle). */
   val SitemapPattern: String = "(?i)^sitemap\\s*:\\s*(\\S+)"
+
+  /** `Crawl-delay:` line value (engine + oracle). */
+  val DelayValuePattern: String = "(?i)^crawl-delay\\s*:\\s*(\\S+)"
+
+  /** Numeric guard for delay values — try_cast semantics shared with
+    * the oracle (ANSI Spark throws on a bad cast; an invalid value
+    * like `Crawl-delay: fast` must be ignored, not fatal).
+    */
+  val NumberPattern: String = "^[0-9]+(\\.[0-9]+)?$"
 
   /** (agents, ruleLines) group frames: agents = one (domain, gid,
     * agent) row per `User-agent:` line — a group PRESENCE record even
@@ -58,12 +73,16 @@ object Robots {
     * comment-strip/trim tree evaluates once per line, not once per
     * extracted field (SCALE.md invariant 7).
     */
-  private def groups(robots: DataFrame, domainCol: String,
-      txtCol: String): (DataFrame, DataFrame) = {
-    val lines = robots.select(col(domainCol).as("domain"),
+  private def cleanedLines(robots: DataFrame, domainCol: String,
+      txtCol: String): DataFrame =
+    robots.select(col(domainCol).as("domain"),
       posexplode(split(col(txtCol), "\n")).as(Seq("idx", "raw")))
       .select(col("domain"), col("idx"),
         trim(regexp_replace(col("raw"), "#.*$", "")).as("l"))
+
+  private def groups(robots: DataFrame, domainCol: String,
+      txtCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val lines = cleanedLines(robots, domainCol, txtCol)
     val classified = lines.select(col("domain"), col("idx"),
       lower(regexp_extract(col("l"), KeyPattern, 1)).as("key"),
       regexp_extract(col("l"), ValuePattern, 1).as("value"))
@@ -90,7 +109,9 @@ object Robots {
       .filter(col("key").isin("allow", "disallow") && col("value") =!= "")
       .select(col("domain"), col("gid"),
         (col("key") === "allow").as("allow"), col("value").as("path"))
-    (agents, ruleLines)
+    val starts = grouped.filter(col("hdr") === 1L)
+      .select(col("domain"), col("idx").as("sidx"), col("gid"))
+    (agents, ruleLines, starts)
   }
 
   /** Parsed rule table: one (domain, agent, allow, path) row per
@@ -102,7 +123,7 @@ object Robots {
     */
   def rules(robots: DataFrame, domainCol: String = "domain",
       txtCol: String = "robots_txt"): DataFrame = {
-    val (agents, ruleLines) = groups(robots, domainCol, txtCol)
+    val (agents, ruleLines, _) = groups(robots, domainCol, txtCol)
     agents.join(ruleLines, Seq("domain", "gid"))
       .select(col("domain"), col("agent"), col("allow"), col("path"))
   }
@@ -133,7 +154,7 @@ object Robots {
       idCol: String = "doc_id", urlCol: String = "url",
       hintBroadcast: Boolean = true): DataFrame = {
     require(agent.nonEmpty && agent.trim == agent)
-    val (agents, ruleLines) = groups(robots, "domain", "robots_txt")
+    val (agents, ruleLines, _) = groups(robots, "domain", "robots_txt")
     val r = agents.join(ruleLines, Seq("domain", "gid"))
       .select(col("domain"), col("agent"), col("allow"), col("path"))
     val specific = r.filter(col("agent") === agent.toLowerCase)
@@ -193,4 +214,55 @@ object Robots {
           SitemapPattern, 1).as("sitemap_url"))
       .filter(col("sitemap_url") =!= "")
       .distinct()
+
+  /** Per-domain effective `Crawl-delay:` for `agent` — the politeness
+    * interval a fetch scheduler keys its per-host token buckets on
+    * (non-RFC but honored by the Bing/Yandex lineage; crawl ops audit
+    * it even when the fetcher ignores it). One (domain, delay_secs)
+    * row per domain where a delay APPLIES to the agent; domains with
+    * no applicable delay emit nothing.
+    *
+    * Semantics, aligned with [[verdicts]]' group model: a delay line
+    * is a group MEMBER (it delimits UA runs like a rule line — see
+    * [[KeyPattern]]) and BINDS to the group whose start most recently
+    * precedes it; a delay before any group binds nothing (the
+    * rules-before-groups rule). Agent choice is group
+    * PRESENCE shadowing: a domain with any exact-agent group takes
+    * delays only from those groups — a specific whitelist group with
+    * no delay therefore yields NO delay, even when `*` carries one.
+    * Invalid values (`Crawl-delay: fast`) are ignored (try_cast
+    * discipline, [[NumberPattern]]); several applicable delays
+    * resolve to the MAX — the conservative politeness bound.
+    *
+    * Scale shape: line explode + the group window stay file-sized
+    * per domain; the delay→start binding joins two file-scale frames
+    * per domain; the final agg is one map-side-combinable max on a
+    * domain-grain frame. Nothing here ever reaches corpus size.
+    */
+  def crawlDelays(robots: DataFrame, agent: String,
+      domainCol: String = "domain", txtCol: String = "robots_txt"): DataFrame = {
+    require(agent.nonEmpty && agent.trim == agent)
+    val (agents, _, starts) = groups(robots, domainCol, txtCol)
+    val delays = cleanedLines(robots, domainCol, txtCol)
+      .select(col("domain"), col("idx"),
+        regexp_extract(col("l"), DelayValuePattern, 1).as("v"))
+      .filter(col("v").rlike(NumberPattern))
+      .select(col("domain"), col("idx"), col("v").cast("double").as("delay"))
+    val bound = delays.join(starts, Seq("domain"))
+      .filter(col("sidx") < col("idx"))
+      .groupBy(col("domain"), col("idx"), col("delay"))
+      .agg(max(col("gid")).as("gid"))
+    val a = agent.toLowerCase
+    val specificDomains = agents.filter(col("agent") === a)
+      .select("domain").distinct()
+    val applicable = agents.filter(col("agent") === a)
+      .select("domain", "gid")
+      .unionByName(agents.filter(col("agent") === "*")
+        .select("domain", "gid")
+        .join(specificDomains, Seq("domain"), "left_anti"))
+      .distinct()
+    bound.join(applicable, Seq("domain", "gid"))
+      .groupBy("domain")
+      .agg(max(col("delay")).as("delay_secs"))
+  }
 }

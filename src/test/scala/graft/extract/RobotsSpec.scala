@@ -118,6 +118,39 @@ class RobotsSpec extends SparkSpec {
     assert(out.toSeq == Seq("/", "/x?q=1#f", "/y"))
   }
 
+  test("crawlDelays: group binding, presence shadowing, invalid/pre-group ignored, max") {
+    val rb = Seq(
+      // delay before any group binds nothing; * delay applies; the
+      // invalid value is ignored
+      ("a.example",
+        """Crawl-delay: 99
+          |User-agent: *
+          |Crawl-delay: 10
+          |Crawl-delay: fast
+          |Disallow: /x
+          |""".stripMargin),
+      // specific group shadows *: its two delays resolve to the max
+      ("b.example",
+        """User-agent: *
+          |Crawl-delay: 10
+          |User-agent: graftbot
+          |Crawl-delay: 4
+          |Crawl-delay: 8
+          |""".stripMargin),
+      // specific whitelist with NO delay removes the * delay entirely
+      ("c.example",
+        """User-agent: *
+          |Crawl-delay: 10
+          |User-agent: graftbot
+          |Disallow:
+          |""".stripMargin),
+      // no delays anywhere
+      ("d.example", "User-agent: *\nDisallow: /\n")).toDF("domain", "robots_txt")
+    val out = Robots.crawlDelays(rb, "GraftBot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a.example" -> 10.0, "b.example" -> 8.0))
+  }
+
   test("sitemapDirectives: group-independent, case-insensitive, comments, dups, empty") {
     val rb = Seq(
       ("a.example",
