@@ -13,7 +13,9 @@ import graft.report.Report
   *                           parquet (url, warc_ts, html, text, lang);
   *                           .json / .jsonl / .csv with at least
   *                           (url, text) — normalized into the corpus
-  *                           schema; `synth:N` generates the seeded
+  *                           schema; .warc(.gz) response segments;
+  *                           .wet(.gz) pre-extracted-text conversion
+  *                           segments; `synth:N` generates the seeded
   *                           corpus
   *   --alg ID ...            digest cascade selection (repeatable;
   *                           default filesize initial_xxhash sha)
@@ -971,6 +973,8 @@ object Main {
       normalize(spark.read.json(input))
     else if (input.endsWith(".csv"))
       normalize(readCsv(spark, input))
+    else if (input.endsWith(".wet") || input.endsWith(".wet.gz"))
+      graft.sources.Warc.readWet(spark, input)
     else if (input.endsWith(".warc") || input.endsWith(".warc.gz"))
       graft.sources.Warc.read(spark, input)
         .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))

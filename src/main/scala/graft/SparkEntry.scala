@@ -185,6 +185,47 @@ object SparkEntry {
   private val warcFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q_wet fixture dirs, same caching contract. */
+  private val wetFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Lay the documents table out as real WET segment files under
+    * `tmp` (the q_warc layout with conversion records): each segment
+    * carries a warcinfo header and one RESPONSE record the WET reader
+    * must skip by type; null text writes as an empty block (a real
+    * empty doc on read-back).
+    */
+  private def writeWetFixture(s: SparkSession, dir: String, tmp: String): Unit =
+    docs(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .repartition(8, col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.map(r => (r.getLong(0), r.getString(1))).toArray.sortBy(_._1)
+        if (rows.nonEmpty) {
+          val gz = rows.head._1 % 2 == 0
+          val f = new java.io.File(tmp,
+            f"seg-${rows.head._1}%06d.warc.wet" + (if (gz) ".gz" else ""))
+          val out = new java.io.FileOutputStream(f)
+          def emit(rec: Array[Byte]): Unit =
+            if (gz) { // every record its own gzip member (CC layout)
+              val g = new java.util.zip.GZIPOutputStream(out)
+              g.write(rec); g.finish()
+            } else out.write(rec)
+          emit(graft.sources.Warc.skippableRecord("warcinfo",
+            "2026-01-02T03:04:05Z"))
+          emit(graft.sources.Warc.responseRecord(
+            "https://wet.example/not-a-conversion", "2026-01-02T03:04:05Z",
+            200, "<html></html>".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          for ((id, t) <- rows) {
+            val iso = java.time.Instant.ofEpochSecond(1700000000L + id).toString
+            emit(graft.sources.Warc.conversionRecord(
+              s"https://wet.example/$id", iso,
+              t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
+          out.close()
+        }
+      }
+
   /** Lay the documents table out as real WARC segment files under
     * `tmp`: 8 hash-partitioned segments, even-first-id segments as
     * member-per-record .warc.gz, each with warcinfo/request framing
@@ -421,6 +462,24 @@ object SparkEntry {
         col("url"), col("http_status"),
         md5(col("html")).as("body_md5"),
         octet_length(col("html")).cast("long").as("n_body"),
+        unix_timestamp(col("warc_ts")).as("ts_epoch"))
+    }),
+
+    // ---- WET (pre-extracted text) ingestion: the documents table
+    // round-trips through real conversion-record segment files —
+    // text hash-exact, in-band warcinfo + response records skipped
+    // by type, null text as an empty block
+    "q_wet" -> ((s, dir) => {
+      val tmp = wetFixtureCache.computeIfAbsent(dir, _ => {
+        val t = java.nio.file.Files.createTempDirectory("graft-wet-q")
+          .toFile.getAbsolutePath
+        writeWetFixture(s, dir, t)
+        t
+      })
+      graft.sources.Warc.readWet(s, tmp).select(
+        col("url"),
+        md5(col("text").cast("binary")).as("text_md5"),
+        length(col("text")).cast("long").as("n_chars"),
         unix_timestamp(col("warc_ts")).as("ts_epoch"))
     }),
 
@@ -2410,6 +2469,11 @@ object SparkEntry {
         "CAST(200 + doc_id % 3 AS INT) AS http_status, " +
         "md5('<html><body>' || coalesce(text, '') || '</body></html>') AS body_md5, " +
         "CAST(octet_length(encode('<html><body>' || coalesce(text, '') || '</body></html>')) AS BIGINT) AS n_body, " +
+        "CAST(1700000000 + doc_id AS BIGINT) AS ts_epoch FROM documents"),
+    "q_wet" ->
+      ("SELECT 'https://wet.example/' || CAST(doc_id AS VARCHAR) AS url, " +
+        "md5(coalesce(text, '')) AS text_md5, " +
+        "CAST(len(coalesce(text, '')) AS BIGINT) AS n_chars, " +
         "CAST(1700000000 + doc_id AS BIGINT) AS ts_epoch FROM documents"),
     "q_fingerprint" ->
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",

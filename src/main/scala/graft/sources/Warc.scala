@@ -47,24 +47,70 @@ object Warc {
   final case class WarcDoc(url: String, warc_ts: java.sql.Timestamp,
       html: Array[Byte], http_status: Int)
 
+  /** One parsed conversion (WET) record — the block IS the extracted
+    * text; `text` is null when the block is not valid UTF-8 (the
+    * extractor's quarantine discipline: counted downstream, never
+    * dropped here).
+    */
+  final case class WetDoc(url: String, warc_ts: java.sql.Timestamp,
+      text: String)
+
   /** Corpus-schema DataFrame (url, warc_ts, html, text, lang) from
     * `path` (a file, directory, or glob of .warc / .warc.gz).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val paths = listWarcFiles(spark, path)
+    val paths = listFiles(spark, path,
+      n => n.endsWith(".warc") || n.endsWith(".warc.gz"))
     require(paths.nonEmpty, s"no .warc/.warc.gz files under $path")
+    openTasks[WarcDoc](spark, paths, (in, p) => records(in, p))
+      .toDF()
+      .select(col("url"), col("warc_ts"), col("html"),
+        graft.extract.TextExtract.extractText(col("html")).as("text"),
+        lit("und").as("lang"), col("http_status"))
+  }
+
+  /** Corpus-schema DataFrame (url, warc_ts, html=null, text, lang)
+    * from WET files (`.wet` / `.wet.gz`, including Common Crawl's
+    * `*.warc.wet.gz` naming) — the pre-extracted-text sibling of the
+    * response container: `conversion` records whose block is the page
+    * text itself (no HTTP message, no markup). Same one-task-per-file
+    * grain, bounded-memory iterator, and loud-framing-failure
+    * contract as [[read]]; `html` is null (there is none), invalid
+    * UTF-8 blocks yield null `text` (quarantine, counted not
+    * dropped), an empty block is a real empty doc.
+    */
+  def readWet(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val paths = listFiles(spark, path,
+      n => n.endsWith(".wet") || n.endsWith(".wet.gz"))
+    require(paths.nonEmpty, s"no .wet/.wet.gz files under $path")
+    openTasks[WetDoc](spark, paths,
+        (in, p) => typedRecords(in, p, "conversion", parseConversion))
+      .toDF()
+      .select(col("url"), col("warc_ts"),
+        lit(null).cast("binary").as("html"), col("text"),
+        lit("und").as("lang"))
+  }
+
+  /** One task per file over `paths`: open (gzip-sniffed by name),
+    * stream `mk`'s records, and close on task completion. EOF closes
+    * each stream inline (records()), but a consumer that stops early
+    * (limit/take) or a loud parse failure leaves the task's current
+    * stream open — on a long-lived executor those leaked
+    * FSDataInputStreams exhaust descriptors/datanode connections. The
+    * task-completion hook closes whatever is still open (close after
+    * EOF-close is a harmless no-op).
+    */
+  private def openTasks[T](spark: SparkSession, paths: Seq[String],
+      mk: (DataInputStream, String) => Iterator[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
+    import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val docs = spark.createDataset(paths)
-      .repartition(paths.size) // one task per WARC file (see scaladoc)
+    spark.createDataset(paths)
+      .repartition(paths.size)
       .mapPartitions { it =>
-        // EOF closes each stream inline (records()), but a consumer
-        // that stops early (limit/take) or a loud parse failure leaves
-        // the task's current stream open — on a long-lived executor
-        // those leaked FSDataInputStreams exhaust descriptors/datanode
-        // connections. The task-completion hook closes whatever is
-        // still open (close after EOF-close is a harmless no-op).
         val opened = new java.util.ArrayList[InputStream]()
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit] { _ =>
@@ -76,24 +122,19 @@ object Warc {
           val in = if (p.endsWith(".gz")) new GZIPInputStream(raw)
                    else new BufferedInputStream(raw)
           opened.add(in)
-          records(new DataInputStream(in), p)
+          mk(new DataInputStream(in), p)
         }
       }
-    docs.toDF()
-      .select(col("url"), col("warc_ts"), col("html"),
-        graft.extract.TextExtract.extractText(col("html")).as("text"),
-        lit("und").as("lang"), col("http_status"))
   }
 
-  private def listWarcFiles(spark: SparkSession, path: String): Seq[String] = {
+  private def listFiles(spark: SparkSession, path: String,
+      want: String => Boolean): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val roots =
       if (fs.isDirectory(p)) Option(fs.globStatus(new Path(p, "*"))).toSeq.flatten
       else Option(fs.globStatus(p)).toSeq.flatten
-    roots.map(_.getPath.toString)
-      .filter(n => n.endsWith(".warc") || n.endsWith(".warc.gz"))
-      .sorted
+    roots.map(_.getPath.toString).filter(want).sorted
   }
 
   /** Lazily parse one stream's records; closes `in` at EOF and on any
@@ -102,8 +143,14 @@ object Warc {
     * the stopped-early consumer case).
     */
   private[sources] def records(in: DataInputStream,
-      name: String): Iterator[WarcDoc] = new Iterator[WarcDoc] {
-    private var nextDoc: WarcDoc = null
+      name: String): Iterator[WarcDoc] =
+    typedRecords(in, name, "response", parseResponse(_, _, name))
+
+  private[sources] def typedRecords[T >: Null <: AnyRef](in: DataInputStream,
+      name: String, wantType: String,
+      parse: (Map[String, String], Array[Byte]) => Option[T]): Iterator[T] =
+      new Iterator[T] {
+    private var nextDoc: T = null
     private var done = false
 
     private def advance(): Unit = try {
@@ -126,8 +173,8 @@ object Warc {
             case _: EOFException =>
               throw new java.io.IOException(s"$name: truncated record block")
           }
-          if (headers.get("warc-type").contains("response"))
-            parseResponse(headers, block, name).foreach(nextDoc = _)
+          if (headers.get("warc-type").contains(wantType))
+            parse(headers, block).foreach(nextDoc = _)
         }
       }
     } catch {
@@ -138,11 +185,27 @@ object Warc {
     }
 
     override def hasNext: Boolean = { advance(); nextDoc != null }
-    override def next(): WarcDoc = {
+    override def next(): T = {
       advance()
       if (nextDoc == null) throw new NoSuchElementException
       val d = nextDoc; nextDoc = null; d
     }
+  }
+
+  /** Conversion (WET) block → WetDoc; the block is the text itself.
+    * Strict UTF-8 decode — malformed bytes yield null `text`
+    * (quarantine), never a replacement-char mutation.
+    */
+  private def parseConversion(h: Map[String, String],
+      block: Array[Byte]): Option[WetDoc] = {
+    val url = h.getOrElse("warc-target-uri", return None)
+    val ts = h.get("warc-date").map(d =>
+      java.sql.Timestamp.from(java.time.Instant.parse(d)))
+      .getOrElse(return None)
+    val text =
+      try UTF_8.newDecoder().decode(java.nio.ByteBuffer.wrap(block)).toString
+      catch { case _: java.nio.charset.CharacterCodingException => null }
+    Some(WetDoc(url, ts, text))
   }
 
   /** WARC named-field block: lines until the blank separator. */
@@ -231,6 +294,18 @@ object Warc {
       s"Content-Length: ${block.length}\r\n\r\n").getBytes(ISO_8859_1)
     head ++ block ++ "\r\n\r\n".getBytes(ISO_8859_1)
   }
+
+  /** Serialize one WET conversion record (block = the text bytes). */
+  def conversionRecord(url: String, isoDate: String,
+      text: Array[Byte]): Array[Byte] =
+    ("WARC/1.0\r\n" +
+      "WARC-Type: conversion\r\n" +
+      s"WARC-Record-ID: <urn:uuid:${java.util.UUID.nameUUIDFromBytes(url.getBytes(UTF_8))}>\r\n" +
+      s"WARC-Date: $isoDate\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      "Content-Type: text/plain\r\n" +
+      s"Content-Length: ${text.length}\r\n\r\n").getBytes(ISO_8859_1) ++
+      text ++ "\r\n\r\n".getBytes(ISO_8859_1)
 
   /** Serialize a non-response record the reader must skip. */
   def skippableRecord(warcType: String, isoDate: String): Array[Byte] = {

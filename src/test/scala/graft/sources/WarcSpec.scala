@@ -105,4 +105,43 @@ class WarcSpec extends SparkSpec {
     assert(rows.forall(_.getString(4) == "und"))
     assert(rows.forall(_.getTimestamp(1) != null))
   }
+
+  test("readWet: conversion text exact, response/warcinfo skipped, invalid utf8 quarantined") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet").toFile
+    val plain = Warc.skippableRecord("warcinfo", date) ++
+      Warc.responseRecord("https://w.example/resp", date, 200,
+        "<html>not a conversion</html>".getBytes(UTF_8)) ++
+      Warc.conversionRecord("https://w.example/1", date,
+        "extracted text, already plain & unescaped".getBytes(UTF_8)) ++
+      Warc.conversionRecord("https://w.example/2", date, Array[Byte]()) ++
+      // invalid UTF-8 block: quarantined to null text, row kept
+      Warc.conversionRecord("https://w.example/3", date,
+        Array[Byte](0x61, 0xFF.toByte, 0xFE.toByte))
+    val o1 = new FileOutputStream(new File(dir, "seg-00.warc.wet"))
+    o1.write(plain); o1.close()
+    // gz member-per-record, Common Crawl's *.warc.wet.gz naming
+    val o2 = new FileOutputStream(new File(dir, "seg-01.warc.wet.gz"))
+    val g = new GZIPOutputStream(o2)
+    g.write(Warc.conversionRecord("https://w.example/4", date,
+      "second segment".getBytes(UTF_8))); g.finish(); o2.close()
+    // a plain .warc in the dir is NOT a WET segment
+    val o3 = new FileOutputStream(new File(dir, "seg-02.warc"))
+    o3.write(Warc.responseRecord("https://w.example/5", date, 200,
+      "<p>x</p>".getBytes(UTF_8))); o3.close()
+
+    val rows = Warc.readWet(spark, dir.getAbsolutePath).orderBy("url").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq(
+      "https://w.example/1", "https://w.example/2",
+      "https://w.example/3", "https://w.example/4"))
+    val byUrl = rows.map(r => r.getString(0) -> r).toMap
+    assert(byUrl("https://w.example/1").getString(3) ==
+      "extracted text, already plain & unescaped")
+    assert(byUrl("https://w.example/2").getString(3) == "") // empty block kept
+    assert(byUrl("https://w.example/3").isNullAt(3))        // quarantined
+    assert(byUrl("https://w.example/4").getString(3) == "second segment")
+    assert(rows.forall(_.isNullAt(2)))                      // html always null
+    assert(rows.forall(_.getString(4) == "und"))
+    // and read() on the same dir sees only the .warc segment
+    assert(Warc.read(spark, dir.getAbsolutePath).count() == 1L)
+  }
 }
