@@ -254,9 +254,16 @@ object SparkEntry {
             val body = s"<html><body>$t</body></html>"
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
             val iso = java.time.Instant.ofEpochSecond(1700000000L + id).toString
+            // vary the Content-Type: mixed casing/params must
+            // normalize to the media type; id%7==0 omits it (null)
+            val ct =
+              if (id % 7 == 0) None
+              else if (id % 2 == 0) Some("text/html; charset=utf-8")
+              else Some("Text/Plain")
             emit(graft.sources.Warc.skippableRecord("request", iso) ++
               graft.sources.Warc.responseRecord(
-                s"https://warc.example/$id", iso, 200 + (id % 3).toInt, body))
+                s"https://warc.example/$id", iso, 200 + (id % 3).toInt, body,
+                contentType = ct))
           }
           out.close()
         }
@@ -459,7 +466,7 @@ object SparkEntry {
         t
       })
       graft.sources.Warc.read(s, tmp).select(
-        col("url"), col("http_status"),
+        col("url"), col("http_status"), col("http_mime"),
         md5(col("html")).as("body_md5"),
         octet_length(col("html")).cast("long").as("n_body"),
         unix_timestamp(col("warc_ts")).as("ts_epoch"))
@@ -2467,6 +2474,7 @@ object SparkEntry {
     "q_warc" ->
       ("SELECT 'https://warc.example/' || CAST(doc_id AS VARCHAR) AS url, " +
         "CAST(200 + doc_id % 3 AS INT) AS http_status, " +
+        "CASE WHEN doc_id % 7 = 0 THEN NULL WHEN doc_id % 2 = 0 THEN 'text/html' ELSE 'text/plain' END AS http_mime, " +
         "md5('<html><body>' || coalesce(text, '') || '</body></html>') AS body_md5, " +
         "CAST(octet_length(encode('<html><body>' || coalesce(text, '') || '</body></html>')) AS BIGINT) AS n_body, " +
         "CAST(1700000000 + doc_id AS BIGINT) AS ts_epoch FROM documents"),

@@ -43,9 +43,14 @@ import org.apache.spark.sql.functions._
   */
 object Warc {
 
-  /** One parsed response record. */
+  /** One parsed response record. `http_mime` is the HTTP
+    * Content-Type's media type alone (lowercased, parameters like
+    * `; charset=` stripped) — the routing key that sends text/html to
+    * extraction and application/pdf or image subtypes to the
+    * multimodal path; null when the response carries no Content-Type.
+    */
   final case class WarcDoc(url: String, warc_ts: java.sql.Timestamp,
-      html: Array[Byte], http_status: Int)
+      html: Array[Byte], http_status: Int, http_mime: String)
 
   /** One parsed conversion (WET) record — the block IS the extracted
     * text; `text` is null when the block is not valid UTF-8 (the
@@ -67,7 +72,7 @@ object Warc {
       .toDF()
       .select(col("url"), col("warc_ts"), col("html"),
         graft.extract.TextExtract.extractText(col("html")).as("text"),
-        lit("und").as("lang"), col("http_status"))
+        lit("und").as("lang"), col("http_status"), col("http_mime"))
   }
 
   /** Corpus-schema DataFrame (url, warc_ts, html=null, text, lang)
@@ -245,8 +250,15 @@ object Warc {
       case _ => return None
     }
     val body = java.util.Arrays.copyOfRange(block, sep + 4, block.length)
-    Some(WarcDoc(url, ts, body, status))
+    // media type only: parameters (charset, boundary) are transport
+    // detail, and real-crawl casing/spacing varies freely
+    val mime = MimePattern.findFirstMatchIn(head)
+      .map(_.group(1).trim.toLowerCase).filter(_.nonEmpty).orNull
+    Some(WarcDoc(url, ts, body, status, mime))
   }
+
+  private val MimePattern =
+    "(?im)^content-type\\s*:\\s*([^;\\r\\n]*)".r
 
   private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
     var i = 0
@@ -277,11 +289,14 @@ object Warc {
   // correct, minimal WARC writer — also the documented shape the
   // parser accepts.
 
-  /** Serialize one response record (version 1.0, CRLF framing). */
+  /** Serialize one response record (version 1.0, CRLF framing).
+    * `contentType = None` omits the Content-Type header entirely.
+    */
   def responseRecord(url: String, isoDate: String, status: Int,
-      body: Array[Byte], extraHttpHeaders: String = ""): Array[Byte] = {
+      body: Array[Byte], extraHttpHeaders: String = "",
+      contentType: Option[String] = Some("text/html; charset=utf-8")): Array[Byte] = {
     val http = (s"HTTP/1.1 $status OK\r\n" +
-      "Content-Type: text/html; charset=utf-8\r\n" +
+      contentType.map(ct => s"Content-Type: $ct\r\n").getOrElse("") +
       extraHttpHeaders +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1)
     val block = http ++ body

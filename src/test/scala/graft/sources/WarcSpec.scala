@@ -22,15 +22,21 @@ class WarcSpec extends SparkSpec {
         extraHttpHeaders = "Server: test\r\n") ++
       Warc.skippableRecord("metadata", date) ++
       Warc.responseRecord("https://b.example/y", "2026-02-03T04:05:06Z", 404,
-        Array.emptyByteArray)
+        Array.emptyByteArray, contentType = None) ++
+      Warc.responseRecord("https://c.example/z", date, 200,
+        "%PDF-".getBytes(UTF_8), contentType = Some(" Application/PDF ; x=y"))
     val docs = Warc.records(stream(bytes), "mem").toList
-    assert(docs.map(_.url) == List("https://a.example/x", "https://b.example/y"))
+    assert(docs.map(_.url) == List("https://a.example/x", "https://b.example/y",
+      "https://c.example/z"))
     assert(docs.head.html.toSeq == body.toSeq) // CRLFCRLF inside body survives
     assert(docs.head.http_status == 200)
+    assert(docs.head.http_mime == "text/html") // params + casing normalized
     assert(docs.head.warc_ts == java.sql.Timestamp.from(
       java.time.Instant.parse(date)))
     assert(docs(1).http_status == 404)
     assert(docs(1).html.isEmpty)
+    assert(docs(1).http_mime == null) // no Content-Type header
+    assert(docs(2).http_mime == "application/pdf")
   }
 
   test("records: bodiless/non-HTTP blocks skipped by policy, garbage framing fails loudly") {
