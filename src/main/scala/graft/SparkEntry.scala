@@ -59,6 +59,36 @@ object SparkEntry {
     graft.multimodal.Media.animatedGifBytesAt(20, 10, specs)
   })
 
+  /** q_image_phash fixture: a 9×8 patterned gray PNG per doc (grid-
+    * aligned, so dHash needs no rescale and stays closed-form). Docs
+    * group in fours (g = doc_id/4); row y's nine pixels are the hex-
+    * digit parities of md5(g || "_" || y) — md5 because BOTH engines
+    * compute the identical digest and a cheap arithmetic mix measurably
+    * isn't dispersive enough here (an odd-multiplier xor parity
+    * collapsed to 2 patterns; a two-round multiplicative mix still
+    * leaked 8.6k cross-group collisions at 500 groups — md5: zero).
+    * Member m = doc_id%4 inverts the last-column pixel at rows
+    * (g·7+5j)%8 for j<m — each inversion perturbs AT MOST one dHash
+    * comparison bit (column 8 is only ever a right neighbor), so
+    * within-group Hamming ≤ 3 while cross-group hashes differ in ~32
+    * bits. The DuckDB oracle recomputes the same grid, hash, and
+    * brute-force Hamming ball; edit in lockstep.
+    */
+  private val imageHashFixtureUdf = udf((id: Long) => {
+    val g = id / 4
+    val m = (id % 4).toInt
+    val flipped = (0 until m).map(j => ((g * 7 + j * 5) % 8).toInt).toSet
+    val rowHex = (0 until 8).map { y =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${g}_$y".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    }
+    graft.multimodal.Media.grayPngBytes(9, 8) { (x, y) =>
+      val base = if ("13579bdf".indexOf(rowHex(y).charAt(x)) >= 0) 1 else 0
+      255 * (if (x == 8 && flipped(y)) 1 - base else base)
+    }
+  })
+
   /** The web-graph fixtures (q_links / q_domain_graph / q_pagerank):
     * html + url as closed forms of doc_id, shared across the three
     * queries and repeated verbatim in their oracles.
@@ -1513,6 +1543,25 @@ object SparkEntry {
           col("frame_idx"), col("red_mean"))
     }),
 
+    // multimodal near-dup: REAL pixel decode → 64-bit dHash → the
+    // SAME Manku Hamming-ball prober text SimHash uses (fingerprint-
+    // generic, exact by pigeonhole — no recall gap vs the oracle's
+    // brute force). doc_id < 2000 keeps the O(N²) oracle flat across
+    // sf. least/greatest re-orders numerically (the engine pairs by
+    // string id).
+    "q_image_phash" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 2000)
+        .select(col("doc_id")).withColumn("bin", imageHashFixtureUdf(col("doc_id")))
+      val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
+      val fp = graft.multimodal.Media.dHashes(s, media)
+      graft.near.SimHash.edgesFromFingerprints(fp, graft.near.SimHash.Config())
+        .select(
+          least(col("src").cast("long"), col("dst").cast("long")).as("src"),
+          greatest(col("src").cast("long"), col("dst").cast("long")).as("dst"),
+          col("hamming"))
+        .orderBy("src", "dst")
+    }),
+
     // ---- PII scrubbing (Dolma/C4 release hygiene): typed-placeholder
     // redaction + per-doc counts. Fixture text is a closed form of
     // doc_id built IDENTICALLY in both engines; the oracle replays the
@@ -2400,6 +2449,32 @@ object SparkEntry {
         "CAST(CASE WHEN frame_idx = 0 THEN 32 * (1 + doc_id % 7) " +
         "ELSE (32 * (1 + doc_id % 7) + 32 * (1 + (doc_id + frame_idx) % 7)) // 2 " +
         "END AS INT) AS red_mean FROM f"),
+    // recompute the 9×8 grid, the 64 dHash comparison bits (packed as
+    // two 32-bit halves — BIGINT << 63 would wrap sign), and the
+    // brute-force Hamming ball. Same closed forms as
+    // imageHashFixtureUdf; edit in lockstep.
+    "q_image_phash" ->
+      ("WITH d AS (SELECT doc_id, doc_id // 4 AS g, CAST(doc_id % 4 AS INT) AS m " +
+        "FROM documents WHERE doc_id < 2000), " +
+        "px AS (SELECT d.doc_id, tx.x, ty.y, " +
+        "CASE WHEN tx.x = 8 AND ((m >= 1 AND ty.y = (g*7) % 8) " +
+        "OR (m >= 2 AND ty.y = (g*7+5) % 8) OR (m >= 3 AND ty.y = (g*7+10) % 8)) " +
+        "THEN 1 - b.base ELSE b.base END AS v " +
+        "FROM d, generate_series(0, 8) tx(x), generate_series(0, 7) ty(y), " +
+        "LATERAL (SELECT CASE WHEN substr(md5(CAST(g AS VARCHAR) || '_' || CAST(ty.y AS VARCHAR)), " +
+        "CAST(tx.x + 1 AS INT), 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END AS base) b), " +
+        "bits AS (SELECT a.doc_id, a.y*8 + a.x AS bit FROM px a " +
+        "JOIN px r ON r.doc_id = a.doc_id AND r.y = a.y AND r.x = a.x + 1 " +
+        "WHERE a.x < 8 AND a.v > r.v), " +
+        "h AS (SELECT d.doc_id, " +
+        "coalesce(sum(CASE WHEN bit < 32 THEN CAST(1 AS BIGINT) << bit END), 0) AS lo, " +
+        "coalesce(sum(CASE WHEN bit >= 32 THEN CAST(1 AS BIGINT) << (bit - 32) END), 0) AS hi " +
+        "FROM d LEFT JOIN bits ON bits.doc_id = d.doc_id GROUP BY d.doc_id) " +
+        "SELECT a.doc_id AS src, c.doc_id AS dst, " +
+        "CAST(bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) AS INT) AS hamming " +
+        "FROM h a JOIN h c ON a.doc_id < c.doc_id " +
+        "WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 3 " +
+        "ORDER BY src, dst"),
     "q_media_meta" ->
       ("SELECT doc_id, " +
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS kind, " +

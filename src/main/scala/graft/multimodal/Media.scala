@@ -297,6 +297,80 @@ object Media {
     ((redSum / n).toInt, hist.map(c => c.toFloat / n))
   }
 
+  /** 64-bit difference hash (dHash — Krawetz, "Kind of Like That",
+    * HackerFactor 2013): downscale to a 9×8 luma grid (shared bilinear
+    * kernel, [[scaleFrame]]; a 9×8 input passes through untouched so
+    * grid-aligned fixtures stay closed-form), then bit (y·8+x) = 1 iff
+    * luma(x,y) > luma(x+1,y). Encoding-invariant where raster features
+    * aren't: the SAME photo re-encoded at a different JPEG quality or
+    * resolution keeps nearly all 64 gradient signs, so web-scale image
+    * dedup reduces to Hamming-ball probing over these fingerprints —
+    * the exact machinery SimHash already runs for text
+    * ([[graft.near.SimHash.edgesFromFingerprints]] is
+    * fingerprint-generic). Luma is the same Rec.601 integer form as
+    * [[rasterFeatures]].
+    */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val g = if (img.getWidth == 9 && img.getHeight == 8) img else scaleFrame(img, 9, 8)
+    def luma(x: Int, y: Int): Int = {
+      val rgb = g.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (luma(x, y) > luma(x + 1, y)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** (id, simhash) dHash fingerprint frame — the image analog of
+    * `SimHash.fingerprints`, feeding the same Hamming-ball prober
+    * (`SimHash.edgesFromFingerprints`) for image near-dup edges. Same
+    * per-partition codec init and the same magic gate as [[decode]];
+    * a payload no raster codec claims yields a null fingerprint
+    * (excluded from probing — video/audio dedup needs a real codec at
+    * the stub swap-in point, not a fake hash that would cluster all
+    * unknown payloads by byte noise).
+    */
+  def dHashes(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = gatedDecodePixels(m.payload, parseImageMeta(m.payload))
+        (m.media_id, img.map(dHash64))
+      }
+    }.toDF("id", "simhash")
+  }
+
+  /** Deterministic gray w×h PNG with per-pixel gray from `f(x, y)` —
+    * the patterned-fixture sibling of [[encodedBytes]] (PNG only:
+    * lossless, so pixel-derived hashes have closed-form oracles).
+    */
+  def grayPngBytes(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic REAL encoded fixture: a solid-gray w×h image
     * encoded by the JDK's own png/gif/jpeg writer. Solid gray
     * round-trips EXACTLY through all three codecs (JPEG of a constant

@@ -1027,6 +1027,51 @@ class MediaSpec extends SparkSpec {
     val frames = Media.sampleFrames(dec.toDF(), stride = 5)
     assert(frames.count() >= dec.count()) // ≥1 frame per media row
   }
+
+  test("dHash: deterministic, 1-bit under a right-edge flip, dispersive across patterns (r5 image near-dup)") {
+    def pat(seed: Int, flipY: Int = -1): Array[Byte] =
+      Media.grayPngBytes(9, 8) { (x, y) =>
+        val base = (((seed * 31 + x * 7 + y * 13) % 5) % 2 + 2) % 2
+        255 * (if (x == 8 && y == flipY) 1 - base else base)
+      }
+    def hashOf(bytes: Array[Byte]): Long =
+      Media.dHash64(Media.decodePixels(bytes).get)
+    // identical bytes → identical hash
+    assert(hashOf(pat(3)) == hashOf(pat(3)))
+    // a single right-edge pixel flip perturbs at most one comparison bit
+    assert(java.lang.Long.bitCount(hashOf(pat(3)) ^ hashOf(pat(3, flipY = 2))) <= 1)
+    // unrelated patterns disperse far beyond any probing ball
+    assert(java.lang.Long.bitCount(hashOf(pat(3)) ^ hashOf(pat(4))) > 8)
+  }
+
+  test("dHash survives 10x magnification (the downscale path) within a small Hamming ball") {
+    val base = Media.grayPngBytes(9, 8) { (x, y) => 255 * ((x * 7 + y * 13) % 2) }
+    val big = Media.grayPngBytes(90, 80) { (x, y) => 255 * (((x / 10) * 7 + (y / 10) * 13) % 2) }
+    val d = java.lang.Long.bitCount(
+      Media.dHash64(Media.decodePixels(base).get) ^
+        Media.dHash64(Media.decodePixels(big).get))
+    assert(d <= 3, s"magnified dHash drifted $d bits")
+  }
+
+  test("dHashes + SimHash prober: planted image near-dups cluster, undecodable payloads excluded") {
+    import spark.implicits._
+    val a = Media.grayPngBytes(9, 8) { (x, y) => 255 * ((x + y) % 2) }
+    val aFlip = Media.grayPngBytes(9, 8) { (x, y) =>
+      val v = (x + y) % 2; 255 * (if (x == 8 && y == 1) 1 - v else v)
+    }
+    val far = Media.grayPngBytes(9, 8) { (x, y) => if (x < 4) 255 else 0 }
+    val junk = Array[Byte](1, 2, 3, 4)
+    val media = Seq(
+      Media.MediaRow("a", "image", a), Media.MediaRow("b", "image", aFlip),
+      Media.MediaRow("c", "image", far), Media.MediaRow("x", "image", junk)
+    ).toDS()
+    val fp = Media.dHashes(spark, media)
+    assert(fp.filter(col("id") === "x").head().isNullAt(1)) // no fake hash for junk
+    val edges = graft.near.SimHash
+      .edgesFromFingerprints(fp, graft.near.SimHash.Config())
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges == Set(("a", "b")))
+  }
 }
 
 class SourceFormatSpec extends SparkSpec {
