@@ -1200,6 +1200,19 @@ object SparkEntry {
       graft.text.NgramLm.ccnetBuckets(docs(s, dir), sampleFrac = 0.5)
         .orderBy("doc_id")),
 
+    // ---- DSIR importance resampling (Xie et al. 2023): target LM =
+    // the doc_id%7 slice, raw LM = the whole corpus; log-importance is
+    // the exact integer micro-nat difference, selection the exact
+    // BudgetSelect top-k (beta=0 — the Gumbel path is scalatest
+    // scope, its double ln-of-ln isn't cross-engine hash-exact). The
+    // oracle replays both LM scorings, the fallback coalesces, and
+    // the (li DESC, md5 tie-shuffle, id) rank in pure SQL
+    "q_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.Dsir.resample(d, d.filter(col("doc_id") % 7 === 0), k = 120)
+        .orderBy("doc_id")
+    }),
+
     // ---- BPE merge-candidate counts (tokenizer-training prep): pair
     // counts over the WORD-COUNT table, not the corpus — the explode
     // runs over |vocab| rows weighted by frequency
@@ -2765,6 +2778,32 @@ object SparkEntry {
         "SELECT av.doc_id, av.n_bigrams, av.avg_micro, " +
         "CASE WHEN av.avg_micro <= th.t1 THEN 'tail' WHEN av.avg_micro <= th.t2 THEN 'middle' " +
         "ELSE 'head' END AS ccnet_bucket FROM av CROSS JOIN th ORDER BY av.doc_id"),
+    "q_dsir" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts " +
+        "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +
+        "bg AS (SELECT doc_id, split_part(b, ' ', 1) AS w1, b AS bigram FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS b " +
+        "FROM t WHERE len(ts) >= 2)), " +
+        "uniR AS (SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM t) GROUP BY w), " +
+        "vvR AS (SELECT count(*) AS v FROM uniR), " +
+        "bcR AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram), " +
+        "uniT AS (SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM t WHERE doc_id % 7 = 0) GROUP BY w), " +
+        "vvT AS (SELECT count(*) AS v FROM uniT), " +
+        "bcT AS (SELECT bigram, count(*) AS c FROM bg WHERE doc_id % 7 = 0 GROUP BY bigram), " +
+        "sc AS (SELECT g.doc_id, " +
+        "CAST(round(ln((coalesce(bcT.c, 0) + 1.0) / (coalesce(uniT.c, 0) + vvT.v)) * 1000000.0) AS BIGINT) " +
+        "- CAST(round(ln((coalesce(bcR.c, 0) + 1.0) / (coalesce(uniR.c, 0) + vvR.v)) * 1000000.0) AS BIGINT) AS li " +
+        "FROM bg g LEFT JOIN bcT ON g.bigram = bcT.bigram " +
+        "LEFT JOIN bcR ON g.bigram = bcR.bigram " +
+        "LEFT JOIN uniT ON g.w1 = uniT.w LEFT JOIN uniR ON g.w1 = uniR.w " +
+        "CROSS JOIN vvT CROSS JOIN vvR), " +
+        "per AS (SELECT doc_id, count(*) AS n, sum(li) AS s FROM sc GROUP BY doc_id), " +
+        "imp AS (SELECT d.doc_id, coalesce(per.n, 0) AS n_bigrams, " +
+        "CAST(coalesce(per.s, 0) AS BIGINT) AS li_micro " +
+        "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id), " +
+        "r AS (SELECT doc_id, n_bigrams, li_micro, row_number() OVER " +
+        "(ORDER BY li_micro DESC, md5('dsir:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM imp) " +
+        "SELECT doc_id, n_bigrams, li_micro, rn <= 120 AS kept FROM r ORDER BY doc_id"),
     "q_bpe_merges" ->
       ("WITH toks AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w " +
         "FROM documents WHERE text IS NOT NULL AND trim(text) <> ''), " +

@@ -39,14 +39,14 @@ object NgramLm {
     * materialized (SCALE.md invariant 7) — blank/null docs drop here
     * and rejoin as zero-bigram rows at score time.
     */
-  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[text] def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol), TextStats.tokens(lower(col(textCol))).as("ts"))
 
   /** Per-occurrence bigram stream with the first token carried along
     * (so scoring never re-splits the bigram string).
     */
-  private def bigramOccurrences(t: DataFrame, idCol: String): DataFrame =
+  private[text] def bigramOccurrences(t: DataFrame, idCol: String): DataFrame =
     t.filter(size(col("ts")) >= 2)
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("ts")) - 1),

@@ -101,4 +101,42 @@ class NgramLmSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       NgramLm.ccnetBuckets(d, sampleFrac = 1.0, sampleCap = 4))
   }
+
+  test("DSIR: importance ranks target-domain docs above off-domain, selection keeps exactly k") {
+    // two sub-languages: "med"-vocab docs (the target domain) and
+    // "web"-vocab docs; raw corpus is the union. Importance must rank
+    // every med doc above every web doc.
+    val med = (0 until 20).map(i =>
+      (i.toLong, s"dose trial patient cohort dose trial v$i"))
+    val web = (20 until 60).map(i =>
+      (i.toLong, s"click buy sale cheap deal offer v$i"))
+    val d = (med ++ web).toDF("doc_id", "text")
+    val target = d.filter($"doc_id" < 20)
+    val imp = Dsir.importance(d, target).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val medMin = (0L until 20L).map(imp).min
+    val webMax = (20L until 60L).map(imp).max
+    assert(medMin > webMax,
+      s"target docs must out-rank off-domain: med min $medMin vs web max $webMax")
+    val sel = Dsir.resample(d, target, k = 20).collect()
+    assert(sel.count(_.getBoolean(3)) == 20)
+    assert(sel.filter(_.getBoolean(3)).forall(_.getLong(0) < 20L),
+      "the k kept docs must be exactly the target-domain ones")
+  }
+
+  test("DSIR: Gumbel resampling is deterministic per salt and perturbs the argmax cut") {
+    // one flat importance region (identical text) — beta=0 cuts by the
+    // md5 tie-shuffle; a large beta re-draws, so the kept set under a
+    // DIFFERENT salt differs while the same salt reproduces exactly
+    val d = (0 until 40).map(i => (i.toLong, "same text here")).toDF("doc_id", "text")
+    def kept(beta: Double, salt: String): Set[Long] =
+      Dsir.resample(d, d, k = 10, gumbelBeta = beta, salt = salt).collect()
+        .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(kept(5.0, "s1") == kept(5.0, "s1"), "same salt must reproduce")
+    assert(kept(5.0, "s1") != kept(5.0, "s2") || kept(5.0, "s1") != kept(0.0, "s2"),
+      "different salts should re-draw the flat-region cut")
+    assert(kept(0.0, "s1").size == 10)
+    intercept[IllegalArgumentException](Dsir.resample(d, d, k = -1))
+    intercept[IllegalArgumentException](Dsir.resample(d, d, k = 1, gumbelBeta = -0.5))
+  }
 }
