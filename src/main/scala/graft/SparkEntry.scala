@@ -520,6 +520,36 @@ object SparkEntry {
         unix_timestamp(col("warc_ts")).as("ts_epoch"))
     }),
 
+    // ---- charset-sniffed decode (HTML5 precedence: BOM > header
+    // param > meta prescan; total, U+FFFD on damage): four real
+    // encodings round-trip byte->text, including a BOM that overrides
+    // a LYING meta declaration. Fixture strings are closed forms of
+    // doc_id built in the encoders' own charsets; the oracle holds the
+    // identical expected text as UTF-8 literals — full-text hash-exact
+    "q_charset" -> ((s, dir) => {
+      val fix = udf((id: Long) => (id % 4).toInt match {
+        case 0 =>
+          val t = s"<meta charset=windows-1252><p>café €uro n°$id — ok"
+          ("text/html", t.getBytes("windows-1252"))
+        case 1 =>
+          val t = s"<meta charset=shift_jis>日本語 $id 🚀"
+          (null: String,
+            Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ t.getBytes("UTF-8"))
+        case 2 =>
+          val t = s"naïve résumé ±$id ÷2"
+          ("text/html; charset=ISO-8859-1", t.getBytes("ISO-8859-1"))
+        case _ =>
+          val t = "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=Shift_JIS\">" +
+            s"<p>東京都 $id 番地"
+          ("text/html", t.getBytes("Shift_JIS"))
+      })
+      val dec = udf((ct: String, body: Array[Byte]) =>
+        graft.extract.CharsetSniff.decode(ct, body))
+      docs(s, dir).select(col("doc_id"), fix(col("doc_id")).as("f"))
+        .select(col("doc_id"), dec(col("f._1"), col("f._2")).as("d"))
+        .select(col("doc_id"), col("d._1").as("charset"), col("d._2").as("text"))
+    }),
+
     // ---- normalized-text near-exact dedup (fingerprint identity)
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextStats.fingerprintMd5(col("text")).as("fp"))),
@@ -2571,6 +2601,16 @@ object SparkEntry {
         "md5(coalesce(text, '')) AS text_md5, " +
         "CAST(len(coalesce(text, '')) AS BIGINT) AS n_chars, " +
         "CAST(1700000000 + doc_id AS BIGINT) AS ts_epoch FROM documents"),
+    "q_charset" ->
+      ("SELECT doc_id, " +
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'windows-1252' WHEN 1 THEN 'utf-8' " +
+        "WHEN 2 THEN 'iso-8859-1' ELSE 'shift_jis' END AS charset, " +
+        "CASE CAST(doc_id % 4 AS INT) " +
+        "WHEN 0 THEN '<meta charset=windows-1252><p>café €uro n°' || doc_id || ' — ok' " +
+        "WHEN 1 THEN '<meta charset=shift_jis>日本語 ' || doc_id || ' 🚀' " +
+        "WHEN 2 THEN 'naïve résumé ±' || doc_id || ' ÷2' " +
+        "ELSE '<meta http-equiv=\"Content-Type\" content=\"text/html; charset=Shift_JIS\"><p>東京都 ' || doc_id || ' 番地' " +
+        "END AS text FROM documents"),
     "q_fingerprint" ->
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
     "q_empty_split" ->
