@@ -177,6 +177,35 @@ object SparkEntry {
     val two = s"regexp_extract($h, '([^.]+\\.[^.]+)$$', 1)"
     s"CASE WHEN $three <> '' THEN $three WHEN $two <> '' THEN $two ELSE $h END"
   }
+  /** One precision-`p` leg of the q_hll_distinct oracle: the full
+    * register → exact-integer-estimator HLL chain over `grpSql`
+    * groups (see report/Cardinality.scala; the integral numerator is
+    * SHARED via Cardinality.numeratorStr so both engines divide the
+    * same exact integer). `length(bin(x))` is DuckDB's unpadded
+    * bit-length — the exact analog of Spark's `length(conv(x,10,2))`.
+    */
+  private def hllLegSql(p: Int, grpSql: String): String = {
+    val m = 1L << p
+    val r = 60 - p
+    val rhoMax = r + 1
+    val lnMicroM = math.round(math.log(m.toDouble) * 1000000.0)
+    val a = graft.report.Cardinality.numeratorStr(p)
+    s"SELECT e.grp, $p AS p, e.v_zero, e.s, " +
+      s"CASE WHEN e.raw <= ${m * 5 / 2} AND e.v_zero > 0 " +
+      s"THEN ($m * ($lnMicroM - CAST(round(ln(e.v_zero) * 1000000) AS BIGINT))) // 1000000 " +
+      "ELSE e.raw END AS est_hll, x.n_exact FROM " +
+      "(SELECT grp, v_zero, s, " +
+      s"CAST(CAST('$a' AS HUGEINT) // (CAST(s AS HUGEINT) * 1000000) AS BIGINT) AS raw FROM " +
+      s"(SELECT grp, $m - count(*) AS v_zero, " +
+      s"CAST(sum(1::BIGINT << ($rhoMax - mj)) + ($m - count(*)) * (1::BIGINT << $rhoMax) AS BIGINT) AS s FROM " +
+      s"(SELECT grp, h // ${1L << r} AS j, " +
+      s"max(CASE WHEN h % ${1L << r} = 0 THEN $rhoMax ELSE $rhoMax - length(bin(h % ${1L << r})) END) AS mj FROM " +
+      s"(SELECT $grpSql AS grp, CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h " +
+      "FROM documents WHERE text IS NOT NULL) GROUP BY grp, j) GROUP BY grp)) e " +
+      s"JOIN (SELECT $grpSql AS grp, count(DISTINCT text) AS n_exact " +
+      "FROM documents WHERE text IS NOT NULL GROUP BY grp) x USING (grp)"
+  }
+
   /** `WITH … dom AS (src_domain, dst_domain per extracted link)` —
     * shared prefix of the q_domain_graph and q_pagerank oracles.
     */
@@ -894,6 +923,30 @@ object SparkEntry {
       graft.report.DomainStats.domainStats(
           docs(s, dir).select(col("doc_id"), graphUrl.as("url"), col("text")))
         .orderBy("domain")
+    }),
+
+    // HLL distinct-cardinality audit (dedup PLANNING): per-source
+    // sketch estimates at p=12 (the linear-counting regime at test
+    // scale) plus a global p=7 row (m=128 — the raw-estimator branch
+    // at sf>=0.01), each beside its exact distinct count; every
+    // estimator step is exact integer arithmetic, replayed
+    // register-for-register in DuckDB
+    "q_hll_distinct" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def leg(keyed: DataFrame, p: Int): DataFrame = {
+        val est = graft.report.Cardinality
+          .hllDistinct(keyed, Seq("grp"), col("v"), p)
+          .withColumnRenamed("est", "est_hll")
+        val exact = keyed.filter(col("v").isNotNull).groupBy("grp")
+          .agg(countDistinct(col("v")).as("n_exact"))
+        est.join(exact, Seq("grp")).withColumn("p", lit(p))
+      }
+      leg(d.select(col("source").as("grp"), col("text").as("v")), 12)
+        .unionByName(
+          leg(d.select(lit("ALL").as("grp"), col("text").as("v")), 7))
+        .select(col("grp"), col("p"), col("v_zero"), col("s"),
+          col("est_hll"), col("n_exact"))
+        .orderBy("p", "grp")
     }),
 
     // cross-domain mirror/syndication detection: domain pairs ranked
@@ -2370,6 +2423,9 @@ object SparkEntry {
     // chunk CTE = q_chunk_dedup's chain keyed on domain; the 2..20
     // count gate and d1 < d2 expansion mirror the engine's two-sided
     // cap exactly
+    "q_hll_distinct" ->
+      s"${hllLegSql(12, "source")} UNION ALL ${hllLegSql(7, "'ALL'")} ORDER BY p, grp",
+
     "q_mirror_domains" ->
       (s"WITH h AS (SELECT doc_id, 'https://WWW.Site' || (doc_id % 10) || '.example/p' || (doc_id % 50) AS url, text FROM documents), " +
         s"hd AS (SELECT ${domCaseSql(hostSql("url"))} AS domain, text FROM h WHERE text IS NOT NULL), " +
