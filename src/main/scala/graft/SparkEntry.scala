@@ -1206,6 +1206,32 @@ object SparkEntry {
         .orderBy("src", "dst")
     }),
 
+    // ---- prototype pruning (SSL-prototypes / D4's second stage):
+    // rank every vector by cosine to its cluster centroid, cut the
+    // most-prototypical 30% per cluster through GroupTopK's
+    // histogram-staged exact selection. Assignment uses CLOSED-FORM
+    // axis-pattern centroids with micro-quantized argmax dots
+    // (centroid-training determinism is q_ann_ivf's job; the ranking
+    // + fractional cut is what this query pins), so the oracle
+    // replays assignment, micro cosine, md5 tie order, and the ppm
+    // floor cut verbatim.
+    "q_prototypes" -> ((s, dir) => {
+      val cents = Array.tabulate(4, 64)((j, i) => if (i % 4 == j) 1.0 else 0.0)
+      def dj(j: Int) = round(expr(
+        s"aggregate(transform(sequence(0, 15), k -> CAST(embedding[k*4 + $j] AS DOUBLE)), 0.0D, (a, b) -> a + b)")
+        * lit(1000000.0)).cast("long")
+      val assigned = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          dj(0).as("m0"), dj(1).as("m1"), dj(2).as("m2"), dj(3).as("m3"))
+        .withColumn("cell",
+          when(col("m0") >= col("m1") && col("m0") >= col("m2") && col("m0") >= col("m3"), 0)
+            .when(col("m1") >= col("m2") && col("m1") >= col("m3"), 1)
+            .when(col("m2") >= col("m3"), 2)
+            .otherwise(3))
+      graft.sim.Prototypes.pruneCut(assigned, cents, 300000L)
+        .orderBy("vec_id")
+    }),
+
     // ---- leakage-safe train/val/test split: the split is a pure
     // function of the normalized-text FINGERPRINT (exact-dup groups
     // can never straddle the eval boundary), map-only — zero shuffles
@@ -2768,6 +2794,31 @@ object SparkEntry {
         "list_dot_product(l.v, r.v) AS dot FROM e l JOIN e r ON l.vec_id < r.vec_id), " +
         "sc AS (SELECT src, dst, round(CASE WHEN na > 0 AND nb > 0 THEN dot / sqrt(na * nb) ELSE 0.0 END, 6) AS score FROM s) " +
         "SELECT src, dst, score FROM sc WHERE score >= 0.99 ORDER BY src, dst"),
+    // assignment (micro-quantized argmax dots vs the axis centroids),
+    // micro cosine-to-centroid, md5 tie order, and the 300000-ppm
+    // floor cut, replayed step for step
+    "q_prototypes" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "d AS (SELECT vec_id, v, " +
+        "list_sum(list_transform(range(0, 16), k -> v[k*4 + 1])) AS d0, " +
+        "list_sum(list_transform(range(0, 16), k -> v[k*4 + 2])) AS d1, " +
+        "list_sum(list_transform(range(0, 16), k -> v[k*4 + 3])) AS d2, " +
+        "list_sum(list_transform(range(0, 16), k -> v[k*4 + 4])) AS d3 FROM e), " +
+        "m AS (SELECT vec_id, v, d0, d1, d2, d3, " +
+        "CAST(round(d0 * 1000000) AS BIGINT) AS m0, CAST(round(d1 * 1000000) AS BIGINT) AS m1, " +
+        "CAST(round(d2 * 1000000) AS BIGINT) AS m2, CAST(round(d3 * 1000000) AS BIGINT) AS m3 FROM d), " +
+        "a AS (SELECT vec_id, v, d0, d1, d2, d3, " +
+        "CASE WHEN m0 >= m1 AND m0 >= m2 AND m0 >= m3 THEN 0 " +
+        "WHEN m1 >= m2 AND m1 >= m3 THEN 1 WHEN m2 >= m3 THEN 2 ELSE 3 END AS cell FROM m), " +
+        "p AS (SELECT vec_id, cell, CASE WHEN list_dot_product(v, v) > 0 THEN " +
+        "CAST(round(((CASE cell WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 ELSE d3 END) " +
+        "/ sqrt(list_dot_product(v, v) * 16.0)) * 1000000) AS BIGINT) ELSE 0 END AS proto_micro FROM a), " +
+        "r AS (SELECT vec_id, cell, proto_micro, " +
+        "row_number() OVER (PARTITION BY cell ORDER BY proto_micro DESC, md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn, " +
+        "count(*) OVER (PARTITION BY cell) AS n FROM p) " +
+        "SELECT vec_id, cell, proto_micro, rn > (n * 300000) // 1000000 AS kept " +
+        "FROM r ORDER BY vec_id"),
+
     "q_mixture" ->
       ("WITH ints AS (SELECT i AS copy_ix FROM range(0, 4) t(i)), " +
         "w AS (SELECT doc_id, source, CAST(CASE (CAST(substr(source, 4) AS INT) % 4) " +
