@@ -224,6 +224,28 @@ object SparkEntry {
       s"ON c.id = n$k.id)"
   }.mkString(", ")
 
+  /** The q_cc dup-cluster assignment (fingerprint + ident star edges →
+    * large/small-star CC), shared by q_cc and q_soft_dedup: (doc_id,
+    * component) for EVERY doc, singletons labeled by their own id.
+    */
+  private def ccAssignment(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(
+      lpad(col("doc_id").cast("string"), 12, "0").as("id"),
+      TextStats.fingerprintMd5(col("text")).as("fp"),
+      concat_ws("|", col("lang"), col("n_chars")).as("ident"))
+    def starEdges(key: Column) = {
+      val w = Window.partitionBy(key)
+      d.select(col("id"), min(col("id")).over(w).as("m"))
+        .filter(col("id") =!= col("m"))
+        .select(col("id").as("src"), col("m").as("dst"))
+    }
+    val edges = starEdges(col("fp")).unionByName(starEdges(col("ident")))
+    val cc = graft.cluster.ConnectedComponents.run(edges)
+    d.select(col("id")).join(cc, Seq("id"), "left")
+      .select(col("id").cast("long").as("doc_id"),
+        coalesce(col("component"), col("id")).cast("long").as("component"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
@@ -1151,23 +1173,16 @@ object SparkEntry {
     // ---- connected components [EXT] over two star-edge sets (same
     // normalized fingerprint ∪ same (lang, n_chars)) — multi-hop
     // clusters; oracle is a recursive min-label CTE
-    "q_cc" -> ((s, dir) => {
-      val d = docs(s, dir).select(
-        lpad(col("doc_id").cast("string"), 12, "0").as("id"),
-        TextStats.fingerprintMd5(col("text")).as("fp"),
-        concat_ws("|", col("lang"), col("n_chars")).as("ident"))
-      def starEdges(key: Column) = {
-        val w = Window.partitionBy(key)
-        d.select(col("id"), min(col("id")).over(w).as("m"))
-          .filter(col("id") =!= col("m"))
-          .select(col("id").as("src"), col("m").as("dst"))
-      }
-      val edges = starEdges(col("fp")).unionByName(starEdges(col("ident")))
-      val cc = graft.cluster.ConnectedComponents.run(edges)
-      d.select(col("id")).join(cc, Seq("id"), "left")
-        .select(col("id").cast("long").as("doc_id"),
-          coalesce(col("component"), col("id")).cast("long").as("component"))
-    }),
+    "q_cc" -> ((s, dir) => ccAssignment(s, dir)),
+
+    // ---- soft dedup (duplicate-aware loss re-weighting): every
+    // member of a q_cc dup cluster carries weight_micro = 10^6 div
+    // cluster size — the keep-everything alternative to the keep-one
+    // canonicals, oracle = the q_cc recursive-CTE components extended
+    // with the size count and the exact integer division
+    "q_soft_dedup" -> ((s, dir) =>
+      graft.cluster.SoftDedup.weights(ccAssignment(s, dir), "doc_id", "component")
+        .orderBy("doc_id")),
 
     // ---- embedding near-dup pairs [EXT]: LSH-bucketed candidate
     // generation + exact cosine ≥ 0.99 verify (`Ann.embeddingDupEdges`
@@ -2000,8 +2015,11 @@ object SparkEntry {
   /** Shared by q_cc and q_incremental_cc: the full-corpus recursive
     * min-label CTE over both star-edge sets (fp, (lang, n_chars)).
     */
-  private val ccOracleSql: String =
-    "WITH RECURSIVE d AS (SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS id, " +
+  /** The q_cc recursive-CTE chain up to `lbl` — shared by the q_cc /
+    * q_incremental_cc oracles and q_soft_dedup's size-weighted form.
+    */
+  private val ccCtesSql: String =
+    "d AS (SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS id, " +
       "md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp, " +
       "lang || '|' || CAST(n_chars AS VARCHAR) AS ident FROM documents), " +
       "e1 AS (SELECT id AS src, min(id) OVER (PARTITION BY fp) AS dst FROM d), " +
@@ -2009,7 +2027,10 @@ object SparkEntry {
       "edges AS (SELECT src, dst FROM e1 WHERE src <> dst UNION SELECT src, dst FROM e2 WHERE src <> dst), " +
       "sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges), " +
       "lbl(id, comp) AS (SELECT id, id FROM d " +
-      "UNION SELECT s.dst, l.comp FROM lbl l JOIN sym s ON s.src = l.id AND l.comp < s.dst) " +
+      "UNION SELECT s.dst, l.comp FROM lbl l JOIN sym s ON s.src = l.id AND l.comp < s.dst)"
+
+  private val ccOracleSql: String =
+    s"WITH RECURSIVE $ccCtesSql " +
       "SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS component FROM lbl GROUP BY id"
 
   def oracleSql: Map[String, String] = Map(
@@ -2773,6 +2794,13 @@ object SparkEntry {
     // same oracle by construction: the incremental path must reproduce
     // a from-scratch full-corpus run exactly
     "q_incremental_cc" -> ccOracleSql,
+    // the q_cc components + the exact 10^6 div size weighting
+    "q_soft_dedup" ->
+      (s"WITH RECURSIVE $ccCtesSql, " +
+        "comp AS (SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS component FROM lbl GROUP BY id), " +
+        "sz AS (SELECT component, count(*) AS n_members FROM comp GROUP BY component) " +
+        "SELECT c.doc_id, c.component, s.n_members, 1000000 // s.n_members AS weight_micro " +
+        "FROM comp c JOIN sz s USING (component) ORDER BY doc_id"),
     "q_embedding_dup" ->
       (s"WITH ${plantedSql(50, "pl")}, " +
         "c AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id, embedding FROM pl), " +
