@@ -22,7 +22,7 @@ import graft.report.Report
   *   --ignore-empty          drop zero-byte docs (F2)
   *   --exact-only            skip MinHash/SimHash/CC extensions
   *   --outfile PATH|-        tab report destination (default stdout)
-  *   --format report|clusters|clean|lines|paragraphs|spans|splits|overlap|lm|c4|ccnet|pack|quota|budget|mirrors  output: P2 tab
+  *   --format report|clusters|clean|lines|paragraphs|spans|splits|overlap|lm|c4|ccnet|pack|quota|budget|mirrors|weights  output: P2 tab
   *                           report, normalized (url, cluster_id),
   *                           the chunk-deduped corpus (url,
   *                           clean_text — the TILED Lee et al.
@@ -833,6 +833,12 @@ object Main {
             col("__q"), col("__nt"), budget = tokenBudget, idCol = "url")
           .filter(col("kept"))
           .select(col("id").as("url"), col("score"), col("n_tokens"))
+      case "weights" =>
+        // soft dedup (duplicate-aware loss re-weighting): EVERY member
+        // of every dup cluster kept, weighted 10^6 div cluster size —
+        // the keep-everything alternative to the keeper formats; a
+        // trainer samples by weight instead of seeing the survivors
+        graft.cluster.SoftDedup.weights(result.clusters, "url", "cluster_id")
       case "mirrors" =>
         // cross-domain mirror/syndication audit over the INPUT corpus
         // (auditOnly: the dedup DAG never runs); pair grain is tiny,

@@ -1177,6 +1177,26 @@ class IncrementalCliSpec extends SparkSpec {
     assert(trainN > 20 && trainN < 100, s"degenerate split: $trainN/120 train")
   }
 
+  test("--format weights emits soft-dedup loss weights: 1e6 div cluster size, every member kept") {
+    def mk(rows: Seq[(String, String)]) = rows.toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    val body = (0 until 30).map(j => s"trio tok$j").mkString(" ")
+    val docs = mk(Seq(
+      ("https://a.example/1", body), ("https://a.example/2", body),
+      ("https://a.example/3", body),
+      ("https://b.example/solo", (0 until 30).map(j => s"solo w$j").mkString(" "))))
+    val result = graft.pipeline.DedupPipeline.run(docs)
+    val out = graft.Main.formatOutput(docs, result, "weights", None)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 4) // every member kept, not just survivors
+    Seq("1", "2", "3").foreach { i =>
+      assert(out(s"https://a.example/$i") == ((3L, 333333L)))
+    }
+    assert(out("https://b.example/solo") == ((1L, 1000000L)))
+  }
+
   test("--robots pre-filter drops disallowed urls, keeps allowed and url-less docs") {
     val docs = Seq(
       (1L, "https://a.example/private/secret"), // * disallows /private
