@@ -266,6 +266,10 @@ object SparkEntry {
   private val warcFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q_revisit fixture dirs, same caching contract. */
+  private val revisitFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q_wet fixture dirs, same caching contract. */
   private val wetFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -345,6 +349,46 @@ object SparkEntry {
               graft.sources.Warc.responseRecord(
                 s"https://warc.example/$id", iso, 200 + (id % 3).toInt, body,
                 contentType = ct))
+          }
+          out.close()
+        }
+      }
+
+  /** q_revisit fixture: every doc's response carries its md5 payload
+    * digest; every doc_id % 5 == 0 also gets a revisit record one day
+    * later at `?recrawl` — pointing at its own payload digest (the CC
+    * unchanged-recrawl case) except doc_id % 25 == 0, whose digest
+    * references a capture that is NOT in the segment set (the
+    * unresolved-pointer case the resolver must surface, not drop).
+    */
+  private def writeRevisitFixture(s: SparkSession, dir: String, tmp: String): Unit =
+    docs(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .repartition(8, col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.map(r => (r.getLong(0), r.getString(1))).toArray.sortBy(_._1)
+        if (rows.nonEmpty) {
+          val f = new java.io.File(tmp, f"seg-${rows.head._1}%06d.warc")
+          val out = new java.io.FileOutputStream(f)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          for ((id, t) <- rows) {
+            val body = s"<html><body>$t</body></html>"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val digest = "md5:" +
+              md.digest(body).map("%02x".format(_)).mkString
+            val iso = java.time.Instant.ofEpochSecond(1700000000L + id).toString
+            out.write(graft.sources.Warc.responseRecord(
+              s"https://warc.example/$id", iso, 200, body,
+              payloadDigest = Some(digest)))
+            if (id % 5 == 0) {
+              val revIso =
+                java.time.Instant.ofEpochSecond(1700000000L + id + 86400L).toString
+              val revDigest =
+                if (id % 25 == 0) s"md5:missing$id" else digest
+              out.write(graft.sources.Warc.revisitRecord(
+                s"https://warc.example/$id?recrawl", revIso, revDigest,
+                refersToUri = s"https://warc.example/$id", refersToDate = iso))
+            }
           }
           out.close()
         }
@@ -551,6 +595,30 @@ object SparkEntry {
         md5(col("html")).as("body_md5"),
         octet_length(col("html")).cast("long").as("n_body"),
         unix_timestamp(col("warc_ts")).as("ts_epoch"))
+    }),
+
+    // ---- WARC revisit resolution (crawl-level dedup): responses +
+    // revisit pointers hydrated through the payload-digest join —
+    // resolved recrawls carry the referred capture's exact bytes
+    // under their own url/date, unresolved pointers surface with
+    // null content. The oracle recomputes the closed-form bodies,
+    // digests, and the %5/%25 revisit layout from documents
+    "q_revisit" -> ((s, dir) => {
+      val tmp = revisitFixtureCache.computeIfAbsent(dir, _ => {
+        val t = java.nio.file.Files.createTempDirectory("graft-revisit-q")
+          .toFile.getAbsolutePath
+        writeRevisitFixture(s, dir, t)
+        t
+      })
+      graft.sources.Warc.resolveRevisits(
+          graft.sources.Warc.read(s, tmp),
+          graft.sources.Warc.readRevisits(s, tmp))
+        .select(col("url"),
+          unix_timestamp(col("warc_ts")).as("ts_epoch"),
+          col("revisit"), col("resolved"),
+          md5(col("html")).as("body_md5"),
+          octet_length(col("html")).cast("long").as("n_body"))
+        .orderBy("url")
     }),
 
     // ---- WET (pre-extracted text) ingestion: the documents table
@@ -2699,6 +2767,18 @@ object SparkEntry {
         "md5('<html><body>' || coalesce(text, '') || '</body></html>') AS body_md5, " +
         "CAST(octet_length(encode('<html><body>' || coalesce(text, '') || '</body></html>')) AS BIGINT) AS n_body, " +
         "CAST(1700000000 + doc_id AS BIGINT) AS ts_epoch FROM documents"),
+    "q_revisit" ->
+      ("WITH b AS (SELECT doc_id, '<html><body>' || coalesce(text, '') || '</body></html>' AS body FROM documents), " +
+        "resp AS (SELECT 'https://warc.example/' || CAST(doc_id AS VARCHAR) AS url, " +
+        "CAST(1700000000 + doc_id AS BIGINT) AS ts_epoch, FALSE AS revisit, TRUE AS resolved, " +
+        "md5(body) AS body_md5, CAST(octet_length(encode(body)) AS BIGINT) AS n_body FROM b), " +
+        "rev AS (SELECT 'https://warc.example/' || CAST(doc_id AS VARCHAR) || '?recrawl' AS url, " +
+        "CAST(1700000000 + doc_id + 86400 AS BIGINT) AS ts_epoch, TRUE AS revisit, " +
+        "doc_id % 25 <> 0 AS resolved, " +
+        "CASE WHEN doc_id % 25 <> 0 THEN md5(body) END AS body_md5, " +
+        "CASE WHEN doc_id % 25 <> 0 THEN CAST(octet_length(encode(body)) AS BIGINT) END AS n_body " +
+        "FROM b WHERE doc_id % 5 = 0) " +
+        "SELECT * FROM resp UNION ALL SELECT * FROM rev ORDER BY url"),
     "q_wet" ->
       ("SELECT 'https://wet.example/' || CAST(doc_id AS VARCHAR) AS url, " +
         "md5(coalesce(text, '')) AS text_md5, " +

@@ -50,7 +50,19 @@ object Warc {
     * multimodal path; null when the response carries no Content-Type.
     */
   final case class WarcDoc(url: String, warc_ts: java.sql.Timestamp,
-      html: Array[Byte], http_status: Int, http_mime: String)
+      html: Array[Byte], http_status: Int, http_mime: String,
+      payload_digest: String)
+
+  /** One parsed revisit record (WARC 1.1 §6.7.2 — the crawler ALREADY
+    * deduplicated this fetch against a prior capture and stored only
+    * the pointer): the revisited url/date plus the referred capture's
+    * payload digest (the `identical-payload-digest` profile's join
+    * key) and, when present, the referred URI/date. The block (bare
+    * HTTP headers, no body) is framing — dropped.
+    */
+  final case class RevisitDoc(url: String, warc_ts: java.sql.Timestamp,
+      profile: String, payload_digest: String,
+      refers_to_uri: String, refers_to_ts: java.sql.Timestamp)
 
   /** One parsed conversion (WET) record — the block IS the extracted
     * text; `text` is null when the block is not valid UTF-8 (the
@@ -72,7 +84,58 @@ object Warc {
       .toDF()
       .select(col("url"), col("warc_ts"), col("html"),
         graft.extract.TextExtract.extractText(col("html")).as("text"),
-        lit("und").as("lang"), col("http_status"), col("http_mime"))
+        lit("und").as("lang"), col("http_status"), col("http_mime"),
+        col("payload_digest"))
+  }
+
+  /** Revisit records from `path` — the crawl-level dedup pointers CC
+    * writes instead of re-storing an identical payload. Same
+    * one-task-per-file / bounded-iterator / loud-framing contract as
+    * [[read]].
+    */
+  def readRevisits(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val paths = listFiles(spark, path,
+      n => n.endsWith(".warc") || n.endsWith(".warc.gz"))
+    require(paths.nonEmpty, s"no .warc/.warc.gz files under $path")
+    openTasks[RevisitDoc](spark, paths,
+      (in, p) => typedRecords(in, p, "revisit", parseRevisit)).toDF()
+  }
+
+  /** Hydrate revisit pointers against a response corpus: one output
+    * row per response (revisit = false) PLUS one per revisit record
+    * carrying the REFERRED capture's content under the revisit's own
+    * url/warc_ts (revisit = true, resolved = whether the digest
+    * matched a stored payload; unresolved rows keep null html/text —
+    * surfaced, never dropped). This materializes "what the crawler
+    * actually saw" from what it chose to store — the recrawl-aware
+    * corpus view url-revisit dedup and freshness analyses need.
+    *
+    * Join discipline at 10^12 rows: responses collapse to ONE
+    * deterministic representative per payload digest (map-side
+    * min-struct by (url, warc_ts) — the KeepBest shape, no window
+    * sort), so content shuffles ONCE keyed on the digest; the revisit
+    * frame is pointer-width. Null digests (responses without the
+    * header) never match — a null key drops out of the equi-join
+    * rather than fabricating a cluster.
+    */
+  def resolveRevisits(responses: DataFrame, revisits: DataFrame): DataFrame = {
+    val rep = responses
+      .filter(col("payload_digest").isNotNull)
+      .groupBy(col("payload_digest"))
+      .agg(min(struct(col("url"), col("warc_ts"), col("html"), col("text"),
+        col("lang"))).as("r"))
+      .select(col("payload_digest"), col("r.html").as("_h"),
+        col("r.text").as("_t"), col("r.lang").as("_l"))
+    val base = responses.select(col("url"), col("warc_ts"), col("html"),
+      col("text"), col("lang"), lit(false).as("revisit"),
+      lit(true).as("resolved"))
+    val hydrated = revisits
+      .join(rep, Seq("payload_digest"), "left")
+      .select(col("url"), col("warc_ts"), col("_h").as("html"),
+        col("_t").as("text"), col("_l").as("lang"), lit(true).as("revisit"),
+        col("_h").isNotNull.as("resolved"))
+    base.unionByName(hydrated)
   }
 
   /** Corpus-schema DataFrame (url, warc_ts, html=null, text, lang)
@@ -254,7 +317,25 @@ object Warc {
     // detail, and real-crawl casing/spacing varies freely
     val mime = MimePattern.findFirstMatchIn(head)
       .map(_.group(1).trim.toLowerCase).filter(_.nonEmpty).orNull
-    Some(WarcDoc(url, ts, body, status, mime))
+    Some(WarcDoc(url, ts, body, status, mime,
+      h.get("warc-payload-digest").orNull))
+  }
+
+  /** Revisit record → RevisitDoc; None without a target URI, date, or
+    * payload digest (a digest-less revisit has no join key — framing
+    * noise, not corpus).
+    */
+  private def parseRevisit(h: Map[String, String],
+      block: Array[Byte]): Option[RevisitDoc] = {
+    val url = h.getOrElse("warc-target-uri", return None)
+    val ts = h.get("warc-date").map(d =>
+      java.sql.Timestamp.from(java.time.Instant.parse(d)))
+      .getOrElse(return None)
+    val digest = h.getOrElse("warc-payload-digest", return None)
+    Some(RevisitDoc(url, ts, h.get("warc-profile").orNull, digest,
+      h.get("warc-refers-to-target-uri").orNull,
+      h.get("warc-refers-to-date").map(d =>
+        java.sql.Timestamp.from(java.time.Instant.parse(d))).orNull))
   }
 
   private val MimePattern =
@@ -294,7 +375,8 @@ object Warc {
     */
   def responseRecord(url: String, isoDate: String, status: Int,
       body: Array[Byte], extraHttpHeaders: String = "",
-      contentType: Option[String] = Some("text/html; charset=utf-8")): Array[Byte] = {
+      contentType: Option[String] = Some("text/html; charset=utf-8"),
+      payloadDigest: Option[String] = None): Array[Byte] = {
     val http = (s"HTTP/1.1 $status OK\r\n" +
       contentType.map(ct => s"Content-Type: $ct\r\n").getOrElse("") +
       extraHttpHeaders +
@@ -305,6 +387,27 @@ object Warc {
       s"WARC-Record-ID: <urn:uuid:${java.util.UUID.nameUUIDFromBytes(url.getBytes(UTF_8))}>\r\n" +
       s"WARC-Date: $isoDate\r\n" +
       s"WARC-Target-URI: $url\r\n" +
+      payloadDigest.map(d => s"WARC-Payload-Digest: $d\r\n").getOrElse("") +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes(ISO_8859_1)
+    head ++ block ++ "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+
+  /** Serialize one revisit record (identical-payload-digest profile):
+    * the block is the bare HTTP header section, as crawlers write it.
+    */
+  def revisitRecord(url: String, isoDate: String, payloadDigest: String,
+      refersToUri: String = null, refersToDate: String = null): Array[Byte] = {
+    val block = "HTTP/1.1 200 OK\r\n\r\n".getBytes(ISO_8859_1)
+    val head = ("WARC/1.1\r\n" +
+      "WARC-Type: revisit\r\n" +
+      s"WARC-Record-ID: <urn:uuid:${java.util.UUID.nameUUIDFromBytes((url + "#revisit").getBytes(UTF_8))}>\r\n" +
+      s"WARC-Date: $isoDate\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/identical-payload-digest\r\n" +
+      s"WARC-Payload-Digest: $payloadDigest\r\n" +
+      Option(refersToUri).map(u => s"WARC-Refers-To-Target-URI: $u\r\n").getOrElse("") +
+      Option(refersToDate).map(d => s"WARC-Refers-To-Date: $d\r\n").getOrElse("") +
       "Content-Type: application/http; msgtype=response\r\n" +
       s"Content-Length: ${block.length}\r\n\r\n").getBytes(ISO_8859_1)
     head ++ block ++ "\r\n\r\n".getBytes(ISO_8859_1)

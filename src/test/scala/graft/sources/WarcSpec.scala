@@ -150,4 +150,61 @@ class WarcSpec extends SparkSpec {
     // and read() on the same dir sees only the .warc segment
     assert(Warc.read(spark, dir.getAbsolutePath).count() == 1L)
   }
+
+  test("revisit records: parsed fields, digest-less skipped, responses carry the digest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-revisit").toFile
+    val bytes =
+      Warc.responseRecord("https://r.example/orig", date, 200,
+        "<p>original</p>".getBytes(UTF_8), payloadDigest = Some("md5:abc123")) ++
+      Warc.revisitRecord("https://r.example/again", "2026-02-02T00:00:00Z",
+        "md5:abc123", refersToUri = "https://r.example/orig",
+        refersToDate = date) ++
+      // digest-less revisit: no join key -> skipped by policy
+      ("WARC/1.1\r\nWARC-Type: revisit\r\nWARC-Date: " + date + "\r\n" +
+        "WARC-Target-URI: https://r.example/nokey\r\n" +
+        "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes(UTF_8)
+    val o = new FileOutputStream(new File(dir, "seg-00.warc")); o.write(bytes); o.close()
+    val resp = Warc.read(spark, dir.getAbsolutePath).collect()
+    assert(resp.length == 1 &&
+      resp.head.getAs[String]("payload_digest") == "md5:abc123")
+    val rev = Warc.readRevisits(spark, dir.getAbsolutePath).collect()
+    assert(rev.length == 1)
+    val r = rev.head
+    assert(r.getAs[String]("url") == "https://r.example/again")
+    assert(r.getAs[String]("payload_digest") == "md5:abc123")
+    assert(r.getAs[String]("refers_to_uri") == "https://r.example/orig")
+    assert(r.getAs[String]("profile").endsWith("identical-payload-digest"))
+    assert(r.getAs[java.sql.Timestamp]("refers_to_ts") != null)
+  }
+
+  test("resolveRevisits: hydrated content, unresolved surfaced, same-digest representative deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-revisit2").toFile
+    val bytes =
+      // TWO responses share a digest: the min-(url, ts) one must hydrate
+      Warc.responseRecord("https://h.example/b", date, 200,
+        "<p>copyB</p>".getBytes(UTF_8), payloadDigest = Some("md5:dup")) ++
+      Warc.responseRecord("https://h.example/a", date, 200,
+        "<p>copyA</p>".getBytes(UTF_8), payloadDigest = Some("md5:dup")) ++
+      // a response WITHOUT a digest must never match anything
+      Warc.responseRecord("https://h.example/nodigest", date, 200,
+        "<p>plain</p>".getBytes(UTF_8)) ++
+      Warc.revisitRecord("https://h.example/recrawl", "2026-03-03T00:00:00Z",
+        "md5:dup") ++
+      Warc.revisitRecord("https://h.example/lost", "2026-03-04T00:00:00Z",
+        "md5:gone")
+    val o = new FileOutputStream(new File(dir, "seg-00.warc")); o.write(bytes); o.close()
+    val out = Warc.resolveRevisits(
+      Warc.read(spark, dir.getAbsolutePath),
+      Warc.readRevisits(spark, dir.getAbsolutePath)).collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("text"), r.getAs[Boolean]("revisit"),
+          r.getAs[Boolean]("resolved")))).toMap
+    assert(out.size == 5)
+    assert(out("https://h.example/a") == (("copyA", false, true)))
+    assert(out("https://h.example/nodigest") == (("plain", false, true)))
+    // hydrated from the min-url representative of the shared digest
+    assert(out("https://h.example/recrawl") == (("copyA", true, true)))
+    // unresolved pointer: kept, flagged, content null
+    assert(out("https://h.example/lost") == ((null, true, false)))
+  }
 }
