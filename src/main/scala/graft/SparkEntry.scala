@@ -89,6 +89,51 @@ object SparkEntry {
     }
   })
 
+  /** q_av_meta fixture: one deterministic audio/video container per
+    * doc — id%3 rotates WAV (PCM; rate/channels/bits/samples closed
+    * forms of id) / MP4 (ftyp brand, mvhd timescale+ticks, trak
+    * count) / MP3 (MPEG-1 Layer III CBR; bitrate index 1..14, frame
+    * count, mono/stereo). Every parsed field is integer arithmetic
+    * over these parameters, so the DuckDB oracle recomputes all of
+    * them closed-form; edit in lockstep with the q_av_meta SQL.
+    */
+  private val avFixtureUdf = udf((id: Long) => (id % 3) match {
+    case 0 =>
+      graft.multimodal.AvMeta.wavBytes(
+        rate = 8000 + (id % 5).toInt * 8000,
+        channels = 1 + (id % 2).toInt,
+        bits = if (id % 4 < 2) 8 else 16,
+        nSamples = 100 + (id % 400).toInt)
+    case 1 =>
+      graft.multimodal.AvMeta.mp4Bytes(
+        brand = if (id % 2 == 0) "isom" else "mp42",
+        timescale = 1000 + (id % 9000).toInt,
+        durationTicks = id * 11 % 100000,
+        tracks = 1 + (id % 4).toInt)
+    case _ =>
+      graft.multimodal.AvMeta.mp3Bytes(
+        bitrateIdx = 1 + (id % 14).toInt,
+        nFrames = 1 + (id % 50).toInt,
+        mono = id % 2 == 0)
+  })
+
+  /** q_audio_fp fixture: real 8-bit mono PCM (8 kHz) of 65 windows ×
+    * 80 constant samples; window k's centered amplitude is the first
+    * md5 hex digit of "doc_id_k" minus 8 (md5 because both engines
+    * compute the identical digest — the q_image_phash lesson). Every
+    * audio fact is integer arithmetic over these amplitudes, replayed
+    * closed-form by the oracle; edit in lockstep.
+    */
+  private val audioFixtureUdf = udf((id: Long) => {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val samples = (0 until 65).flatMap { k =>
+      val hex = md.digest(s"${id}_$k".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val a = Integer.parseInt(hex.substring(0, 1), 16) - 8
+      Seq.fill(80)(a)
+    }.toArray
+    graft.multimodal.AvMeta.wavPcm8Bytes(8000, samples)
+  })
+
   /** The web-graph fixtures (q_links / q_domain_graph / q_pagerank):
     * html + url as closed forms of doc_id, shared across the three
     * queries and repeated verbatim in their oracles.
@@ -1767,6 +1812,40 @@ object SparkEntry {
         .orderBy("src", "dst")
     }),
 
+    // multimodal: audio/video CONTAINER metadata (WAV chunk walk /
+    // ISO-BMFF box walk / MPEG-1 Layer III frame header — real
+    // published-layout byte parsing, no codec jar; AvMeta). Fixture
+    // parameters are closed forms of doc_id; all parsed fields are
+    // integer arithmetic the oracle replays exactly.
+    "q_av_meta" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+        .withColumn("bin", avFixtureUdf(col("doc_id")))
+      val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
+      graft.multimodal.AvMeta.parse(s, media).toDF()
+        .select(col("media_id").cast("long").as("doc_id"), col("container"),
+          col("kind"), col("duration_ms"), col("sample_rate"), col("channels"),
+          col("bits_per_sample"), col("tracks"), col("brand"))
+    }),
+
+    // multimodal: REAL PCM decode (8-bit WAV is raw samples — no
+    // codec) → integer-exact audio facts + the 64-bit energy-delta
+    // fingerprint (Haitsma-Kalker sign bits, time-domain windows;
+    // AvMeta.audioFacts). Exported as two 32-bit halves (BIGINT<<63
+    // wraps sign — the q_image_phash lesson); the oracle replays
+    // window energies, comparisons, and boundary zero crossings from
+    // the closed-form amplitudes.
+    "q_audio_fp" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id"))
+        .withColumn("bin", audioFixtureUdf(col("doc_id")))
+      graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin").map { m =>
+        val f = graft.multimodal.AvMeta.audioFacts(m.payload).getOrElse(
+          sys.error(s"fixture payload must be fingerprintable: ${m.media_id}"))
+        (m.media_id.toLong, f.n_samples, f.total_energy, f.zero_crossings,
+          f.fp & 0xffffffffL, f.fp >>> 32)
+      }.toDF("doc_id", "n_samples", "total_energy", "zero_crossings", "fp_lo", "fp_hi")
+    }),
+
     // ---- PII scrubbing (Dolma/C4 release hygiene): typed-placeholder
     // redaction + per-doc counts. Fixture text is a closed form of
     // doc_id built IDENTICALLY in both engines; the oracle replays the
@@ -2695,6 +2774,57 @@ object SparkEntry {
         "CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 65 WHEN 1 THEN 45 ELSE 55 END AS BIGINT) AS n_bytes, " +
         "CAST(16 + (doc_id * 7) % 500 AS INT) AS width, " +
         "CAST(16 + (doc_id * 13) % 400 AS INT) AS height FROM documents"),
+    // Every parsed AV field recomputed closed-form from the fixture
+    // parameters (integer floor division throughout — the engine's
+    // Long arithmetic exactly): WAV duration = data/byte-rate with the
+    // full products, MP4 = ticks·1000/timescale, MP3 = the CBR
+    // bytes·8/kbps over the standard frame length 144·bps/44100.
+    "q_av_meta" ->
+      ("WITH p AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m, " +
+        "8000 + CAST(doc_id % 5 AS BIGINT) * 8000 AS wrate, " +
+        "100 + CAST(doc_id % 400 AS BIGINT) AS wsamp, " +
+        "1 + CAST(doc_id % 2 AS BIGINT) AS wch, " +
+        "CASE WHEN doc_id % 4 < 2 THEN 8 ELSE 16 END AS wbits, " +
+        "1000 + CAST(doc_id % 9000 AS BIGINT) AS mts, " +
+        "(doc_id * 11) % 100000 AS mticks, " +
+        "1 + CAST(doc_id % 4 AS INT) AS mtracks, " +
+        "CASE CAST(1 + doc_id % 14 AS INT) WHEN 1 THEN 32 WHEN 2 THEN 40 " +
+        "WHEN 3 THEN 48 WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80 " +
+        "WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128 WHEN 10 THEN 160 " +
+        "WHEN 11 THEN 192 WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS kbps, " +
+        "1 + CAST(doc_id % 50 AS BIGINT) AS nframes FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE m WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4' ELSE 'mp3' END AS container, " +
+        "CASE m WHEN 1 THEN 'video' ELSE 'audio' END AS kind, " +
+        "CAST(CASE m " +
+        "WHEN 0 THEN (wsamp * wch * (wbits // 8) * 1000) // (wrate * wch * (wbits // 8)) " +
+        "WHEN 1 THEN (mticks * 1000) // mts " +
+        "ELSE (nframes * ((144 * kbps * 1000) // 44100) * 8) // kbps END AS BIGINT) AS duration_ms, " +
+        "CAST(CASE m WHEN 0 THEN wrate WHEN 1 THEN -1 ELSE 44100 END AS INT) AS sample_rate, " +
+        "CAST(CASE m WHEN 0 THEN wch WHEN 1 THEN -1 " +
+        "ELSE (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END) END AS INT) AS channels, " +
+        "CAST(CASE m WHEN 0 THEN wbits ELSE -1 END AS INT) AS bits_per_sample, " +
+        "CAST(CASE m WHEN 1 THEN mtracks ELSE 1 END AS INT) AS tracks, " +
+        "CASE m WHEN 0 THEN 'pcm' " +
+        "WHEN 1 THEN (CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END) " +
+        "ELSE 'mpeg1-layer3' END AS brand FROM p"),
+    // Window energies E_k = 80·a_k² from the fixture's md5-digit
+    // amplitudes; fingerprint bit k = [E_{k+1} > E_k] (⟺ a_{k+1}² >
+    // a_k² at constant window width), zero crossings only at window
+    // boundaries (windows are constant), total energy 80·Σa².
+    "q_audio_fp" ->
+      ("WITH w AS (SELECT doc_id, CAST(t.k AS INT) AS k, " +
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(t.k AS VARCHAR)), 1, 1) AS BIGINT) - 8 AS a " +
+        "FROM documents CROSS JOIN range(65) t(k)), " +
+        "p AS (SELECT doc_id, k, a, lead(a) OVER (PARTITION BY doc_id ORDER BY k) AS an FROM w) " +
+        "SELECT doc_id, CAST(5200 AS INT) AS n_samples, " +
+        "CAST(80 * sum(a * a) AS BIGINT) AS total_energy, " +
+        "CAST(coalesce(sum(CASE WHEN an IS NOT NULL AND a * an < 0 THEN 1 END), 0) AS INT) AS zero_crossings, " +
+        "CAST(coalesce(sum(CASE WHEN an IS NOT NULL AND an * an > a * a AND k < 32 " +
+        "THEN CAST(1 AS BIGINT) << k END), 0) AS BIGINT) AS fp_lo, " +
+        "CAST(coalesce(sum(CASE WHEN an IS NOT NULL AND an * an > a * a AND k >= 32 " +
+        "THEN CAST(1 AS BIGINT) << (k - 32) END), 0) AS BIGINT) AS fp_hi " +
+        "FROM p GROUP BY doc_id"),
     "q_synth_dup_report" -> {
       val lines = graft.corpus.Corpus.expectedDupReportLines(300)
         .map(l => s"('$l')").mkString(", ")

@@ -429,7 +429,9 @@ object Media {
     *      dimensions, red-channel mean, 16-bin luma histogram;
     *   2. REAL header metadata (known container magic whose body
     *      ImageIO can't decode): exact dimensions, red_mean = −1,
-    *      stub features;
+    *      stub features; audio/video containers (WAV/MP4/MP3,
+    *      [[AvMeta]]) land here with kind = container and honest −1
+    *      raster fields;
     *   3. === STUB === (unknown magic): deterministic fake, the one
     *      place a real extra codec would swap in.
     *
@@ -463,8 +465,18 @@ object Media {
           case (None, Some((kind, w, h))) =>
             Decoded(m.media_id, kind, n, w, h, 1, -1, featuresStub(m.payload))
           case (None, None) =>
-            val (w, h, f) = decodeStub(m.payload)
-            Decoded(m.media_id, m.kind, n, w, h, f, -1, featuresStub(m.payload))
+            AvMeta.parseAvMeta(m.payload) match {
+              // tier 2½: REAL audio/video CONTAINER metadata (WAV/MP4/
+              // MP3 header walks, AvMeta) — honest -1 raster fields,
+              // never the stub's fakes; sample-accurate decode still
+              // needs the codec swap-in below
+              case Some(av) =>
+                Decoded(m.media_id, av.container, n, -1, -1, -1, -1,
+                  featuresStub(m.payload))
+              case None =>
+                val (w, h, f) = decodeStub(m.payload)
+                Decoded(m.media_id, m.kind, n, w, h, f, -1, featuresStub(m.payload))
+            }
         }
       }
     }
