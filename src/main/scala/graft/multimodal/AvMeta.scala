@@ -15,9 +15,13 @@ package graft.multimodal
   *     major brand, `moov`/`mvhd` timescale + duration ticks,
   *     `trak` count. 64-bit largesize and version-1 mvhd handled.
   *   - MP3 (ISO 11172-3 frame header): sync + MPEG-1 Layer III
-  *     bitrate/sample-rate tables, channel mode; duration is the
-  *     CBR estimate total_bytes·8 / bitrate (documented: VBR streams
-  *     need a Xing/VBRI header walk, out of scope).
+  *     bitrate/sample-rate tables, channel mode; an ID3v2 prefix is
+  *     skipped via its syncsafe size; duration is the CBR estimate
+  *     audio_bytes·8 / bitrate (documented: VBR streams need a
+  *     Xing/VBRI header walk, out of scope).
+  *   - Ogg (RFC 3533 pages): Vorbis/Opus ident-header facts, Theora
+  *     brand; duration from the last page's granule position
+  *     (bounded tail scan — the ffprobe technique).
   *
   * All integer arithmetic (floor division), so every field is exactly
   * reproducible by the SQL oracle (q_av_meta) — the NgramLm micro-nat
@@ -79,7 +83,7 @@ object AvMeta {
     */
   def parseAvMeta(p: Array[Byte]): Option[AvInfo] = {
     if (p == null || p.length < 12) None
-    else parseWav(p).orElse(parseMp4(p)).orElse(parseMp3(p))
+    else parseWav(p).orElse(parseMp4(p)).orElse(parseOgg(p)).orElse(parseMp3(p))
   }
 
   private def u(p: Array[Byte], i: Int): Int = p(i) & 0xff
@@ -267,21 +271,74 @@ object AvMeta {
       if (timescale > 0 && ticks >= 0) ticks * 1000L / timescale else -1L,
       -1, -1, -1, tracks, brand))
 
-  /** MPEG-1 Layer III frame-header parse at offset 0 (crawl payloads
-    * with ID3v2 prefixes would need a tag skip first — out of scope,
-    * they fall through to the unknown tier rather than mis-parse).
+  /** Ogg (RFC 3533) page walk: the first page's packet identifies the
+    * codec — Vorbis ident header (version/channels/rate), OpusHead
+    * (channels, input rate; the granule clock is ALWAYS 48 kHz per
+    * RFC 7845 §4), Theora brand-only. Duration comes from the LAST
+    * page header's granule position (the sample count for audio
+    * codecs) found by a bounded 64 KB tail scan — the ffprobe
+    * technique; a payload truncated mid-stream yields the last
+    * complete page's position, an honest lower bound.
+    */
+  private def parseOgg(p: Array[Byte]): Option[AvInfo] = {
+    if (tag(p, 0) != "OggS" || p.length < 28) return None
+    val nseg = u(p, 26)
+    val pk = 27 + nseg // first packet of the first page
+    def bytesAt(i: Int, s: String): Boolean =
+      i + s.length <= p.length && s.indices.forall(j => u(p, i + j) == s.charAt(j))
+    // last complete page header's granule position (le64 at +6)
+    def lastGranule: Long = {
+      var best = -1L
+      var i = math.max(0, p.length - 65536)
+      while (i + 14 <= p.length) {
+        if (u(p, i) == 'O' && bytesAt(i, "OggS")) {
+          val g = le32(p, i + 6) | (le32(p, i + 10) << 32)
+          if (g >= 0) best = g // -1 marks a continuation page: skip
+        }
+        i += 1
+      }
+      best
+    }
+    if (pk < p.length && u(p, pk) == 1 && bytesAt(pk + 1, "vorbis") && pk + 16 <= p.length) {
+      val channels = u(p, pk + 11)
+      val rate = le32(p, pk + 12).toInt
+      val g = lastGranule
+      Some(AvInfo("ogg", "audio",
+        if (g > 0 && rate > 0) g * 1000L / rate else -1L,
+        rate, channels, -1, 1, "vorbis"))
+    } else if (bytesAt(pk, "OpusHead") && pk + 16 <= p.length) {
+      val channels = u(p, pk + 9)
+      val inputRate = le32(p, pk + 12).toInt
+      val g = lastGranule
+      Some(AvInfo("ogg", "audio",
+        if (g > 0) g * 1000L / 48000L else -1L, // granules are 48 kHz by spec
+        inputRate, channels, -1, 1, "opus"))
+    } else if (bytesAt(pk + 1, "theora"))
+      Some(AvInfo("ogg", "video", -1L, -1, -1, -1, 1, "theora"))
+    else Some(AvInfo("ogg", "av", -1L, -1, -1, -1, 1, "unknown"))
+  }
+
+  /** MPEG-1 Layer III frame-header parse; an ID3v2 prefix (ubiquitous
+    * on crawled MP3s) is skipped via its syncsafe size so the frame
+    * header AND the CBR duration estimate see only audio bytes.
     */
   private def parseMp3(p: Array[Byte]): Option[AvInfo] = {
-    if (p.length < 4 || u(p, 0) != 0xff || (u(p, 1) & 0xe0) != 0xe0) return None
-    val versionBits = (u(p, 1) >> 3) & 3
-    val layerBits = (u(p, 1) >> 1) & 3
+    var off = 0
+    if (p.length >= 10 && u(p, 0) == 'I' && u(p, 1) == 'D' && u(p, 2) == '3') {
+      // syncsafe: 7 bits per byte (ID3v2 §3.1); footer flag adds 10
+      val size = (u(p, 6) << 21) | (u(p, 7) << 14) | (u(p, 8) << 7) | u(p, 9)
+      off = 10 + size + (if ((u(p, 5) & 0x10) != 0) 10 else 0)
+    }
+    if (off + 4 > p.length || u(p, off) != 0xff || (u(p, off + 1) & 0xe0) != 0xe0) return None
+    val versionBits = (u(p, off + 1) >> 3) & 3
+    val layerBits = (u(p, off + 1) >> 1) & 3
     if (versionBits != 3 || layerBits != 1) return None // MPEG-1 Layer III only
-    val bitrateKbps = Mp3BitrateKbps((u(p, 2) >> 4) & 15)
-    val sampleRate = Mp3SampleRate((u(p, 2) >> 2) & 3)
+    val bitrateKbps = Mp3BitrateKbps((u(p, off + 2) >> 4) & 15)
+    val sampleRate = Mp3SampleRate((u(p, off + 2) >> 2) & 3)
     if (bitrateKbps <= 0 || sampleRate <= 0) return None
-    val mode = (u(p, 3) >> 6) & 3
+    val mode = (u(p, off + 3) >> 6) & 3
     Some(AvInfo("mp3", "audio",
-      p.length.toLong * 8L / bitrateKbps, // CBR estimate (bytes·8 / kbps = ms)
+      (p.length - off).toLong * 8L / bitrateKbps, // CBR estimate over audio bytes
       sampleRate, if (mode == 3) 1 else 2, -1, 1, "mpeg1-layer3"))
   }
 
@@ -336,6 +393,44 @@ object AvMeta {
     b32(timescale.toLong); b32(durationTicks)
     out.write(new Array[Byte](108 - 8 - 4 - 8 - 8)) // rate..next_track zeros
     (0 until tracks).foreach { _ => b32(8L); out.write("trak".getBytes) }
+    out.toByteArray
+  }
+
+  /** ID3v2.3 tag of `bodySize` zero bytes (syncsafe size field) — the
+    * prefix real crawled MP3s carry before their first frame.
+    */
+  def id3v2Bytes(bodySize: Int): Array[Byte] = {
+    require(bodySize >= 0 && bodySize < (1 << 28), "syncsafe size is 28 bits")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes); out.write(3); out.write(0); out.write(0) // v2.3, no flags
+    (3 to 0 by -1).foreach(i => out.write((bodySize >> (7 * i)) & 0x7f))
+    out.write(new Array[Byte](bodySize))
+    out.toByteArray
+  }
+
+  /** Two-page Ogg/Vorbis stream: page 0 (bos) carries the ident
+    * header, the final page (eos) carries `granule` (= total PCM
+    * samples) — enough structure for ident + tail-scan duration.
+    */
+  def oggVorbisBytes(rate: Int, channels: Int, granule: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32w(v: Long): Unit = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def le64w(v: Long): Unit = (0 until 8).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def page(headerType: Int, gran: Long, seq: Int, packet: Array[Byte]): Unit = {
+      require(packet.length < 255)
+      out.write("OggS".getBytes); out.write(0); out.write(headerType)
+      le64w(gran); le32w(1L); le32w(seq.toLong); le32w(0L) // serial/seq/crc
+      out.write(1); out.write(packet.length) // one segment
+      out.write(packet)
+    }
+    val ident = new java.io.ByteArrayOutputStream()
+    ident.write(1); ident.write("vorbis".getBytes)
+    (0 until 4).foreach(_ => ident.write(0)) // version 0
+    ident.write(channels)
+    (0 until 4).foreach(i => ident.write((rate >> (8 * i)) & 0xff))
+    ident.write(new Array[Byte](12)); ident.write(0xb8); ident.write(1) // bitrates/blocksizes/framing
+    page(0x02, 0L, 0, ident.toByteArray)
+    page(0x04, granule, 1, Array[Byte](0))
     out.toByteArray
   }
 

@@ -89,6 +89,47 @@ class AvMetaSpec extends SparkSpec {
     assert(AvMeta.parseAvMeta(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("mp3: ID3v2 prefix skipped — same facts, CBR duration over audio bytes only") {
+    val audio = AvMeta.mp3Bytes(bitrateIdx = 9, nFrames = 38, mono = false)
+    val tagged = AvMeta.id3v2Bytes(1000) ++ audio
+    assert(AvMeta.parseAvMeta(tagged).get == AvMeta.parseAvMeta(audio).get)
+    // tag-only payload (no frame after the tag) refuses
+    assert(AvMeta.parseAvMeta(AvMeta.id3v2Bytes(64)).isEmpty)
+  }
+
+  test("ogg: vorbis ident facts + eos-granule duration; truncation degrades honestly") {
+    val p = AvMeta.oggVorbisBytes(rate = 44100, channels = 2, granule = 441000L)
+    val av = AvMeta.parseAvMeta(p).get
+    assert(av.container == "ogg" && av.kind == "audio" && av.brand == "vorbis")
+    assert(av.sample_rate == 44100 && av.channels == 2)
+    assert(av.duration_ms == 10000L) // 441000 samples at 44.1 kHz
+    // cut before the eos page: ident facts survive, duration unknown (-1)
+    val cut = AvMeta.parseAvMeta(p.take(27 + 1 + 30)).get
+    assert(cut.sample_rate == 44100 && cut.duration_ms == -1L)
+  }
+
+  test("ogg: opus 48 kHz granule clock, theora and unknown codecs brand-sniffed") {
+    def page(packet: Array[Byte], granule: Long, headerType: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("OggS".getBytes); out.write(0); out.write(headerType)
+      (0 until 8).foreach(i => out.write(((granule >> (8 * i)) & 0xff).toInt))
+      (0 until 12).foreach(_ => out.write(0)) // serial/seq/crc
+      out.write(1); out.write(packet.length); out.write(packet)
+      out.toByteArray
+    }
+    val opusHead = "OpusHead".getBytes ++ Array[Byte](1, 2, 0, 0) ++
+      Array[Byte](0x80.toByte, 0xbb.toByte, 0, 0) ++ Array[Byte](0, 0, 0) // 48000 le32
+    val opus = page(opusHead, 0L, 2) ++ page(Array[Byte](0), 96000L, 4)
+    val avO = AvMeta.parseAvMeta(opus).get
+    assert(avO.brand == "opus" && avO.channels == 2 && avO.sample_rate == 48000)
+    assert(avO.duration_ms == 2000L) // granules are 48 kHz regardless of input rate
+    val theora = page(Array[Byte](0x80.toByte) ++ "theora".getBytes ++ new Array[Byte](20), 0L, 2)
+    val avT = AvMeta.parseAvMeta(theora).get
+    assert(avT.brand == "theora" && avT.kind == "video")
+    val other = page("BBCD????".getBytes, 0L, 2)
+    assert(AvMeta.parseAvMeta(other).get.brand == "unknown")
+  }
+
   test("Media.decode tier 2½: AV payloads get container kind + honest -1s, junk still stubs") {
     import spark.implicits._
     val rows = Seq(
