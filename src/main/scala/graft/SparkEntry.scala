@@ -134,6 +134,22 @@ object SparkEntry {
     graft.multimodal.AvMeta.wavPcm8Bytes(8000, samples)
   })
 
+  /** Unicode fixtures (q_nfc_dedup / q_script_mix), shared verbatim
+    * between the Spark columns and the DuckDB SQL (the snippets are
+    * interpolated into both, so they cannot diverge). NFC groups of
+    * four: members 0 (precomposed U+00E9) and 1 (e + combining
+    * U+0301) are canonically EQUAL — the pair the byte-exact cascade
+    * can't see; members 2 and 3 stay singletons. Script snippets
+    * rotate Cyrillic/Greek/CJK/Arabic tails onto a Latin base.
+    */
+  private val nfcPre = "café doc "
+  private val nfcDec = "café doc "
+  private val scriptSnippets: Seq[(Int, String)] = Seq(
+    1 -> "Привет мир",
+    2 -> "αβγ δεζ",
+    3 -> "日本語の文書テスト",
+    4 -> "مرحبا بالعالم")
+
   /** The web-graph fixtures (q_links / q_domain_graph / q_pagerank):
     * html + url as closed forms of doc_id, shared across the three
     * queries and repeated verbatim in their oracles.
@@ -1283,6 +1299,22 @@ object SparkEntry {
         .orderBy("src", "dst")
     }),
 
+    // ---- shingle containment (Broder's asymmetric measure): the
+    // doc-inside-doc signal Jaccard can't carry. Fixture groups of 4
+    // are NESTED token prefixes (5/20/35/50 tokens), so every pair is
+    // size-skewed: C(small→big) = 10^6 exactly while Jaccard is low.
+    // The oracle replays the identical token/intersect/DIV chain.
+    "q_containment" -> ((s, dir) => {
+      val id = col("doc_id")
+      val g = expr("doc_id DIV 4")
+      val n = (lit(5) + (id % 4) * 15).cast("int")
+      val toks = transform(sequence(lit(0), n - 1),
+        i => concat(lit("g"), g.cast("string"), lit("_"), i.cast("string")))
+      val d0 = docs(s, dir).select(id, g.as("blk"), toks.as("toks"))
+      graft.near.Containment.blockedContainment(d0, "doc_id", Seq("blk"), "toks")
+        .orderBy("src", "dst")
+    }),
+
     // ---- connected components [EXT] over two star-edge sets (same
     // normalized fingerprint ∪ same (lang, n_chars)) — multi-hop
     // clusters; oracle is a recursive min-label CTE
@@ -1844,6 +1876,38 @@ object SparkEntry {
         (m.media_id.toLong, f.n_samples, f.total_energy, f.zero_crossings,
           f.fp & 0xffffffffL, f.fp >>> 32)
       }.toDF("doc_id", "n_samples", "total_energy", "zero_crossings", "fp_lo", "fp_hi")
+    }),
+
+    // Unicode hygiene: NFC normalize-then-hash dedup (TR15 canonical
+    // equivalence — precomposed vs combining sequences are the SAME
+    // text; the Dolma convention). Groups of four: members 0/1 are
+    // NFC-equal (the pair md5(text) can't see), 2/3 singletons.
+    "q_nfc_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val g = expr("CAST(doc_id DIV 4 AS STRING)")
+      val fixture = when(id % 4 === 0, concat(lit(nfcPre), g))
+        .when(id % 4 === 1, concat(lit(nfcDec), g))
+        .when(id % 4 === 2, concat(lit("cafe doc "), g))
+        .otherwise(concat(lit(nfcPre), g, lit("!")))
+      graft.text.UnicodeNorm.dedupNfc(
+        docs(s, dir).select(col("doc_id"), fixture.as("text")))
+        .orderBy("doc_id")
+    }),
+
+    // Unicode hygiene: per-script char-mass fractions in exact ppm
+    // (mixed-script spam / wrong-language-routing signal). Fixture
+    // tails rotate Cyrillic/Greek/CJK/Arabic snippets onto a Latin
+    // base; ranges and snippets are interpolated into the oracle
+    // verbatim, so both engines run the identical chain.
+    "q_script_mix" -> ((s, dir) => {
+      val id = col("doc_id")
+      val base = concat(lit(nfcPre), id.cast("string"))
+      val fixture = scriptSnippets.foldLeft(base: org.apache.spark.sql.Column) {
+        case (acc, (m, snip)) => when(id % 5 === m, concat(base, lit(" " + snip))).otherwise(acc)
+      }
+      graft.text.UnicodeNorm.scriptMix(
+        docs(s, dir).select(col("doc_id"), fixture.as("text")))
+        .orderBy("doc_id")
     }),
 
     // ---- PII scrubbing (Dolma/C4 release hygiene): typed-placeholder
@@ -2825,6 +2889,31 @@ object SparkEntry {
         "CAST(coalesce(sum(CASE WHEN an IS NOT NULL AND an * an > a * a AND k >= 32 " +
         "THEN CAST(1 AS BIGINT) << (k - 32) END), 0) AS BIGINT) AS fp_hi " +
         "FROM p GROUP BY doc_id"),
+    // nfc_normalize is DuckDB's TR15 NFC — the same normal form the
+    // engine's JDK Normalizer computes; min-per-group replayed as a
+    // window over the NFC md5.
+    "q_nfc_dedup" ->
+      (s"WITH d AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) " +
+        s"WHEN 0 THEN '$nfcPre' || CAST(doc_id // 4 AS VARCHAR) " +
+        s"WHEN 1 THEN '$nfcDec' || CAST(doc_id // 4 AS VARCHAR) " +
+        s"WHEN 2 THEN 'cafe doc ' || CAST(doc_id // 4 AS VARCHAR) " +
+        s"ELSE '$nfcPre' || CAST(doc_id // 4 AS VARCHAR) || '!' END AS t FROM documents) " +
+        "SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(nfc_normalize(t))) AS cluster_id FROM d"),
+    // The engine's ScriptRanges + snippets interpolated verbatim: the
+    // count is len − len(after class removal), ppm is BIGINT floor
+    // division — identical chain, identical literals.
+    "q_script_mix" -> {
+      val cases = scriptSnippets
+        .map { case (m, snip) => s"WHEN $m THEN b || ' $snip'" }.mkString(" ")
+      val chains = graft.text.UnicodeNorm.ScriptRanges.map { case (n, r) =>
+        s"CASE WHEN len > 0 THEN (CAST(len - length(regexp_replace(t, '$r', '', 'g')) AS BIGINT) * 1000000) // len " +
+          s"ELSE CAST(0 AS BIGINT) END AS ${n}_ppm"
+      }.mkString(", ")
+      s"WITH b0 AS (SELECT doc_id, '$nfcPre' || CAST(doc_id AS VARCHAR) AS b FROM documents), " +
+        s"d AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INT) $cases ELSE b END AS t FROM b0), " +
+        "l AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS len FROM d) " +
+        s"SELECT doc_id, len, $chains FROM l"
+    },
     "q_synth_dup_report" -> {
       val lines = graft.corpus.Corpus.expectedDupReportLines(300)
         .map(l => s"('$l')").mkString(", ")
@@ -3000,6 +3089,19 @@ object SparkEntry {
         "(len(l.bg) + len(r.bg) - len(list_intersect(l.bg, r.bg))), 6) AS jaccard " +
         "FROM d l JOIN d r ON l.lang = r.lang AND l.n_chars = r.n_chars AND l.doc_id < r.doc_id " +
         "ORDER BY src, dst"),
+    // identical nested-prefix token lists, list_intersect, and BIGINT
+    // floor division; the same two-sided block cap (vacuously 4 docs)
+    "q_containment" ->
+      ("WITH d0 AS (SELECT doc_id, doc_id // 4 AS blk, " +
+        "list_transform(range(0, 5 + CAST(doc_id % 4 AS INT) * 15), " +
+        "i -> 'g' || CAST(doc_id // 4 AS VARCHAR) || '_' || CAST(i AS VARCHAR)) AS toks " +
+        "FROM documents), " +
+        "d AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY blk) AS cnt FROM d0) " +
+        "WHERE cnt BETWEEN 2 AND 100) " +
+        "SELECT l.doc_id AS src, r.doc_id AS dst, " +
+        "(CAST(len(list_intersect(l.toks, r.toks)) AS BIGINT) * 1000000) // len(l.toks) AS c_src_ppm, " +
+        "(CAST(len(list_intersect(l.toks, r.toks)) AS BIGINT) * 1000000) // len(r.toks) AS c_dst_ppm " +
+        "FROM d l JOIN d r ON l.blk = r.blk AND l.doc_id < r.doc_id ORDER BY src, dst"),
     "q_cc" -> ccOracleSql,
     // same oracle by construction: the incremental path must reproduce
     // a from-scratch full-corpus run exactly
