@@ -517,6 +517,14 @@ object SparkEntry {
     (a, b)
   }
 
+  /** The ONE affine permutation of the OPH verification chain
+    * (q_minhash_oph): same 2^31−1 ring as [[verifPerms]], different
+    * seed so the two chains share no constants by accident.
+    */
+  private val (ophA, ophB) = (
+    Math.floorMod(graft.near.Hashing.mix64(0x0ddba11L), 2147483646L) + 1L,
+    Math.floorMod(graft.near.Hashing.mix64(0x0ddba11L + 1L), 2147483647L))
+
   /** The oracle-grade verification kernel, ONE definition shared by
     * q_minhash_sigs and q_bbit_sketch (the two contracts cannot
     * diverge): distinct 5-token shingle strings → 28-bit md5-prefix
@@ -1578,6 +1586,33 @@ object SparkEntry {
         .select(col("doc_id"),
           posexplode(verifSigs(col("hs"))).as(Seq("perm_idx", "sig")))),
 
+    // ---- one-permutation MinHash, densified (oracle-grade variant of
+    // the production Hashing.ophMinhash kernel — O(|S| + k) signatures
+    // instead of O(|S|·k), the dominant-cost win of MinHash dedup at
+    // corpus scale): ONE affine permutation mod 2^31−1, bins by v % 32,
+    // per-bin minima, empty bins densified by rotation. The borrow is
+    // min over d of (mins[(j+d) % 32] + d·C) with C = 2^31 strictly
+    // above any bin value, so the smallest borrow distance wins exactly
+    // — the same closed form the DuckDB oracle computes as a join-min.
+    // Every step a shared built-in; all arithmetic < 2^37, ANSI-safe.
+    "q_minhash_oph" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), verifShingleStrs(col("toks")).as("ss"))
+        .select(col("doc_id"), verifHashes(col("ss")).as("hs"))
+        .select(col("doc_id"), transform(col("hs"),
+          h => (lit(ophA) * h + lit(ophB)) % lit(2147483647L)).as("vs"))
+        .select(col("doc_id"), transform(sequence(lit(0), lit(31)),
+          j => array_min(filter(col("vs"), v => v % 32 === j.cast("long")))).as("mins"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(31)),
+            j => array_min(filter(
+              transform(sequence(lit(0), lit(31)), d =>
+                element_at(col("mins"), pmod(j + d, lit(32)) + 1) +
+                  d.cast("long") * lit(2147483648L)),
+              x => x.isNotNull)))).as(Seq("bin_idx", "sig")))),
+
     // LSH-bucketed approximate kNN (the at-scale ANN path): bits are
     // scale-adaptive (log2(n/target)); queries are planted scaled
     // copies whose true nearest neighbor is the original vector by
@@ -2301,6 +2336,20 @@ object SparkEntry {
         "SELECT e.doc_id, p.perm_idx, min((p.a * e.h + p.b) % 2147483647) AS sig " +
         "FROM e CROSS JOIN p GROUP BY e.doc_id, p.perm_idx"
     },
+    // the densification closed form: borrowed component = min over
+    // filled bins of (mv + dist·2^31), dist = circular right distance —
+    // identical to the engine's rotation because 2^31 exceeds every mv
+    "q_minhash_oph" ->
+      (s"WITH $shingleCte, " +
+        "e AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS h " +
+        "FROM (SELECT doc_id, unnest(sh) AS shingle FROM sgl)), " +
+        s"v AS (SELECT doc_id, ($ophA * h + $ophB) % 2147483647 AS v FROM e), " +
+        "m AS (SELECT doc_id, CAST(v % 32 AS INT) AS bin, min(v) AS mv FROM v GROUP BY 1, 2), " +
+        "b AS (SELECT doc_id, CAST(unnest(range(0, 32)) AS INT) AS j " +
+        "FROM (SELECT DISTINCT doc_id FROM m)) " +
+        "SELECT b.doc_id, b.j AS bin_idx, " +
+        "min(m.mv + CAST((m.bin - b.j + 32) % 32 AS BIGINT) * 2147483648) AS sig " +
+        "FROM b JOIN m ON m.doc_id = b.doc_id GROUP BY 1, 2"),
     "q_ann_lsh" ->
       (s"WITH ${plantedSql(20, "q0")}, " +
         "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM q0), " +

@@ -81,6 +81,52 @@ object Hashing {
     sig
   }
 
+  /** One-permutation MinHash (Li-Owen-Zhang NIPS'12) with
+    * densification by rotation (Shrivastava & Li ICML'14): ONE hash
+    * evaluation per shingle replaces the k-permutation inner loop, so
+    * the per-doc signature cost drops from O(|S|·k) to O(|S| + k) —
+    * and signature computation is the dominant cost of MinHash dedup
+    * at corpus scale (128x fewer multiplies here). Each shingle is
+    * hashed once (mix64(seed ^ x)); the hash picks a bin (unsigned
+    * mod k — the "one permutation" partition of the universe) and
+    * competes for that bin's unsigned min. An empty bin borrows the
+    * value of the nearest non-empty bin to its RIGHT (circularly),
+    * offset by d·C per step so borrows at different distances cannot
+    * collide by accident — the rotation scheme that restores the
+    * collision-probability ≈ J LSH property for sparse sets. Output
+    * is a drop-in Array[Long] signature: banding, b-bit packing and
+    * [[sigEstimate]] all apply unchanged.
+    */
+  def ophMinhash(shingles: Array[Long], k: Int, seed: Long): Array[Long] = {
+    if (shingles == null || shingles.isEmpty) return null
+    val C = 0x9e3779b97f4a7c15L // rotation offset; any odd constant works
+    val sig = new Array[Long](k)
+    val filled = new Array[Boolean](k)
+    var i = 0
+    while (i < shingles.length) {
+      val h = mix64(seed ^ shingles(i))
+      val bin = java.lang.Long.remainderUnsigned(h, k).toInt
+      if (!filled(bin) || java.lang.Long.compareUnsigned(h, sig(bin)) < 0) {
+        sig(bin) = h; filled(bin) = true
+      }
+      i += 1
+    }
+    // densification: ONE right-to-left sweep over the doubled ring —
+    // descending from 2k-1, `next` always holds the nearest filled
+    // position to the RIGHT of j (a filled bin f is first seen at its
+    // doubled position f+k ≥ k, so `next` is set before any real
+    // j < k needs it); empty bins assign only on the j < k half
+    var next = -1
+    var j = 2 * k - 1
+    while (j >= 0) {
+      val b = j % k
+      if (filled(b)) next = j
+      else if (j < k) sig(b) = sig(next % k) + (next - j) * C
+      j -= 1
+    }
+    sig
+  }
+
   /** Exact Jaccard of two distinct-hash sets. */
   def jaccard(x: Array[Long], y: Array[Long]): Double = {
     if (x == null || y == null || x.isEmpty || y.isEmpty) return 0.0
@@ -224,7 +270,15 @@ object MinHashLSH {
         * band) streams through `salts` round-1 tasks instead of one
         * long task (see CappedGroups skew note). 1 = single-round.
         */
-      salts: Int = 1) {
+      salts: Int = 1,
+      /** true = one-permutation hashing with rotation densification
+        * ([[Hashing.ophMinhash]]) instead of the k-permutation batch:
+        * O(|S| + k) per doc instead of O(|S|·k) — same signature
+        * shape, banding and verify unchanged. The estimator variance
+        * is slightly higher on short docs (borrowed components), which
+        * is why it's opt-in rather than the default.
+        */
+      oph: Boolean = false) {
     require(numPerms % bands == 0, "bands must divide numPerms")
     require(salts >= 1, "salts must be >= 1")
     def rowsPerBand: Int = numPerms / bands
@@ -234,6 +288,8 @@ object MinHashLSH {
     Hashing.shingleHashes(Hashing.tokenize(text), k))
   private val minhashUdf = udf((sh: Array[Long], perms: Int, seed: Long) =>
     Hashing.minhash(sh, perms, seed))
+  private val ophUdf = udf((sh: Array[Long], k: Int, seed: Long) =>
+    Hashing.ophMinhash(sh, k, seed))
   /** Row-level band hashes — the ONE banding arithmetic, shared by the
     * batch udf and row-at-a-time consumers (streaming state store,
     * incremental snapshot probes) so a streamed doc lands in exactly
@@ -264,7 +320,9 @@ object MinHashLSH {
     docs.select(
         col(idCol).as("id"),
         shinglesUdf(col(textCol), lit(cfg.shingleK)).as("shingles"))
-      .withColumn("sig", minhashUdf(col("shingles"), lit(cfg.numPerms), lit(cfg.seed)))
+      .withColumn("sig",
+        if (cfg.oph) ophUdf(col("shingles"), lit(cfg.numPerms), lit(cfg.seed))
+        else minhashUdf(col("shingles"), lit(cfg.numPerms), lit(cfg.seed)))
 
   /** Candidate pairs + over-cap skip rows from banded LSH, in ONE
     * streamed shuffle pass: explode band hashes per doc, group each
