@@ -1108,6 +1108,21 @@ object SparkEntry {
         .orderBy("p", "grp")
     }),
 
+    // ---- heavy hitters (Misra-Gries candidates + count-min probe):
+    // the SHIPPED operator end-to-end — output is the exact set of
+    // keys above the N/(m+1) threshold (candidate superset guaranteed
+    // by MG, exact-counted, thresholded), so the oracle can recompute
+    // it as a plain thresholded GROUP BY plus the identical register
+    // grid / min-probe chain. Fixture key class: bit length of
+    // doc_id % 1024 — geometric frequencies, heavy tail classes.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val key = concat(lit("k"),
+        length(conv(pmod(col("doc_id"), lit(1024)), 10, 2)).cast("string"))
+      graft.report.HeavyHitters.heavyHitters(
+          docs(s, dir).select(key.as("hh_key")), col("hh_key"), m = 20)
+        .orderBy(col("cnt").desc, col("key"))
+    }),
+
     // cross-domain mirror/syndication detection: domain pairs ranked
     // by DISTINCT shared 20-token chunk hashes (two-sided block cap
     // 2..20 on engine AND oracle, the q_ngram_jaccard convention)
@@ -2732,6 +2747,24 @@ object SparkEntry {
     // cap exactly
     "q_hll_distinct" ->
       s"${hllLegSql(12, "source")} UNION ALL ${hllLegSql(7, "'ALL'")} ORDER BY p, grp",
+
+    // thresholded exact heavy hitters (the MG candidate stage is a
+    // guaranteed superset, so the output is a plain thresholded GROUP
+    // BY) + the identical count-min grid (d=4, w=1024, "r:key"
+    // md5-prefix buckets) min-probed per surviving key
+    "q_heavy_hitters" ->
+      ("WITH k AS (SELECT 'k' || CAST(length(bin(doc_id % 1024)) AS VARCHAR) AS key " +
+        "FROM documents), " +
+        "tot AS (SELECT count(*) AS n FROM k), " +
+        "hh AS (SELECT key, count(*) AS cnt FROM k GROUP BY key " +
+        "HAVING count(*) > (SELECT n // 21 FROM tot)), " +
+        "r AS (SELECT unnest(range(0, 4)) AS r), " +
+        "g AS (SELECT r.r, CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || k.key), 1, 15) " +
+        "AS BIGINT) % 1024 AS b, count(*) AS cnt FROM k CROSS JOIN r GROUP BY 1, 2), " +
+        "e AS (SELECT hh.key, min(g.cnt) AS est FROM hh CROSS JOIN r JOIN g ON g.r = r.r " +
+        "AND g.b = CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || hh.key), 1, 15) " +
+        "AS BIGINT) % 1024 GROUP BY hh.key) " +
+        "SELECT hh.key, hh.cnt, e.est FROM hh JOIN e USING (key) ORDER BY cnt DESC, key"),
 
     "q_mirror_domains" ->
       (s"WITH h AS (SELECT doc_id, 'https://WWW.Site' || (doc_id % 10) || '.example/p' || (doc_id % 50) AS url, text FROM documents), " +
