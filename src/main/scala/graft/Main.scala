@@ -55,7 +55,12 @@ import graft.report.Report
   *                           `mirrors` = the cross-domain mirror
   *                           audit over the INPUT corpus (d1, d2,
   *                           shared_chunks — domain pairs sharing
-  *                           distinct 20-token chunks)
+  *                           distinct 20-token chunks), `hitters` =
+  *                           the heavy-line audit over the INPUT
+  *                           corpus (line, cnt, est — the exact set
+  *                           of lines with count > N/(m+1), the
+  *                           boilerplate a dropCommonLines pass
+  *                           would cut)
   *   --prefilter gopher      drop docs failing the Gopher quality-rule
   *                           battery BEFORE dedup (map-side, composes
   *                           with --block-domains — the webtext
@@ -80,6 +85,9 @@ import graft.report.Report
   *                           policy can apply). Requires --agent
   *   --agent NAME            the user-agent --robots evaluates
   *                           (RFC 9309 most-specific-group rules)
+  *   --hitters-m M           with --format hitters: Misra-Gries
+  *                           counters per partition (default 64);
+  *                           the report threshold is N/(M+1)
   *   --ccnet-sample F        with --format ccnet: the deterministic
   *                           hash-sample fraction the tercile
   *                           thresholds are cut from (default 0.5;
@@ -197,6 +205,7 @@ object Main {
       ccnetSample: Double = 0.5,
       domainCap: Int = 1000,
       tokenBudget: Long = 1000000000L,
+      hittersM: Int = 64,
       robots: Option[String] = None,
       agent: Option[String] = None,
       shards: Int = 0,
@@ -238,6 +247,11 @@ object Main {
       parse(rest, c.copy(prefilter = Some(v)), algsSet)
     case "--prefilter" :: v :: _ =>
       throw new IllegalArgumentException(s"unknown --prefilter: $v (gopher)")
+    case "--hitters-m" :: v :: rest
+        if v.forall(_.isDigit) && v.nonEmpty && v.length <= 9 && v.toInt >= 1 =>
+      parse(rest, c.copy(hittersM = v.toInt), algsSet)
+    case "--hitters-m" :: v :: _ =>
+      throw new IllegalArgumentException(s"--hitters-m needs a positive int: $v")
     case "--ccnet-sample" :: v :: rest =>
       val f = try v.toDouble catch {
         case _: NumberFormatException =>
@@ -397,7 +411,8 @@ object Main {
     // pairing, CC iterations) to then never read its result would cost
     // a corpus-scale pass for nothing, so the pipeline is lazy and the
     // audit formats never force it
-    val auditOnly = Set("overlap", "lm", "ccnet", "mirrors").contains(conf.format)
+    val auditOnly =
+      Set("overlap", "lm", "ccnet", "mirrors", "hitters").contains(conf.format)
     lazy val result = conf.checkpoint match {
       case Some(dir) =>
         DedupPipeline.runCheckpointed(docs, new graft.checkpoint.Catalog(dir, spark), cfg)
@@ -412,7 +427,7 @@ object Main {
       if (auditOnly) None else keepPolicyKeepers(docs, result, conf.keepPolicy)
     keepers.foreach(_.persist())
     val out0 = formatOutput(docs, result, conf.format, keepers, conf.split,
-      conf.ccnetSample, conf.domainCap, conf.tokenBudget)
+      conf.ccnetSample, conf.domainCap, conf.tokenBudget, conf.hittersM)
     val out =
       if (conf.progress) graft.progress.Progress.tap(out0, "report_out") else out0
     if (conf.debug) System.err.println(out.queryExecution.explainString(
@@ -709,7 +724,8 @@ object Main {
       splitFracs: Option[Seq[(String, Double)]] = None,
       ccnetSample: Double = 0.5,
       domainCap: Int = 1000,
-      tokenBudget: Long = 1000000000L): DataFrame = {
+      tokenBudget: Long = 1000000000L,
+      hittersM: Int = 64): DataFrame = {
     // quality in integer micro-units (the exact-arithmetic discipline:
     // BudgetSelect/DomainQuota collapse the corpus to its DISTINCT
     // scores, so the score space must be bounded — rounded micro-units
@@ -844,6 +860,18 @@ object Main {
         // (auditOnly: the dedup DAG never runs); pair grain is tiny,
         // the orderBy is for stable console output
         graft.report.DomainStats.mirrorPairs(docs).orderBy("d1", "d2")
+      case "hitters" =>
+        // heavy-line audit over the INPUT corpus (auditOnly): the
+        // exact set of trimmed non-empty lines with count > N/(m+1) —
+        // the boilerplate lines a dropCommonLines pass would cut,
+        // surfaced before committing to the cut (MG candidates +
+        // gated exact counts + count-min estimate; HeavyHitters
+        // scaladoc for the guarantees)
+        graft.report.HeavyHitters.heavyHitters(
+            docs.select(explode(split(coalesce(col("text"), lit("")), "\n")).as("l"))
+              .select(trim(col("l")).as("l")).filter(col("l") =!= ""),
+            col("l"), m = hittersM)
+          .withColumnRenamed("key", "line")
       case "splits" =>
         // leakage-safe train/val/test labels at CLUSTER grain: the
         // split hashes the cluster component, so no dup/near-dup pair

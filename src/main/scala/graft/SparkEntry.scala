@@ -1610,23 +1610,34 @@ object SparkEntry {
     // above any bin value, so the smallest borrow distance wins exactly
     // — the same closed form the DuckDB oracle computes as a join-min.
     // Every step a shared built-in; all arithmetic < 2^37, ANSI-safe.
+    // Every staging column is consumed under a `when(size(x) >= 0, …)`
+    // pin (SCALE.md invariant 7): each is referenced exactly once
+    // inside its consumer's HOF lambda, so an unpinned chain gets
+    // CollapseProject'd back and re-evaluates the upstream array per
+    // lambda ELEMENT — the densify stage alone would recompute `mins`
+    // (32 scans of `vs`) 1024 times per row (measured: 18.0 s vs
+    // 1.6 s pinned at sf0.1).
     "q_minhash_oph" -> ((s, dir) =>
       docs(s, dir)
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
         .select(col("doc_id"), verifShingleStrs(col("toks")).as("ss"))
-        .select(col("doc_id"), verifHashes(col("ss")).as("hs"))
-        .select(col("doc_id"), transform(col("hs"),
-          h => (lit(ophA) * h + lit(ophB)) % lit(2147483647L)).as("vs"))
-        .select(col("doc_id"), transform(sequence(lit(0), lit(31)),
-          j => array_min(filter(col("vs"), v => v % 32 === j.cast("long")))).as("mins"))
         .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(31)),
-            j => array_min(filter(
-              transform(sequence(lit(0), lit(31)), d =>
-                element_at(col("mins"), pmod(j + d, lit(32)) + 1) +
-                  d.cast("long") * lit(2147483648L)),
-              x => x.isNotNull)))).as(Seq("bin_idx", "sig")))),
+          when(size(col("ss")) >= 0, verifHashes(col("ss"))).as("hs"))
+        .select(col("doc_id"),
+          when(size(col("hs")) >= 0, transform(col("hs"),
+            h => (lit(ophA) * h + lit(ophB)) % lit(2147483647L))).as("vs"))
+        .select(col("doc_id"),
+          when(size(col("vs")) >= 0, transform(sequence(lit(0), lit(31)),
+            j => array_min(filter(col("vs"), v => v % 32 === j.cast("long"))))).as("mins"))
+        .select(col("doc_id"),
+          posexplode(when(size(col("mins")) >= 0,
+            transform(sequence(lit(0), lit(31)),
+              j => array_min(filter(
+                transform(sequence(lit(0), lit(31)), d =>
+                  element_at(col("mins"), pmod(j + d, lit(32)) + 1) +
+                    d.cast("long") * lit(2147483648L)),
+                x => x.isNotNull))))).as(Seq("bin_idx", "sig")))),
 
     // LSH-bucketed approximate kNN (the at-scale ANN path): bits are
     // scale-adaptive (log2(n/target)); queries are planted scaled

@@ -1567,6 +1567,24 @@ class IncrementalCliSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
     assert(v == Map("A" -> true))
   }
+
+  test("--format hitters reports heavy boilerplate lines exactly, without forcing the dedup DAG") {
+    val docs = (0 until 100).map(i =>
+        (s"https://h.example/$i", s"FOOTER NAV\nuniq line $i"))
+      .toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .withColumn("html", col("text").cast("binary"))
+      .withColumn("lang", lit("en"))
+    // by-name result: forcing it would run the dedup DAG — hitters is
+    // an input-corpus audit and must never touch it
+    val out = graft.Main.formatOutput(docs,
+        sys.error("dedup DAG must not run for --format hitters"), "hitters", None,
+        hittersM = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 200 lines total, threshold 200/10 = 20: only FOOTER NAV (100) passes
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq(("FOOTER NAV", 100L)))
+    assert(out.head._3 >= 100L) // count-min never underestimates
+  }
 }
 
 class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -1652,6 +1670,18 @@ class CliParseSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       graft.Main.parse(List("--input", "x.parquet", "--token-budget", "abc"))
+    }
+  }
+
+  test("--hitters-m parses with the positive-int guard") {
+    val c = graft.Main.parse(List("--input", "x.parquet", "--hitters-m", "20"))
+    assert(c.hittersM == 20)
+    assert(graft.Main.parse(List("--input", "x.parquet")).hittersM == 64)
+    intercept[IllegalArgumentException] {
+      graft.Main.parse(List("--input", "x.parquet", "--hitters-m", "0"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.Main.parse(List("--input", "x.parquet", "--hitters-m", "99999999999"))
     }
   }
 
