@@ -335,6 +335,36 @@ object SparkEntry {
   private val wetFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Shared segment-writer scaffold for the WARC-family fixtures
+    * (q_warc / q_wet / q_revisit): 8 deterministic doc_id-hash
+    * partitions (one segment file per task — the operator's own scale
+    * grain), rows sorted by id in-partition, the segment named by its
+    * first id, even-first-id segments gzipped member-per-record (CC
+    * layout) when `gzByParity`. `writeRows(emit, rows)` supplies the
+    * segment's record stream — member boundaries are the emit calls.
+    */
+  private def writeSegments(s: SparkSession, dir: String, tmp: String,
+      ext: String, gzByParity: Boolean,
+      writeRows: (Array[Byte] => Unit, Array[(Long, String)]) => Unit): Unit =
+    docs(s, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .repartition(8, col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.map(r => (r.getLong(0), r.getString(1))).toArray.sortBy(_._1)
+        if (rows.nonEmpty) {
+          val gz = gzByParity && rows.head._1 % 2 == 0
+          val f = new java.io.File(tmp,
+            f"seg-${rows.head._1}%06d.$ext" + (if (gz) ".gz" else ""))
+          val out = new java.io.FileOutputStream(f)
+          def emit(rec: Array[Byte]): Unit =
+            if (gz) { // every emit its own gzip member (CC layout)
+              val g = new java.util.zip.GZIPOutputStream(out)
+              g.write(rec); g.finish()
+            } else out.write(rec)
+          try writeRows(emit, rows) finally out.close()
+        }
+      }
+
   /** Lay the documents table out as real WET segment files under
     * `tmp` (the q_warc layout with conversion records): each segment
     * carries a warcinfo header and one RESPONSE record the WET reader
@@ -342,35 +372,19 @@ object SparkEntry {
     * empty doc on read-back).
     */
   private def writeWetFixture(s: SparkSession, dir: String, tmp: String): Unit =
-    docs(s, dir)
-      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
-      .repartition(8, col("doc_id"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val rows = it.map(r => (r.getLong(0), r.getString(1))).toArray.sortBy(_._1)
-        if (rows.nonEmpty) {
-          val gz = rows.head._1 % 2 == 0
-          val f = new java.io.File(tmp,
-            f"seg-${rows.head._1}%06d.warc.wet" + (if (gz) ".gz" else ""))
-          val out = new java.io.FileOutputStream(f)
-          def emit(rec: Array[Byte]): Unit =
-            if (gz) { // every record its own gzip member (CC layout)
-              val g = new java.util.zip.GZIPOutputStream(out)
-              g.write(rec); g.finish()
-            } else out.write(rec)
-          emit(graft.sources.Warc.skippableRecord("warcinfo",
-            "2026-01-02T03:04:05Z"))
-          emit(graft.sources.Warc.responseRecord(
-            "https://wet.example/not-a-conversion", "2026-01-02T03:04:05Z",
-            200, "<html></html>".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-          for ((id, t) <- rows) {
-            val iso = java.time.Instant.ofEpochSecond(1700000000L + id).toString
-            emit(graft.sources.Warc.conversionRecord(
-              s"https://wet.example/$id", iso,
-              t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-          }
-          out.close()
-        }
+    writeSegments(s, dir, tmp, "warc.wet", gzByParity = true, (emit, rows) => {
+      emit(graft.sources.Warc.skippableRecord("warcinfo",
+        "2026-01-02T03:04:05Z"))
+      emit(graft.sources.Warc.responseRecord(
+        "https://wet.example/not-a-conversion", "2026-01-02T03:04:05Z",
+        200, "<html></html>".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      for ((id, t) <- rows) {
+        val iso = java.time.Instant.ofEpochSecond(1700000000L + id).toString
+        emit(graft.sources.Warc.conversionRecord(
+          s"https://wet.example/$id", iso,
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }
+    })
 
   /** Lay the documents table out as real WARC segment files under
     * `tmp`: 8 hash-partitioned segments, even-first-id segments as
@@ -379,41 +393,25 @@ object SparkEntry {
     * writes one segment per task — the operator's own scale grain).
     */
   private def writeWarcFixture(s: SparkSession, dir: String, tmp: String): Unit =
-    docs(s, dir)
-      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
-      .repartition(8, col("doc_id"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val rows = it.map(r => (r.getLong(0), r.getString(1))).toArray.sortBy(_._1)
-        if (rows.nonEmpty) {
-          val gz = rows.head._1 % 2 == 0
-          val f = new java.io.File(tmp,
-            f"seg-${rows.head._1}%06d.warc" + (if (gz) ".gz" else ""))
-          val out = new java.io.FileOutputStream(f)
-          def emit(rec: Array[Byte]): Unit =
-            if (gz) { // every record its own gzip member (CC layout)
-              val g = new java.util.zip.GZIPOutputStream(out)
-              g.write(rec); g.finish()
-            } else out.write(rec)
-          emit(graft.sources.Warc.skippableRecord("warcinfo",
-            "2026-01-02T03:04:05Z"))
-          for ((id, t) <- rows) {
-            val body = s"<html><body>$t</body></html>"
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val iso = java.time.Instant.ofEpochSecond(1700000000L + id).toString
-            // vary the Content-Type: mixed casing/params must
-            // normalize to the media type; id%7==0 omits it (null)
-            val ct =
-              if (id % 7 == 0) None
-              else if (id % 2 == 0) Some("text/html; charset=utf-8")
-              else Some("Text/Plain")
-            emit(graft.sources.Warc.skippableRecord("request", iso) ++
-              graft.sources.Warc.responseRecord(
-                s"https://warc.example/$id", iso, 200 + (id % 3).toInt, body,
-                contentType = ct))
-          }
-          out.close()
-        }
+    writeSegments(s, dir, tmp, "warc", gzByParity = true, (emit, rows) => {
+      emit(graft.sources.Warc.skippableRecord("warcinfo",
+        "2026-01-02T03:04:05Z"))
+      for ((id, t) <- rows) {
+        val body = s"<html><body>$t</body></html>"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val iso = java.time.Instant.ofEpochSecond(1700000000L + id).toString
+        // vary the Content-Type: mixed casing/params must
+        // normalize to the media type; id%7==0 omits it (null)
+        val ct =
+          if (id % 7 == 0) None
+          else if (id % 2 == 0) Some("text/html; charset=utf-8")
+          else Some("Text/Plain")
+        emit(graft.sources.Warc.skippableRecord("request", iso) ++
+          graft.sources.Warc.responseRecord(
+            s"https://warc.example/$id", iso, 200 + (id % 3).toInt, body,
+            contentType = ct))
       }
+    })
 
   /** q_revisit fixture: every doc's response carries its md5 payload
     * digest; every doc_id % 5 == 0 also gets a revisit record one day
@@ -423,37 +421,28 @@ object SparkEntry {
     * unresolved-pointer case the resolver must surface, not drop).
     */
   private def writeRevisitFixture(s: SparkSession, dir: String, tmp: String): Unit =
-    docs(s, dir)
-      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
-      .repartition(8, col("doc_id"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val rows = it.map(r => (r.getLong(0), r.getString(1))).toArray.sortBy(_._1)
-        if (rows.nonEmpty) {
-          val f = new java.io.File(tmp, f"seg-${rows.head._1}%06d.warc")
-          val out = new java.io.FileOutputStream(f)
-          val md = java.security.MessageDigest.getInstance("MD5")
-          for ((id, t) <- rows) {
-            val body = s"<html><body>$t</body></html>"
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val digest = "md5:" +
-              md.digest(body).map("%02x".format(_)).mkString
-            val iso = java.time.Instant.ofEpochSecond(1700000000L + id).toString
-            out.write(graft.sources.Warc.responseRecord(
-              s"https://warc.example/$id", iso, 200, body,
-              payloadDigest = Some(digest)))
-            if (id % 5 == 0) {
-              val revIso =
-                java.time.Instant.ofEpochSecond(1700000000L + id + 86400L).toString
-              val revDigest =
-                if (id % 25 == 0) s"md5:missing$id" else digest
-              out.write(graft.sources.Warc.revisitRecord(
-                s"https://warc.example/$id?recrawl", revIso, revDigest,
-                refersToUri = s"https://warc.example/$id", refersToDate = iso))
-            }
-          }
-          out.close()
+    writeSegments(s, dir, tmp, "warc", gzByParity = false, (emit, rows) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      for ((id, t) <- rows) {
+        val body = s"<html><body>$t</body></html>"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val digest = "md5:" +
+          md.digest(body).map("%02x".format(_)).mkString
+        val iso = java.time.Instant.ofEpochSecond(1700000000L + id).toString
+        emit(graft.sources.Warc.responseRecord(
+          s"https://warc.example/$id", iso, 200, body,
+          payloadDigest = Some(digest)))
+        if (id % 5 == 0) {
+          val revIso =
+            java.time.Instant.ofEpochSecond(1700000000L + id + 86400L).toString
+          val revDigest =
+            if (id % 25 == 0) s"md5:missing$id" else digest
+          emit(graft.sources.Warc.revisitRecord(
+            s"https://warc.example/$id?recrawl", revIso, revDigest,
+            refersToUri = s"https://warc.example/$id", refersToDate = iso))
         }
       }
+    })
 
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -3184,10 +3173,13 @@ object SparkEntry {
         "ORDER BY src, dst"),
     // identical nested-prefix token lists, list_intersect, and BIGINT
     // floor division; the same two-sided block cap (vacuously 4 docs)
+    // and the same set normalization (list_distinct — containment is
+    // a SET measure; the fixture's tokens are distinct so the values
+    // are unchanged, but the chains stay identical)
     "q_containment" ->
       ("WITH d0 AS (SELECT doc_id, doc_id // 4 AS blk, " +
-        "list_transform(range(0, 5 + CAST(doc_id % 4 AS INT) * 15), " +
-        "i -> 'g' || CAST(doc_id // 4 AS VARCHAR) || '_' || CAST(i AS VARCHAR)) AS toks " +
+        "list_distinct(list_transform(range(0, 5 + CAST(doc_id % 4 AS INT) * 15), " +
+        "i -> 'g' || CAST(doc_id // 4 AS VARCHAR) || '_' || CAST(i AS VARCHAR))) AS toks " +
         "FROM documents), " +
         "d AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY blk) AS cnt FROM d0) " +
         "WHERE cnt BETWEEN 2 AND 100) " +

@@ -241,7 +241,14 @@ object AvMeta {
     }
     while (off + 8 <= p.length) {
       val (t, payload, end) = boxAt(off)
-      if (end <= off || end > p.length) return if (timescale > 0) finishMp4(brand, timescale, durationTicks, tracks) else None
+      // a truncated/size-lying box ends the walk, but the container is
+      // already IDENTIFIED by its ftyp — return the partial facts
+      // (duration -1 when mvhd never arrived, e.g. mdat-before-moov
+      // cut mid-mdat, the common non-faststart crawl truncation)
+      // rather than None, which would route the payload to the
+      // unknown-magic stub and fabricate dimensions (the wavLayout
+      // truncation discipline)
+      if (end <= off || end > p.length) return finishMp4(brand, timescale, durationTicks, tracks)
       if (t == "moov") {
         var c = payload
         while (c + 8 <= end) {
@@ -286,12 +293,16 @@ object AvMeta {
     val pk = 27 + nseg // first packet of the first page
     def bytesAt(i: Int, s: String): Boolean =
       i + s.length <= p.length && s.indices.forall(j => u(p, i + j) == s.charAt(j))
-    // last complete page header's granule position (le64 at +6)
+    // last complete page header's granule position (le64 at +6). The
+    // capture pattern is validated beyond the 4 magic bytes: stream
+    // structure version must be 0 and the header-type flags fit in 3
+    // bits (RFC 3533 §6) — a literal "OggS" inside packet payload or
+    // a comment string must not be read as a page header
     def lastGranule: Long = {
       var best = -1L
       var i = math.max(0, p.length - 65536)
       while (i + 14 <= p.length) {
-        if (u(p, i) == 'O' && bytesAt(i, "OggS")) {
+        if (u(p, i) == 'O' && bytesAt(i, "OggS") && u(p, i + 4) == 0 && u(p, i + 5) < 8) {
           val g = le32(p, i + 6) | (le32(p, i + 10) << 32)
           if (g >= 0) best = g // -1 marks a continuation page: skip
         }

@@ -30,7 +30,12 @@ object Containment {
     * semi-join — block growth cannot go quadratic); `setCol` is a
     * pre-materialized shingle/token array (materialize it ONCE per
     * row upstream — lambda bodies re-evaluate inlined trees).
-    * Empty-set sides report 0 ppm, never 0/0.
+    * Containment is a SET measure (Broder), so both the intersection
+    * and the denominators are over DISTINCT elements — raw tokenized
+    * text with repeats is fine to pass in (a multiset denominator
+    * would understate C for any doc with repeated tokens and miss the
+    * doc-inside-doc pairs the operator exists to catch). Null and
+    * empty-set sides report 0 ppm, never 0/0 or a negative fraction.
     */
   def blockedContainment(d0: DataFrame, idCol: String,
       blockCols: Seq[String], setCol: String,
@@ -39,8 +44,10 @@ object Containment {
     val inCap = d0.groupBy(bc: _*).count()
       .filter(col("count").between(capMin, capMax)).select(bc: _*)
     val d = d0.join(inCap, blockCols, "left_semi")
-    val l = d.select(bc :+ col(idCol).as("src") :+ col(setCol).as("s1"): _*)
-    val r = d.select(bc :+ col(idCol).as("dst") :+ col(setCol).as("s2"): _*)
+      .withColumn("__set", array_distinct(
+        coalesce(col(setCol), array().cast(d0.schema(setCol).dataType))))
+    val l = d.select(bc :+ col(idCol).as("src") :+ col("__set").as("s1"): _*)
+    val r = d.select(bc :+ col(idCol).as("dst") :+ col("__set").as("s2"): _*)
     l.join(r, blockCols)
       .filter(col("src") < col("dst"))
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))

@@ -41,9 +41,15 @@ object Dsir {
   def importance(docs: DataFrame, targetDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tLm = NgramLm.train(targetDocs, idCol, textCol)
-    val rLm = NgramLm.train(docs, idCol, textCol)
-    val occ = NgramLm.bigramOccurrences(
-      NgramLm.tokenized(docs, idCol, textCol), idCol)
+    // the raw corpus is tokenized ONCE and bigram-exploded ONCE: the
+    // materialized frames feed BOTH the raw-LM counts (trainFrom) and
+    // the scoring stream below — NgramLm.train(docs) here would
+    // re-tokenize and re-explode the whole corpus, the dominant
+    // map-side cost at scale (the scaladoc's one-pass claim, made
+    // true by construction)
+    val t = NgramLm.tokenized(docs, idCol, textCol).localCheckpoint()
+    val occ = NgramLm.bigramOccurrences(t, idCol).localCheckpoint()
+    val rLm = NgramLm.trainFrom(t, occ)
     def lp(cBig: Column, cUni: Column, v: Column): Column =
       round(log((coalesce(cBig, lit(0L)) + lit(1.0)) /
         (coalesce(cUni, lit(0L)) + v)) * lit(1000000.0)).cast("long")

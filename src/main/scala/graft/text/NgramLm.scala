@@ -59,10 +59,19 @@ object NgramLm {
   def train(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): LmModel = {
     val t = tokenized(docs, idCol, textCol)
+    trainFrom(t, bigramOccurrences(t, idCol))
+  }
+
+  /** LM counts from an already-tokenized frame and its occurrence
+    * stream — the shared-scan path: a caller holding materialized
+    * `tokenized`/`bigramOccurrences` frames (DSIR derives both
+    * likelihoods AND the scoring stream from one tokenize pass)
+    * aggregates them instead of re-exploding the corpus.
+    */
+  private[text] def trainFrom(t: DataFrame, occ: DataFrame): LmModel = {
     val uni = t.select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_uni"))
-    val big = bigramOccurrences(t, idCol)
-      .groupBy("bigram").agg(count(lit(1)).as("c_big"))
+    val big = occ.groupBy("bigram").agg(count(lit(1)).as("c_big"))
     val v = uni.agg(count(lit(1)).as("v"))
     LmModel(big, uni, v)
   }

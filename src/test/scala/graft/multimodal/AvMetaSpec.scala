@@ -38,6 +38,30 @@ class AvMetaSpec extends SparkSpec {
     assert(av.sample_rate == 44100 && av.duration_ms == -1L)
   }
 
+  test("mp4: truncated before moov keeps the identified container, duration -1") {
+    // mdat-before-moov cut mid-payload (the common non-faststart crawl
+    // truncation): ftyp + an mdat whose declared size overruns the
+    // payload — identified container, partial facts, never None (None
+    // would route to the unknown-magic stub and fabricate dimensions)
+    val out = new java.io.ByteArrayOutputStream()
+    def b32(v: Long): Unit = (3 to 0 by -1).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    b32(16L); out.write("ftyp".getBytes); out.write("isom".getBytes); b32(0L)
+    b32(1000000L); out.write("mdat".getBytes); out.write(new Array[Byte](64)) // size lies
+    val av = AvMeta.parseAvMeta(out.toByteArray).get
+    assert(av.container == "mp4" && av.brand == "isom")
+    assert(av.duration_ms == -1L && av.tracks == 0) // honest partials, no fakes
+  }
+
+  test("ogg: a literal 'OggS' inside packet bytes is not read as a page header") {
+    // granule 2000 at 8000 Hz -> 250 ms; the payload string rides in a
+    // fake packet region after the real pages and must be ignored
+    // (version byte and header-type flags fail RFC 3533 validation)
+    val real = AvMeta.oggVorbisBytes(8000, 1, 2000L)
+    val junk = "comment mentioning OggS\u00ff\u00ff payload".getBytes("ISO-8859-1")
+    val av = AvMeta.parseAvMeta(real ++ junk).get
+    assert(av.duration_ms == 2000L * 1000 / 8000)
+  }
+
   test("mp4: ftyp brand, mvhd v0 duration, trak count") {
     val p = AvMeta.mp4Bytes("mp42", timescale = 600, durationTicks = 7207L, tracks = 3)
     val av = AvMeta.parseAvMeta(p).get
