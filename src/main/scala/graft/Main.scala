@@ -713,6 +713,15 @@ object Main {
     if (policy == "min") None
     else Some(result.keepBestCanonical(qualityScores(docs, policy)))
 
+  /** Reversible TSV escaping for corpus-shaped clean_text columns
+    * that legitimately contain newlines/tabs (lines/paragraphs/spans/
+    * c4): \ tab newline become \\ \t \n, so each doc is one physical
+    * TSV line. ONE definition — the four consumers must never drift.
+    */
+  private def tsvEscaped(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      c, "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
+
   /** The CLI output frame for a --format under an optional quality
     * keeper set. Corpus-shaped formats (clean/lines) dedup to the
     * keeper survivors; `clusters` re-keys every member to its
@@ -762,16 +771,14 @@ object Main {
         // \ tab newline as \\ \t \n — one physical TSV line per doc,
         // reversible by the consumer
         val canon = docs.join(survivors, "url")
-        val escaped = regexp_replace(regexp_replace(regexp_replace(
-          col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
+        val escaped = tsvEscaped(col("clean_text"))
         graft.substring.LineDedup.dedupLines(canon)
           .select(col("id").as("url"), escaped.as("clean_text"))
       case "paragraphs" =>
         // same survivor set, paragraph-granularity removal (Dolma's
         // blank-line-block policy, exact). Escaped like `lines`
         val canon = docs.join(survivors, "url")
-        val escaped = regexp_replace(regexp_replace(regexp_replace(
-          col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
+        val escaped = tsvEscaped(col("clean_text"))
         graft.substring.LineDedup.dedupParagraphs(canon)
           .select(col("id").as("url"), escaped.as("clean_text"))
       case "spans" =>
@@ -780,8 +787,7 @@ object Main {
         // occurrence kept corpus-wide). clean_text keeps the doc's
         // structure, so escape like `lines`
         val canon = docs.join(survivors, "url")
-        val escaped = regexp_replace(regexp_replace(regexp_replace(
-          col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
+        val escaped = tsvEscaped(col("clean_text"))
         graft.substring.SpanRemoval.removeSharedRuns(canon)
           .select(col("id").as("url"), escaped.as("clean_text"), col("n_removed"))
       case "overlap" =>
@@ -790,11 +796,20 @@ object Main {
         // registrable domain, so "how much do these two sites share"
         // is answered before paying for a full cross-site dedup pass.
         // Runs over the INPUT corpus — an audit of what arrived, not
-        // of what survived
-        graft.corpus.Overlap.exactPairs(
-          docs.withColumn("source",
-            graft.text.UrlNorm.registrableDomain(col("url"))),
-          k = 3, textCol = "text")
+        // of what survived. Overlap's contract is a CONFIG-SIZED
+        // source set (its per-shingle aggregation state and its pair
+        // matrix are both sources-squared) — an open crawl's domain
+        // universe would OOM the shingle buffers and materialize a
+        // D^2 frame, so guard loudly before paying for the scan
+        // (r5 review; the cheap approx count is only a gate)
+        val src = docs.withColumn("source",
+          graft.text.UrlNorm.registrableDomain(col("url")))
+        val nSrc = src.agg(approx_count_distinct(col("source"))).head().getLong(0)
+        require(nSrc <= 1000,
+          s"--format overlap is a cross-SOURCE audit (S^2 matrix; Overlap scaladoc): " +
+            s"~$nSrc distinct domains is an open crawl, not a bounded source set - " +
+            "pre-filter to the sites under comparison (--block-domains or a filtered input)")
+        graft.corpus.Overlap.exactPairs(src, k = 3, textCol = "text")
       case "lm" =>
         // corpus bigram-LM scoring (q_lm_score at CLI grain): per-url
         // micro-nat log-prob totals under the corpus's own LM — the
@@ -806,8 +821,7 @@ object Main {
         // kept pages only. clean_text keeps line structure, so escape
         // like `lines`
         val canon = docs.join(survivors, "url")
-        val escaped = regexp_replace(regexp_replace(regexp_replace(
-          col("clean_text"), "\\\\", "\\\\\\\\"), "\t", "\\\\t"), "\n", "\\\\n")
+        val escaped = tsvEscaped(col("clean_text"))
         graft.text.C4Clean.cleanPages(canon, idCol = "url", textCol = "text")
           .filter(col("page_kept"))
           .select(col("id").as("url"), escaped.as("clean_text"))

@@ -2452,12 +2452,12 @@ object SparkEntry {
         "x AS (SELECT doc_id, unnest(list_transform(range(1, len(lns) + 1), " +
         "i -> {'idx': CAST(i AS INT), 'line': lns[CAST(i AS INT)]})) AS u FROM s2), " +
         "e AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM x), " +
-        "c AS (SELECT * FROM e WHERE trim(line) <> ''), " +
+        "c AS (SELECT * FROM e WHERE NOT regexp_matches(line, '^\\s*$')), " +
         "k AS (SELECT doc_id, idx FROM (SELECT doc_id, idx, " +
         "row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM c) WHERE rn = 1), " +
         "keep AS (SELECT e.doc_id, e.idx, e.line FROM e LEFT JOIN " +
         "(SELECT doc_id, idx, 1 AS kk FROM k) k2 USING (doc_id, idx) " +
-        "WHERE trim(e.line) = '' OR k2.kk = 1), " +
+        "WHERE regexp_matches(e.line, '^\\s*$') OR k2.kk = 1), " +
         "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS ct FROM keep GROUP BY doc_id) " +
         "SELECT s2.doc_id, CASE WHEN s2.text IS NULL THEN NULL ELSE coalesce(agg.ct, '') END AS clean_text " +
         "FROM s2 LEFT JOIN agg USING (doc_id)"),
@@ -2467,7 +2467,7 @@ object SparkEntry {
         "x AS (SELECT doc_id, unnest(list_transform(range(1, len(lns) + 1), " +
         "i -> {'idx': CAST(i AS INT), 'line': lns[CAST(i AS INT)]})) AS u FROM s2), " +
         "e AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM x), " +
-        "c AS (SELECT * FROM e WHERE trim(line) <> ''), " +
+        "c AS (SELECT * FROM e WHERE NOT regexp_matches(line, '^\\s*$')), " +
         "dfreq AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM c GROUP BY line) WHERE df >= 5), " +
         "rm AS (SELECT c.doc_id, c.idx FROM c JOIN dfreq USING (line)), " +
         "keep AS (SELECT e.doc_id, e.idx, e.line FROM e LEFT JOIN " +
@@ -2481,12 +2481,12 @@ object SparkEntry {
         "x AS (SELECT doc_id, unnest(list_transform(range(1, len(lns) + 1), " +
         "i -> {'idx': CAST(i AS INT), 'line': lns[CAST(i AS INT)]})) AS u FROM s2), " +
         "e AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM x), " +
-        "c AS (SELECT * FROM e WHERE trim(line) <> ''), " +
+        "c AS (SELECT * FROM e WHERE NOT regexp_matches(line, '^\\s*$')), " +
         "k AS (SELECT doc_id, idx FROM (SELECT doc_id, idx, " +
         "row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM c) WHERE rn = 1), " +
         "keep AS (SELECT e.doc_id, e.idx, e.line FROM e LEFT JOIN " +
         "(SELECT doc_id, idx, 1 AS kk FROM k) k2 USING (doc_id, idx) " +
-        "WHERE trim(e.line) = '' OR k2.kk = 1), " +
+        "WHERE regexp_matches(e.line, '^\\s*$') OR k2.kk = 1), " +
         "agg AS (SELECT doc_id, string_agg(line, chr(10) || chr(10) ORDER BY idx) AS ct FROM keep GROUP BY doc_id) " +
         "SELECT s2.doc_id, CASE WHEN s2.text IS NULL THEN NULL ELSE coalesce(agg.ct, '') END AS clean_text " +
         "FROM s2 LEFT JOIN agg USING (doc_id)"),

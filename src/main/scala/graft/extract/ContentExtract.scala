@@ -94,14 +94,22 @@ object ContentExtract {
                 lit(0L), (acc, x) => acc + x),
               lit(0L)).as("link_chars"))),
         b => length(b("clean")) > 0).as("blocks"): _*)
-    val good = filter(col("blocks"), b =>
-      length(b("clean")) >= minChars &&
-        b("link_chars") * linkDen <= length(b("clean")))
-    blocks.select(ids ++ Seq(
+    // `good` is staged as its own projected column (SCALE.md invariant
+    // 7 — the same discipline as frags/blocks above): as a bare
+    // expression it was consumed by BOTH main_text and n_good, so the
+    // length/link-density filter ran over the block array twice per
+    // page on the corpus-scale hot path (r5 review). The second
+    // static reference (size >= 0) pins it against CollapseProject.
+    val goods = blocks.select(ids :+ col("blocks") :+
+      filter(col("blocks"), b =>
+        length(b("clean")) >= minChars &&
+          b("link_chars") * linkDen <= length(b("clean"))).as("good"): _*)
+    goods.select(ids ++ Seq(
       when(col("blocks").isNull, lit(null: String))
-        .otherwise(array_join(transform(good, b => b("clean")), "\n"))
+        .otherwise(when(size(col("good")) >= 0,
+          array_join(transform(col("good"), b => b("clean")), "\n")))
         .as("main_text"),
       coalesce(size(col("blocks")).cast("long"), lit(0L)).as("n_blocks"),
-      coalesce(size(good).cast("long"), lit(0L)).as("n_good")): _*)
+      coalesce(size(col("good")).cast("long"), lit(0L)).as("n_good")): _*)
   }
 }

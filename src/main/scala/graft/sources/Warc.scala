@@ -186,13 +186,62 @@ object Warc {
           })
         it.flatMap { p =>
           val fs = new Path(p).getFileSystem(conf.value)
+          val fileLen = fs.getFileStatus(new Path(p)).getLen
           val raw: InputStream = fs.open(new Path(p))
-          val in = if (p.endsWith(".gz")) new GZIPInputStream(raw)
-                   else new BufferedInputStream(raw)
+          // register raw FIRST: a corrupt/empty .gz makes the
+          // GZIPInputStream CONSTRUCTOR throw (it reads the header),
+          // and the wrapper that would own raw never exists — without
+          // this, task retries leak one descriptor per attempt
+          opened.add(raw)
+          var counted = 0L
+          val counting = new java.io.FilterInputStream(raw) {
+            override def read(): Int =
+              { val b = super.read(); if (b >= 0) counted += 1; b }
+            override def read(b: Array[Byte], off: Int, len: Int): Int =
+              { val n = super.read(b, off, len); if (n > 0) counted += n; n }
+          }
+          val gz = if (p.endsWith(".gz")) new CheckedGzip(counting) else null
+          val in: InputStream = if (gz != null) gz else new BufferedInputStream(counting)
           opened.add(in)
-          mk(new DataInputStream(in), p)
+          val base = mk(new DataInputStream(in), p)
+          if (gz == null) base
+          else base ++ {
+            // GZIPInputStream treats an unparseable next-member header
+            // as clean end-of-stream (readTrailer swallows the
+            // IOException), so a corrupted member boundary mid-file
+            // would silently drop every later record — the exact
+            // silent-truncation failure this module's contract rules
+            // out. At a CLEAN logical EOF the raw stream is fully
+            // drained and the inflater holds exactly the last 8-byte
+            // trailer; unread raw bytes OR extra inflater leftover
+            // mean bytes after the last readable member that no
+            // member parse consumed — corruption, loudly.
+            val unparsed = (fileLen - counted) + math.max(0L, gz.leftover - 8L)
+            if (unparsed > 0) throw new java.io.IOException(
+              s"$p: corrupt gzip member boundary - $unparsed " +
+                "bytes unconsumed after the last readable member")
+            Iterator.empty
+          }
         }
       }
+  }
+
+  /** GZIPInputStream with the inflater's leftover-byte count exposed:
+    * at logical EOF this is the byte mass sitting in the read-ahead
+    * buffer beyond the decompressed stream — exactly 8 (the member
+    * trailer) for a cleanly-terminated file, more when an unparseable
+    * next member made readTrailer declare a false EOF.
+    */
+  private class CheckedGzip(in: InputStream) extends GZIPInputStream(in) {
+    // records() closes the stream at EOF before the caller's boundary
+    // check runs, and Inflater.end() zeroes getRemaining — so the
+    // count is captured at close time, not read lazily
+    @volatile private var saved = -1L
+    override def close(): Unit = {
+      if (saved < 0) saved = inf.getRemaining.toLong
+      super.close()
+    }
+    def leftover: Long = if (saved >= 0) saved else inf.getRemaining.toLong
   }
 
   private def listFiles(spark: SparkSession, path: String,

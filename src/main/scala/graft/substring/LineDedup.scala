@@ -1,6 +1,6 @@
 package graft.substring
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Unit-level dedup WITH TEXT RECONSTRUCTION at a caller-chosen
@@ -44,12 +44,22 @@ object LineDedup {
   private def splitUnits(textCol: String, sep: String) =
     split(coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(sep))
 
+  /** Whitespace-only test for the structural-unit contract. NOT
+    * `trim(x) === ""`: Spark's (and DuckDB's) default trim strips
+    * only the space character, so a lone "\t" line — or, for
+    * paragraph units, a lone "\n" — would be hashed and deduped as
+    * content, silently altering whitespace structure across docs
+    * (r5 review). Java \s and DuckDB RE2 \s match the same set, so
+    * the oracle replays `regexp_matches(x, '^\s*$')` identically.
+    */
+  private def isBlank(c: Column): Column = c.rlike("^\\s*$")
+
   /** (id, idx, h): one row per NON-BLANK unit occurrence. */
   private def occurrences(docs: DataFrame, idCol: String, textCol: String,
       sep: String) =
     docs.select(col(idCol).as("id"),
         posexplode(splitUnits(textCol, sep)).as(Seq("idx", "unit")))
-      .filter(trim(col("unit")) =!= "")
+      .filter(!isBlank(col("unit")))
       .select(col("id"), col("idx"), md5(col("unit").cast("binary")).as("h"))
 
   /** Reassemble docs keeping unit i ⟺ it is blank OR `keep(i)`;
@@ -65,7 +75,7 @@ object LineDedup {
       .withColumn("clean_text",
         when(col("text").isNull, lit(null).cast("string"))
           .otherwise(array_join(filter(col("lns"), (x, i) =>
-            trim(x) === "" ||
+            isBlank(x) ||
               (if (keepWhenListed) array_contains(col("ix"), i)
                else !array_contains(col("ix"), i))), sep)))
       .select(col("id"), col("clean_text"))

@@ -639,6 +639,25 @@ class SubstringSpec extends SparkSpec {
     assert(out("d5") == null)
   }
 
+  test("whitespace-only units are structural: a tab line and a lone-newline paragraph survive") {
+    import spark.implicits._
+    // Spark/DuckDB default trim strips only spaces — a "\t" line (or a
+    // "\n" paragraph unit) must still count as blank (r5 review)
+    val lines = Seq(("a1", "dup\n\t\ndup"), ("a2", "dup\n\t\ndup")).toDF("url", "text")
+    val lOut = graft.substring.LineDedup.dedupLines(lines)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lOut("a1") == "dup\n\t") // first doc keeps its first copy; tab line structural
+    assert(lOut("a2") == "\t") // later copies cut, the tab line untouched
+    // units of "a\n\n\n \n\nb" under sep "\n\n": ["a", "\n ", "b"] —
+    // the middle unit is whitespace WITH a newline, invisible to a
+    // space-only trim
+    val paras = Seq(("p1", "a\n\n\n \n\nb"), ("p2", "a\n\n\n \n\nb")).toDF("url", "text")
+    val pOut = graft.substring.LineDedup.dedupParagraphs(paras)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pOut("p1") == "a\n\n\n \n\nb") // first doc intact; "\n " never hashes
+    assert(pOut("p2") == "\n ") // a and b cut as dups; the structural unit survives
+  }
+
   test("boilerplate lines (>= minDocs docs) are removed everywhere, blanks survive") {
     import spark.implicits._
     val docs = Seq(

@@ -112,6 +112,35 @@ class WarcSpec extends SparkSpec {
     assert(rows.forall(_.getTimestamp(1) != null))
   }
 
+  test("read: a corrupt gzip member boundary mid-file fails loudly, never silently truncates") {
+    // GZIPInputStream swallows an unparseable next-member header as
+    // clean EOF — without the unconsumed-bytes check, every record
+    // after the corruption would silently vanish (r5 review)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-corrupt").toFile
+    val f = new File(dir, "seg-00.warc.gz")
+    val o = new FileOutputStream(f)
+    val g1 = new GZIPOutputStream(o)
+    g1.write(Warc.responseRecord("https://c.example/1", date, 200,
+      "<p>one</p>".getBytes(UTF_8)))
+    g1.finish()
+    // second member with its gzip magic destroyed
+    val m2 = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g2 = new GZIPOutputStream(bo)
+      g2.write(Warc.responseRecord("https://c.example/2", date, 200,
+        "<p>two</p>".getBytes(UTF_8)))
+      g2.finish()
+      val b = bo.toByteArray; b(0) = 'X'; b(1) = 'Y'; b
+    }
+    o.write(m2); o.close()
+    val ex = intercept[Exception] {
+      Warc.read(spark, dir.getAbsolutePath).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("corrupt gzip member boundary")), msgs.mkString(" | "))
+  }
+
   test("readWet: conversion text exact, response/warcinfo skipped, invalid utf8 quarantined") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wet").toFile
     val plain = Warc.skippableRecord("warcinfo", date) ++
