@@ -1545,6 +1545,24 @@ object SparkEntry {
           coalesce(col("component"), col("id")).cast("long").as("cluster_id"))
     }),
 
+    // ---- the SAME end-to-end clustering through the OPH signature
+    // path (Config(oph = true)): the oracle is signature-INDEPENDENT
+    // (exact shingle-Jaccard >= threshold + recursive min-label CC),
+    // so a hash-exact match proves the one-permutation path's
+    // candidate recall is complete on this corpus, end to end — not
+    // just that its signature chain replays
+    "q_oph_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(lpad(col("doc_id").cast("string"), 12, "0").as("url"), col("text"))
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      val edges = graft.near.MinHashLSH.edges(d,
+        graft.near.MinHashLSH.Config(oph = true))
+      val cc = graft.cluster.ConnectedComponents.run(edges.select("src", "dst"))
+      d.select(col("url").as("id")).join(cc, Seq("id"), "left")
+        .select(col("id").cast("long").as("doc_id"),
+          coalesce(col("component"), col("id")).cast("long").as("cluster_id"))
+    }),
+
     // SimHash near-dup pairs: wide-ball Hamming probing (13 ≥ the
     // planted tier's measured max of 13; key space sized for this sf)
     // + exact shingle-Jaccard verification — the candidate/verify
@@ -2296,6 +2314,20 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_minhash_clusters" ->
+      (s"WITH RECURSIVE $shingleCte, " +
+        "pr AS (SELECT l.doc_id AS a, r.doc_id AS b, " +
+        "CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / " +
+        "(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS j " +
+        "FROM sgl l JOIN sgl r ON l.doc_id < r.doc_id), " +
+        "ids AS (SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS id FROM t), " +
+        "edges AS (SELECT lpad(CAST(a AS VARCHAR), 12, '0') AS src, " +
+        "lpad(CAST(b AS VARCHAR), 12, '0') AS dst FROM pr WHERE j >= 0.7), " +
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges), " +
+        "lbl(id, comp) AS (SELECT id, id FROM ids " +
+        "UNION SELECT s.dst, l.comp FROM lbl l JOIN sym s ON s.src = l.id AND l.comp < s.dst) " +
+        "SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id " +
+        "FROM lbl GROUP BY id"),
+    "q_oph_clusters" ->
       (s"WITH RECURSIVE $shingleCte, " +
         "pr AS (SELECT l.doc_id AS a, r.doc_id AS b, " +
         "CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / " +
