@@ -801,10 +801,13 @@ object Main {
         // matrix are both sources-squared) — an open crawl's domain
         // universe would OOM the shingle buffers and materialize a
         // D^2 frame, so guard loudly before paying for the scan
-        // (r5 review; the cheap approx count is only a gate)
+        // (r5 review). The gate is EXACT: an approx count's ~5% rsd
+        // would reject a legitimately bounded corpus near the limit
+        // nondeterministically, and the distinct-domain shuffle is
+        // domain-grain (narrow) — same scan either way
         val src = docs.withColumn("source",
           graft.text.UrlNorm.registrableDomain(col("url")))
-        val nSrc = src.agg(approx_count_distinct(col("source"))).head().getLong(0)
+        val nSrc = src.agg(countDistinct(col("source"))).head().getLong(0)
         require(nSrc <= 1000,
           s"--format overlap is a cross-SOURCE audit (S^2 matrix; Overlap scaladoc): " +
             s"~$nSrc distinct domains is an open crawl, not a bounded source set - " +
@@ -876,14 +879,17 @@ object Main {
         graft.report.DomainStats.mirrorPairs(docs).orderBy("d1", "d2")
       case "hitters" =>
         // heavy-line audit over the INPUT corpus (auditOnly): the
-        // exact set of trimmed non-empty lines with count > N/(m+1) —
-        // the boilerplate lines a dropCommonLines pass would cut,
+        // exact set of non-blank lines with count > N/(m+1) — the
+        // boilerplate lines a dropCommonLines pass would cut,
         // surfaced before committing to the cut (MG candidates +
         // gated exact counts + count-min estimate; HeavyHitters
-        // scaladoc for the guarantees)
+        // scaladoc for the guarantees). Units are RAW lines under
+        // LineDedup's own blank predicate — trimmed keys would merge
+        // variants that pass would treat as distinct, and space-only
+        // trim would report structural whitespace lines as cuttable
         graft.report.HeavyHitters.heavyHitters(
             docs.select(explode(split(coalesce(col("text"), lit("")), "\n")).as("l"))
-              .select(trim(col("l")).as("l")).filter(col("l") =!= ""),
+              .filter(!graft.substring.LineDedup.isBlank(col("l"))),
             col("l"), m = hittersM)
           .withColumnRenamed("key", "line")
       case "splits" =>

@@ -2312,35 +2312,29 @@ object SparkEntry {
     s"WITH RECURSIVE $ccCtesSql " +
       "SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS component FROM lbl GROUP BY id"
 
+  /** Exact-Jaccard >= 0.7 + recursive min-label CC over the lpad'd
+    * doc ids — signature-INDEPENDENT, so ONE definition serves both
+    * the 128-perm (q_minhash_clusters) and OPH (q_oph_clusters)
+    * clustering compares; they cannot drift.
+    */
+  private lazy val jaccardCcClustersOracleSql: String =
+    s"WITH RECURSIVE $shingleCte, " +
+        "pr AS (SELECT l.doc_id AS a, r.doc_id AS b, " +
+        "CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / " +
+        "(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS j " +
+        "FROM sgl l JOIN sgl r ON l.doc_id < r.doc_id), " +
+        "ids AS (SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS id FROM t), " +
+        "edges AS (SELECT lpad(CAST(a AS VARCHAR), 12, '0') AS src, " +
+        "lpad(CAST(b AS VARCHAR), 12, '0') AS dst FROM pr WHERE j >= 0.7), " +
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges), " +
+        "lbl(id, comp) AS (SELECT id, id FROM ids " +
+        "UNION SELECT s.dst, l.comp FROM lbl l JOIN sym s ON s.src = l.id AND l.comp < s.dst) " +
+        "SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id " +
+        "FROM lbl GROUP BY id"
+
   def oracleSql: Map[String, String] = Map(
-    "q_minhash_clusters" ->
-      (s"WITH RECURSIVE $shingleCte, " +
-        "pr AS (SELECT l.doc_id AS a, r.doc_id AS b, " +
-        "CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / " +
-        "(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS j " +
-        "FROM sgl l JOIN sgl r ON l.doc_id < r.doc_id), " +
-        "ids AS (SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS id FROM t), " +
-        "edges AS (SELECT lpad(CAST(a AS VARCHAR), 12, '0') AS src, " +
-        "lpad(CAST(b AS VARCHAR), 12, '0') AS dst FROM pr WHERE j >= 0.7), " +
-        "sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges), " +
-        "lbl(id, comp) AS (SELECT id, id FROM ids " +
-        "UNION SELECT s.dst, l.comp FROM lbl l JOIN sym s ON s.src = l.id AND l.comp < s.dst) " +
-        "SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id " +
-        "FROM lbl GROUP BY id"),
-    "q_oph_clusters" ->
-      (s"WITH RECURSIVE $shingleCte, " +
-        "pr AS (SELECT l.doc_id AS a, r.doc_id AS b, " +
-        "CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / " +
-        "(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS j " +
-        "FROM sgl l JOIN sgl r ON l.doc_id < r.doc_id), " +
-        "ids AS (SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS id FROM t), " +
-        "edges AS (SELECT lpad(CAST(a AS VARCHAR), 12, '0') AS src, " +
-        "lpad(CAST(b AS VARCHAR), 12, '0') AS dst FROM pr WHERE j >= 0.7), " +
-        "sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges), " +
-        "lbl(id, comp) AS (SELECT id, id FROM ids " +
-        "UNION SELECT s.dst, l.comp FROM lbl l JOIN sym s ON s.src = l.id AND l.comp < s.dst) " +
-        "SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id " +
-        "FROM lbl GROUP BY id"),
+    "q_minhash_clusters" -> jaccardCcClustersOracleSql,
+    "q_oph_clusters" -> jaccardCcClustersOracleSql,
     "q_simhash" ->
       (s"WITH $shingleCte, " +
         "pr AS (SELECT l.doc_id AS a, r.doc_id AS b, " +
@@ -2484,12 +2478,12 @@ object SparkEntry {
         "x AS (SELECT doc_id, unnest(list_transform(range(1, len(lns) + 1), " +
         "i -> {'idx': CAST(i AS INT), 'line': lns[CAST(i AS INT)]})) AS u FROM s2), " +
         "e AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM x), " +
-        "c AS (SELECT * FROM e WHERE NOT regexp_matches(line, '^\\s*$')), " +
+        "c AS (SELECT * FROM e WHERE NOT regexp_matches(line, '^[ \\t\\n\\x0B\\f\\r]*$')), " +
         "k AS (SELECT doc_id, idx FROM (SELECT doc_id, idx, " +
         "row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM c) WHERE rn = 1), " +
         "keep AS (SELECT e.doc_id, e.idx, e.line FROM e LEFT JOIN " +
         "(SELECT doc_id, idx, 1 AS kk FROM k) k2 USING (doc_id, idx) " +
-        "WHERE regexp_matches(e.line, '^\\s*$') OR k2.kk = 1), " +
+        "WHERE regexp_matches(e.line, '^[ \\t\\n\\x0B\\f\\r]*$') OR k2.kk = 1), " +
         "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS ct FROM keep GROUP BY doc_id) " +
         "SELECT s2.doc_id, CASE WHEN s2.text IS NULL THEN NULL ELSE coalesce(agg.ct, '') END AS clean_text " +
         "FROM s2 LEFT JOIN agg USING (doc_id)"),
@@ -2499,7 +2493,7 @@ object SparkEntry {
         "x AS (SELECT doc_id, unnest(list_transform(range(1, len(lns) + 1), " +
         "i -> {'idx': CAST(i AS INT), 'line': lns[CAST(i AS INT)]})) AS u FROM s2), " +
         "e AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM x), " +
-        "c AS (SELECT * FROM e WHERE NOT regexp_matches(line, '^\\s*$')), " +
+        "c AS (SELECT * FROM e WHERE NOT regexp_matches(line, '^[ \\t\\n\\x0B\\f\\r]*$')), " +
         "dfreq AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM c GROUP BY line) WHERE df >= 5), " +
         "rm AS (SELECT c.doc_id, c.idx FROM c JOIN dfreq USING (line)), " +
         "keep AS (SELECT e.doc_id, e.idx, e.line FROM e LEFT JOIN " +
@@ -2513,12 +2507,12 @@ object SparkEntry {
         "x AS (SELECT doc_id, unnest(list_transform(range(1, len(lns) + 1), " +
         "i -> {'idx': CAST(i AS INT), 'line': lns[CAST(i AS INT)]})) AS u FROM s2), " +
         "e AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM x), " +
-        "c AS (SELECT * FROM e WHERE NOT regexp_matches(line, '^\\s*$')), " +
+        "c AS (SELECT * FROM e WHERE NOT regexp_matches(line, '^[ \\t\\n\\x0B\\f\\r]*$')), " +
         "k AS (SELECT doc_id, idx FROM (SELECT doc_id, idx, " +
         "row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM c) WHERE rn = 1), " +
         "keep AS (SELECT e.doc_id, e.idx, e.line FROM e LEFT JOIN " +
         "(SELECT doc_id, idx, 1 AS kk FROM k) k2 USING (doc_id, idx) " +
-        "WHERE regexp_matches(e.line, '^\\s*$') OR k2.kk = 1), " +
+        "WHERE regexp_matches(e.line, '^[ \\t\\n\\x0B\\f\\r]*$') OR k2.kk = 1), " +
         "agg AS (SELECT doc_id, string_agg(line, chr(10) || chr(10) ORDER BY idx) AS ct FROM keep GROUP BY doc_id) " +
         "SELECT s2.doc_id, CASE WHEN s2.text IS NULL THEN NULL ELSE coalesce(agg.ct, '') END AS clean_text " +
         "FROM s2 LEFT JOIN agg USING (doc_id)"),

@@ -216,6 +216,16 @@ object Warc {
             // trailer; unread raw bytes OR extra inflater leftover
             // mean bytes after the last readable member that no
             // member parse consumed — corruption, loudly.
+            // KNOWN RESIDUAL WINDOW (documented, not covered): a file
+            // truncated strictly INSIDE a valid next-member header
+            // (magic intact, then EOF) whose partial-header bytes the
+            // trailer probe pulled through this counting stream reads
+            // as clean EOF — the probe consumes them (counted reaches
+            // fileLen) and getRemaining stays 8. That is a <= ~10-byte
+            // tail window (up to ~26 with optional header fields);
+            // closing it needs a from-scratch member walk (own header
+            // parser + raw Inflater), which JDK GZIPInputStream's
+            // probe-and-swallow design cannot express from outside.
             val unparsed = (fileLen - counted) + math.max(0L, gz.leftover - 8L)
             if (unparsed > 0) throw new java.io.IOException(
               s"$p: corrupt gzip member boundary - $unparsed " +

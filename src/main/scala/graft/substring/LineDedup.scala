@@ -47,12 +47,16 @@ object LineDedup {
   /** Whitespace-only test for the structural-unit contract. NOT
     * `trim(x) === ""`: Spark's (and DuckDB's) default trim strips
     * only the space character, so a lone "\t" line — or, for
-    * paragraph units, a lone "\n" — would be hashed and deduped as
-    * content, silently altering whitespace structure across docs
-    * (r5 review). Java \s and DuckDB RE2 \s match the same set, so
-    * the oracle replays `regexp_matches(x, '^\s*$')` identically.
+    * paragraph units, a newline-bearing whitespace unit — would be
+    * hashed and deduped as content, silently altering whitespace
+    * structure across docs (r5 review). The class is EXPLICIT, not
+    * `\s`: Java's \s includes vertical tab 0x0B while RE2's does
+    * not, so a bare `\s` would diverge between engine and oracle on
+    * 0x0B-only units; the same literal class appears verbatim in the
+    * oracle SQL.
     */
-  private def isBlank(c: Column): Column = c.rlike("^\\s*$")
+  private[graft] val BlankClass = "^[ \\t\\n\\x0B\\f\\r]*$"
+  private[graft] def isBlank(c: Column): Column = c.rlike(BlankClass)
 
   /** (id, idx, h): one row per NON-BLANK unit occurrence. */
   private def occurrences(docs: DataFrame, idCol: String, textCol: String,
