@@ -1112,6 +1112,25 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("key"))
     }),
 
+    // ---- HLL register mergeability, driver-visible (the incremental
+    // snapshot fold): the engine computes SEPARATE register sketches
+    // over the even and odd halves, folds them register-wise
+    // (mergeRegisters — what a standing snapshot does with each new
+    // batch), and estimates from the MERGED grid; the oracle runs the
+    // straight whole-corpus chain. Hash-equality is the q_incremental
+    // contract for sketches: fold-of-batches == from-scratch.
+    "q_sketch_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def leg(rem: Int) = graft.report.Cardinality.registers(
+        d.filter(col("doc_id") % 2 === rem)
+          .select(col("source").as("grp"), col("text").as("v")),
+        Seq("grp"), col("v"), 12)
+      graft.report.Cardinality.estimate(
+          graft.report.Cardinality.mergeRegisters(leg(0), leg(1), Seq("grp")),
+          Seq("grp"), 12)
+        .orderBy("grp")
+    }),
+
     // cross-domain mirror/syndication detection: domain pairs ranked
     // by DISTINCT shared 20-token chunk hashes (two-sided block cap
     // 2..20 on engine AND oracle, the q_ngram_jaccard convention)
@@ -2773,6 +2792,28 @@ object SparkEntry {
     // cap exactly
     "q_hll_distinct" ->
       s"${hllLegSql(12, "source")} UNION ALL ${hllLegSql(7, "'ALL'")} ORDER BY p, grp",
+
+    // the from-scratch whole-corpus estimator chain — the engine side
+    // merged two half-corpus snapshots, so equality IS the
+    // fold-of-batches == from-scratch guarantee
+    "q_sketch_merge" -> {
+      val p = 12; val m = 1L << p; val r = 60 - p; val rhoMax = r + 1
+      val lnMicroM = math.round(math.log(m.toDouble) * 1000000.0)
+      val a = graft.report.Cardinality.numeratorStr(p)
+      s"SELECT e.grp, e.v_zero, e.s, " +
+        s"CASE WHEN e.raw <= ${m * 5 / 2} AND e.v_zero > 0 " +
+        s"THEN ($m * ($lnMicroM - CAST(round(ln(e.v_zero) * 1000000) AS BIGINT))) // 1000000 " +
+        "ELSE e.raw END AS est FROM " +
+        "(SELECT grp, v_zero, s, " +
+        s"CAST(CAST('$a' AS HUGEINT) // (CAST(s AS HUGEINT) * 1000000) AS BIGINT) AS raw FROM " +
+        s"(SELECT grp, $m - count(*) AS v_zero, " +
+        s"CAST(sum(1::BIGINT << ($rhoMax - mj)) + ($m - count(*)) * (1::BIGINT << $rhoMax) AS BIGINT) AS s FROM " +
+        s"(SELECT grp, h // ${1L << r} AS j, " +
+        s"max(CASE WHEN h % ${1L << r} = 0 THEN $rhoMax ELSE $rhoMax - length(bin(h % ${1L << r})) END) AS mj FROM " +
+        s"(SELECT source AS grp, CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h " +
+        "FROM documents WHERE text IS NOT NULL) GROUP BY grp, j) GROUP BY grp)) e " +
+        "ORDER BY grp"
+    },
 
     // thresholded exact heavy hitters (the MG candidate stage is a
     // guaranteed superset, so the output is a plain thresholded GROUP
