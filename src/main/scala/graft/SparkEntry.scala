@@ -78,13 +78,14 @@ object SparkEntry {
     val g = id / 4
     val m = (id % 4).toInt
     val flipped = (0 until m).map(j => ((g * 7 + j * 5) % 8).toInt).toSet
-    val rowHex = (0 until 8).map { y =>
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${g}_$y".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rowDigest = (0 until 8).map(y => md.digest(s"${g}_$y".getBytes("UTF-8")))
     graft.multimodal.Media.grayPngBytes(9, 8) { (x, y) =>
-      val base = if ("13579bdf".indexOf(rowHex(y).charAt(x)) >= 0) 1 else 0
+      // hex digit x's parity == low bit of the digest nibble (r6: the
+      // full-digest hex formatting was pure overhead — "13579bdf" is
+      // exactly the odd nibbles)
+      val nibble = (rowDigest(y)(x / 2) >> (4 * (1 - x % 2))) & 0xf
+      val base = nibble & 1
       255 * (if (x == 8 && flipped(y)) 1 - base else base)
     }
   })
@@ -126,11 +127,17 @@ object SparkEntry {
     */
   private val audioFixtureUdf = udf((id: Long) => {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val samples = (0 until 65).flatMap { k =>
-      val hex = md.digest(s"${id}_$k".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      val a = Integer.parseInt(hex.substring(0, 1), 16) - 8
-      Seq.fill(80)(a)
-    }.toArray
+    val samples = new Array[Int](65 * 80)
+    var k = 0
+    while (k < 65) {
+      // first md5 hex digit == top nibble of digest byte 0 (r6: the
+      // per-byte hex formatting of the full digest was the dominant
+      // cost of this fixture — only digit 0 is consumed)
+      val d = md.digest(s"${id}_$k".getBytes("UTF-8"))
+      val a = ((d(0) & 0xff) >>> 4) - 8
+      java.util.Arrays.fill(samples, k * 80, (k + 1) * 80, a)
+      k += 1
+    }
     graft.multimodal.AvMeta.wavPcm8Bytes(8000, samples)
   })
 
@@ -500,17 +507,31 @@ object SparkEntry {
     * Spark's ANSI longs and DuckDB BIGINTs. Deterministic literals,
     * embedded in both the Spark plan and the oracle SQL.
     */
-  private val verifPerms: Seq[(Long, Long)] = (0 until 128).map { p =>
+  private[graft] val verifPerms: Seq[(Long, Long)] = (0 until 128).map { p =>
     val a = Math.floorMod(graft.near.Hashing.mix64(0xabcdefL ^ (2L * p)), 2147483646L) + 1L
     val b = Math.floorMod(graft.near.Hashing.mix64(0xabcdefL ^ (2L * p + 1)), 2147483647L)
     (a, b)
   }
+  private val verifA: Array[Long] = verifPerms.map(_._1).toArray
+  private val verifB: Array[Long] = verifPerms.map(_._2).toArray
+
+  /** Compiled forms of the three verification chains (r6 optimization:
+    * the Column-HOF chains are interpreted per element — see
+    * near.VerifMinHash; bit-identical results, pinned by
+    * VerifKernelSpec against the expression chain kept below).
+    */
+  private val verifSigsUdf = udf((toks: Seq[String]) =>
+    graft.near.VerifMinHash.sigs(toks.toIndexedSeq, verifA, verifB))
+  private val verifBbitUdf = udf((toks: Seq[String]) =>
+    graft.near.VerifMinHash.bbitMatches(toks.toIndexedSeq, verifA, verifB))
+  private val verifOphUdf = udf((toks: Seq[String]) =>
+    graft.near.VerifMinHash.ophDensified(toks.toIndexedSeq, ophA, ophB, 32))
 
   /** The ONE affine permutation of the OPH verification chain
     * (q_minhash_oph): same 2^31−1 ring as [[verifPerms]], different
     * seed so the two chains share no constants by accident.
     */
-  private val (ophA, ophB) = (
+  private[graft] val (ophA, ophB) = (
     Math.floorMod(graft.near.Hashing.mix64(0x0ddba11L), 2147483646L) + 1L,
     Math.floorMod(graft.near.Hashing.mix64(0x0ddba11L + 1L), 2147483647L))
 
@@ -520,14 +541,14 @@ object SparkEntry {
     * hashes → min over the 128 affine permutations mod 2^31-1.
     * Callers must pass MATERIALIZED column inputs (invariant 7).
     */
-  private def verifShingleStrs(t: Column): Column =
+  private[graft] def verifShingleStrs(t: Column): Column =
     when(size(t) < 5, array(concat_ws(" ", t)))
       .otherwise(array_distinct(transform(
         sequence(lit(1), size(t) - 4),
         i => concat_ws(" ", slice(t, i, lit(5))))))
-  private def verifHashes(ss: Column): Column = transform(ss,
+  private[graft] def verifHashes(ss: Column): Column = transform(ss,
     x => graft.functions.Hashing.hexPrefixLong(x.cast("binary"), 7))
-  private def verifSigs(hs: Column): Column = {
+  private[graft] def verifSigs(hs: Column): Column = {
     val aLit = lit(verifPerms.map(_._1).toArray)
     val bLit = lit(verifPerms.map(_._2).toArray)
     transform(sequence(lit(0), lit(verifPerms.length - 1)),
@@ -1611,21 +1632,18 @@ object SparkEntry {
 
     // MinHash signatures, ORACLE-GRADE variant: 5-token shingle
     // strings → 28-bit md5 prefix → min over 128 affine permutations
-    // mod 2^31−1 — every step a built-in both engines share, so the
-    // shingling + min-over-permutation machinery is hash-exact
-    // checkable (the production path uses the faster 64-bit UDF
-    // hashes, exercised end-to-end by q_minhash_clusters). Pure
-    // Column expressions, map-side only.
+    // mod 2^31−1 — the DuckDB oracle replays the identical chain from
+    // shared built-ins (the production path uses the faster 64-bit UDF
+    // hashes, exercised end-to-end by q_minhash_clusters). Spark side
+    // runs the compiled kernel (near.VerifMinHash — the Column-HOF
+    // chain is interpreted per element; bit-identical results pinned
+    // by VerifKernelSpec). Map-side only.
     "q_minhash_sigs" -> ((s, dir) =>
       docs(s, dir)
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
-        // materialize each stage ONCE per row — inlined trees would be
-        // re-evaluated per lambda element / per permutation
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-        .select(col("doc_id"), verifShingleStrs(col("toks")).as("ss"))
-        .select(col("doc_id"), verifHashes(col("ss")).as("hs"))
         .select(col("doc_id"),
-          posexplode(verifSigs(col("hs"))).as(Seq("perm_idx", "sig")))),
+          posexplode(verifSigsUdf(col("toks"))).as(Seq("perm_idx", "sig")))),
 
     // ---- one-permutation MinHash, densified (oracle-grade variant of
     // the production Hashing.ophMinhash kernel — O(|S| + k) signatures
@@ -1643,27 +1661,16 @@ object SparkEntry {
     // lambda ELEMENT — the densify stage alone would recompute `mins`
     // (32 scans of `vs`) 1024 times per row (measured: 18.0 s vs
     // 1.6 s pinned at sf0.1).
+    // Spark side runs the compiled kernel (near.VerifMinHash.
+    // ophDensified — the staged/pinned Column chain was interpreted
+    // per element; bit-identical results pinned by VerifKernelSpec
+    // against the retained expression form).
     "q_minhash_oph" -> ((s, dir) =>
       docs(s, dir)
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-        .select(col("doc_id"), verifShingleStrs(col("toks")).as("ss"))
         .select(col("doc_id"),
-          when(size(col("ss")) >= 0, verifHashes(col("ss"))).as("hs"))
-        .select(col("doc_id"),
-          when(size(col("hs")) >= 0, transform(col("hs"),
-            h => (lit(ophA) * h + lit(ophB)) % lit(2147483647L))).as("vs"))
-        .select(col("doc_id"),
-          when(size(col("vs")) >= 0, transform(sequence(lit(0), lit(31)),
-            j => array_min(filter(col("vs"), v => v % 32 === j.cast("long"))))).as("mins"))
-        .select(col("doc_id"),
-          posexplode(when(size(col("mins")) >= 0,
-            transform(sequence(lit(0), lit(31)),
-              j => array_min(filter(
-                transform(sequence(lit(0), lit(31)), d =>
-                  element_at(col("mins"), pmod(j + d, lit(32)) + 1) +
-                    d.cast("long") * lit(2147483648L)),
-                x => x.isNotNull))))).as(Seq("bin_idx", "sig")))),
+          posexplode(verifOphUdf(col("toks"))).as(Seq("bin_idx", "sig")))),
 
     // LSH-bucketed approximate kNN (the at-scale ANN path): bits are
     // scale-adaptive (log2(n/target)); queries are planted scaled
@@ -2251,39 +2258,19 @@ object SparkEntry {
     // reduction Hashing.bbitPack gives signature-holding consumers
     // (incremental near-dup snapshots, the streaming state store).
     // BbitSpec pins the %4 Column form == the packed-kernel form
+    // Spark side runs the compiled kernel (near.VerifMinHash
+    // .bbitMatches — ONE fold over the shared windows plus the last
+    // window folded separately, instead of two interpreted 128-perm
+    // Column chains; bit-identical results pinned by VerifKernelSpec
+    // against the retained expression form).
     "q_bbit_sketch" -> ((s, dir) => {
-      def matches(cond: (Column, Column) => Column) = aggregate(
-        zip_with(col("g1"), col("g2"),
-          (a, b) => when(cond(a, b), 1L).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x)
       docs(s, dir)
         .filter(col("text").isNotNull && trim(col("text")) =!= "")
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
         .filter(size(col("toks")) >= 6)
-        // each stage materialized once per row (invariant 7). The sig
-        // column wraps sigs(h) in `when(size(h) >= 0, ...)` — a
-        // SECOND static reference of h inside the SAME expression:
-        // CollapseProject counts an attribute once inside a HOF
-        // lambda even though the lambda re-evaluates it per element,
-        // so an unguarded sigs(h) would get the md5 hash arrays
-        // re-inlined into the 128-perm transform (measured 40x on
-        // this query; a separate anchor column gets ColumnPruned
-        // before the collapse, so the guard must live in-expression).
-        // The m-select's two uses of g1/g2 block the next collapse
-        // naturally
-        .select(col("doc_id"), col("toks"),
-          slice(col("toks"), lit(1), size(col("toks")) - 1).as("toks2"))
+        .select(col("doc_id"), verifBbitUdf(col("toks")).as("m"))
         .select(col("doc_id"),
-          verifShingleStrs(col("toks")).as("ss1"),
-          verifShingleStrs(col("toks2")).as("ss2"))
-        .select(col("doc_id"),
-          verifHashes(col("ss1")).as("h1"), verifHashes(col("ss2")).as("h2"))
-        .select(col("doc_id"),
-          when(size(col("h1")) >= 0, verifSigs(col("h1"))).as("g1"),
-          when(size(col("h2")) >= 0, verifSigs(col("h2"))).as("g2"))
-        .select(col("doc_id"),
-          matches(_ === _).as("m_full"),
-          matches((a, b) => (a % 4) === (b % 4)).as("m_bbit"))
+          col("m._1").as("m_full"), col("m._2").as("m_bbit"))
         .select(col("doc_id"), col("m_full"), col("m_bbit"),
           expr("CAST(m_full * 1000000 DIV 128 AS BIGINT)").as("est_full_micro"),
           expr("CAST(greatest(4 * m_bbit - 128, 0) * 1000000 DIV 384 AS BIGINT)")

@@ -280,11 +280,15 @@ object Media {
     val w = img.getWidth; val h = img.getHeight
     val hist = new Array[Long](bins)
     var redSum = 0L
+    // row-batched getRGB (r6): identical ARGB conversion per pixel,
+    // one color-model call per ROW instead of per pixel
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
         redSum += r
         val luma = (299 * r + 587 * g + 114 * b) / 1000
