@@ -50,27 +50,34 @@ object PageRank {
       .unionByName(e.select(col("dst").as("id"))).distinct().persist()
     val n = nodes.count() // one tiny agg job; nodes are graph-grain, not corpus-grain
     require(n > 0, "empty graph")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // r6: the (src, dst, outdeg) frame is STATIC — join it once here
+    // instead of once per iteration (one fewer join subtree on the
+    // loop's serial critical path)
+    val e2 = e.join(outdeg, Seq("src")).persist()
     val base = (scale * (dampDen - dampNum) / dampDen) / n
+    // r6: the per-node damping base enters the SAME aggregate as the
+    // contributions (union of one base row per node), replacing the
+    // per-iteration nodes-left-join: base + Σc == Σ(c ∪ {base}) —
+    // integer addition, bit-identical; no-inbound nodes get the lone
+    // base row, exactly the old coalesce(s, 0) + base
+    val baseRows = nodes.select(col("id"), lit(base).as("c")).persist()
 
     var r = nodes.select(col("id"), lit(scale / n).as("rank"))
     for (k <- 1 to iters) {
-      val contrib = e
+      val contrib = e2
         .join(r.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         // integer DIV, not `/` (double division rounds near integer
         // boundaries — the Packing.scala lesson); DuckDB `//` matches
         .select(col("dst").as("id"),
           expr(s"(rank * ${dampNum}L) DIV (${dampDen}L * outdeg)").as("c"))
+      r = contrib.unionByName(baseRows)
         .groupBy(col("id"))
-        .agg(sum(col("c")).as("s"))
-      r = nodes
-        .join(contrib, Seq("id"), "left")
-        .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
+        .agg(sum(col("c")).as("rank"))
       if (k % checkpointEvery == 0 && k < iters) r = r.localCheckpoint(true)
     }
     val out = r.localCheckpoint(true) // materialize before unpersisting inputs
-    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    e.unpersist(); nodes.unpersist(); e2.unpersist(); baseRows.unpersist()
     out
   }
 

@@ -184,11 +184,8 @@ object Media {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
       grays.foreach { gray =>
-        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val rgb = (gray << 16) | (gray << 8) | gray
-        var y = 0
-        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(solidImage(w, h, gray), null, null), null)
       }
       writer.endWriteSequence()
     } finally { writer.dispose(); ios.close() }
@@ -235,11 +232,7 @@ object Media {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
       specs.zipWithIndex.foreach { case (s, idx) =>
-        val img = new java.awt.image.BufferedImage(s.fw, s.fh,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val rgb = (s.gray << 16) | (s.gray << 8) | s.gray
-        var y = 0
-        while (y < s.fh) { var x = 0; while (x < s.fw) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val img = solidImage(s.fw, s.fh, s.gray)
         val md = writer.getDefaultImageMetadata(
           javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
         val fmt = "javax_imageio_gif_image_1.0"
@@ -359,16 +352,18 @@ object Media {
     */
   def grayPngBytes(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val buf = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val v = f(x, y) & 0xff
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        buf(y * w + x) = (v << 16) | (v << 8) | v
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, buf, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.setUseCache(false)
     javax.imageio.ImageIO.write(img, "png", bos)
@@ -383,14 +378,23 @@ object Media {
     * columns have a closed-form oracle.
     */
   def encodedBytes(kind: String, w: Int, h: Int, gray: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val rgb = (gray << 16) | (gray << 8) | gray
-    var y = 0
-    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.setUseCache(false)
-    javax.imageio.ImageIO.write(img, kind, bos)
+    javax.imageio.ImageIO.write(solidImage(w, h, gray), kind, bos)
     bos.toByteArray
+  }
+
+  /** Solid-gray TYPE_INT_RGB raster, filled with ONE batched setRGB
+    * (r6: per-pixel setRGB paid a color-model call per pixel; the
+    * stored pixels are identical).
+    */
+  private def solidImage(w: Int, h: Int, gray: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    val buf = new Array[Int](w * h)
+    java.util.Arrays.fill(buf, rgb)
+    img.setRGB(0, 0, w, h, buf, 0, w)
+    img
   }
 
   /** === STUB === deterministic fake decode for payloads with no known
@@ -459,13 +463,17 @@ object Media {
       it.map { m =>
         val n = if (m.payload == null) 0L else m.payload.length.toLong
         val meta = parseImageMeta(m.payload)
-        val img = if (pixels) gatedDecodePixels(m.payload, meta) else None
+        // r6: ONE reader pass serves raster + frame count (decodePixels
+        // followed by frameCount opened the stream and walked the
+        // registry twice per row)
+        val img = if (pixels && (meta.isDefined || hasImageReader(m.payload)))
+          decodePixelsWithFrames(m.payload) else None
         (img, meta) match {
-          case (Some(i), _) =>
+          case (Some((i, nFrames)), _) =>
             val kind = meta.map(_._1).getOrElse(m.kind)
             val (redMean, feats) = rasterFeatures(i)
             Decoded(m.media_id, kind, n, i.getWidth, i.getHeight,
-              frameCount(m.payload), redMean, feats)
+              nFrames, redMean, feats)
           case (None, Some((kind, w, h))) =>
             Decoded(m.media_id, kind, n, w, h, 1, -1, featuresStub(m.payload))
           case (None, None) =>
@@ -484,6 +492,42 @@ object Media {
         }
       }
     }
+  }
+
+  /** (first raster, frame count) through ONE ImageInputStream + reader
+    * (r6): `ImageIO.read` + [[frameCount]] each built their own stream
+    * and walked the reader registry — for small payloads that setup
+    * dominated. `setInput(iis, false, true)` keeps seekForwardOnly off
+    * so `getNumImages(true)` may scan (ImageIO.read sets it on, which
+    * is why the count needed a second reader before). Identical
+    * results: the first claiming reader, default read params, count
+    * falling back to 1 on error — MediaSpec + the q_media_* oracles
+    * pin it.
+    */
+  private def decodePixelsWithFrames(payload: Array[Byte])
+      : Option[(java.awt.image.BufferedImage, Int)] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, false, true)
+            val img = r.read(0)
+            if (img == null) None
+            else {
+              val nf = try math.max(1, r.getNumImages(true))
+              catch { case _: Exception => 1 }
+              Some((img, nf))
+            }
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
   }
 
   /** The tier-1 decode gate, shared by [[decode]] and [[resize]] so
@@ -731,8 +775,12 @@ object Media {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
         val meta = parseImageMeta(m.payload)
-        gatedDecodePixels(m.payload, meta) match {
-          case Some(src) =>
+        // same single-reader fusion as decode (r6): raster + frame
+        // count from one stream, same gate
+        val dec = if (meta.isDefined || hasImageReader(m.payload))
+          decodePixelsWithFrames(m.payload) else None
+        dec match {
+          case Some((src, nFrames)) =>
             val (w, h) = (src.getWidth, src.getHeight)
             val mx = math.max(w, h)
             if (mx <= maxDim)
@@ -741,11 +789,11 @@ object Media {
             else {
               val w2 = math.max(1, (w.toLong * maxDim / mx).toInt)
               val h2 = math.max(1, (h.toLong * maxDim / mx).toInt)
-              // a frame body can still be corrupt after frameCount's
-              // successful metadata scan — degrade to the first-frame
-              // still rather than failing the task (exceptions are
-              // error handling, not routing)
-              val animated = if (frameCount(m.payload) > 1)
+              // a frame body can still be corrupt after the successful
+              // metadata scan — degrade to the first-frame still
+              // rather than failing the task (exceptions are error
+              // handling, not routing)
+              val animated = if (nFrames > 1)
                 try Some(resizeAnimated(m.payload, w2, h2))
                 catch { case _: Exception => None }
               else None

@@ -291,51 +291,119 @@ object Ann {
       .filter(col("src").isNull)
       .select(col("skipped"))
 
+  /** In-drain verify kernel shared by [[embeddingDupEdgesAndSkips]]
+    * and [[SemDeDup.edgesAndSkips]] (r6, guide §8): score every
+    * unordered pair of a drained bucket with the EXACT
+    * round(cosineFromParts, 6) arithmetic (same prenormed doubles,
+    * same left-to-right dot, same HALF_UP round — SemDeDupSpec /
+    * MiscSpec pin it) and emit only pairs clearing `threshold`, or the
+    * single counted skip row for an over-cap bucket. The quadratic
+    * candidate set never leaves the task.
+    */
+  private[sim] def emitVerified(cap: Int, threshold: Double)(n: Long,
+      ms: collection.IndexedSeq[(String, Seq[Double], Double)])
+      : Iterator[(String, String, java.lang.Double, Long)] =
+    if (n > cap) Iterator.single((null, null, null, n))
+    else if (ms.length < 2) Iterator.empty
+    else {
+      val sorted = ms.sortBy(_._1)
+      val ids = sorted.map(_._1).toArray
+      val vs = sorted.map(_._2.toArray).toArray
+      val ns = sorted.map(_._3).toArray
+      for {
+        i <- ids.indices.iterator
+        j <- ((i + 1) until ids.length).iterator
+        score = {
+          val a = vs(i); val b = vs(j)
+          val nD = math.min(a.length, b.length)
+          var s = 0.0
+          var d = 0
+          while (d < nD) { s += a(d) * b(d); d += 1 }
+          val c = if (ns(i) > 0 && ns(j) > 0) s / math.sqrt(ns(i) * ns(j)) else 0.0
+          // Spark's round(col, 6) on DOUBLE: BigDecimal HALF_UP
+          java.math.BigDecimal.valueOf(c)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        }
+        if score >= threshold
+      } yield (ids(i), ids(j), java.lang.Double.valueOf(score), 0L)
+    }
+
+  /** Re-type the (small) verified string-id pairs back to the ORIGINAL
+    * id type and orient with least/greatest; LEFT joins pass skip rows
+    * through unharmed. Shared output tail of the two in-drain verify
+    * operators.
+    */
+  private[sim] def retypePairs(verified: DataFrame, corpus: DataFrame,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val idMap = corpus.select(col(idCol).as("id0"),
+      col(idCol).cast("string").as("ids"))
+    verified
+      .join(idMap.select(col("ids").as("src"), col("id0").as("src_id")),
+        Seq("src"), "left")
+      .join(idMap.select(col("ids").as("dst"), col("id0").as("dst_id")),
+        Seq("dst"), "left")
+      .select(least(col("src_id"), col("dst_id")).as("src"),
+        greatest(col("src_id"), col("dst_id")).as("dst"), col("score"),
+        col("skipped"))
+  }
+
   /** Embedding near-duplicate edges + skip rows: verified pairs with
     * cosine ≥ threshold (skipped = 0) plus AT MOST ONE aggregated
-    * (null, null, null, n) skip row — the groupBy(src, dst) that
-    * dedups pair rows across tables also collapses every over-cap
-    * bucket's skip row into a single summed count (null keys group
-    * together) — capped AND surfaced, same pass as candidate
-    * generation. Banded-LSH candidates (tables sized
-    * from the threshold itself: a pair AT the threshold is found w.p.
-    * ≥ `recall` at any corpus size), exact cosine verify on the
-    * (small) candidate set — vectors join back onto candidates rather
-    * than riding the T-way code explosion through the shuffle.
+    * (null, null, null, n) skip row — capped AND surfaced in the same
+    * pass. Banded-LSH buckets (tables sized from the threshold itself:
+    * a pair AT the threshold is found w.p. ≥ `recall` at any corpus
+    * size) are drained with the cosine verify IN-TASK (r6, guide §8):
+    * each vector rides the T-way code shuffle with its prenormed
+    * doubles (bounded at cap·dim per drained bucket) and the
+    * quadratic candidate set never shuffles — the previous shape
+    * shuffled every candidate id-pair, then re-joined the prenormed
+    * corpus onto it TWICE. A pair colliding in several tables is
+    * re-scored per table (scores identical, near-dups are the rare
+    * case) and deduped by the groupBy that also collapses skip rows.
     */
   def embeddingDupEdgesAndSkips(corpus: DataFrame, threshold: Double, bits0: Int = 0,
       tables0: Int = 0, seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding", targetBucket: Int = 64,
       n: Option[Long] = None, recall: Double = 0.99,
       maxBucket: Int = 4096, salts: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val bits = if (bits0 > 0) bits0 else adaptiveBits(n.getOrElse(corpus.count()), targetBucket)
     val tables = if (tables0 > 0) tables0 else numTables(bits, threshold, recall)
-    val raw = candidatePairsAndSkips(corpus, bits, tables, seed, idCol, vecCol, maxBucket, salts)
-    // ONE consumption of the candidate pass: the groupBy dedupes pair
-    // rows across tables AND collapses the skip rows (null keys group
-    // together) into a single summed row in the same small shuffle —
-    // a filter/union split would re-run the code projection + drain
-    // subtree per branch (round-4 review finding #5)
-    val fused = raw.groupBy(col("src"), col("dst"))
-      .agg(sum(col("skipped")).as("skipped"))
-    // verify join keys are the candidate pass's string ids; the output
-    // pair is re-oriented under the ORIGINAL id type's ordering. LEFT
-    // joins pass the skip row (null keys match nothing) through the
-    // verify unharmed.
-    val pre = prenorm(corpus.select(col(idCol).as("id0"), col(vecCol).as("v0")),
-      "id0", col("v0"), "v", "nn").drop("v0")
-      .withColumn("ids", col("id0").cast("string"))
-    fused
-      .join(pre.select(col("ids").as("src"), col("id0").as("src_id"),
-        col("v").as("sv"), col("nn").as("sn")), Seq("src"), "left")
-      .join(pre.select(col("ids").as("dst"), col("id0").as("dst_id"),
-        col("v").as("dv"), col("nn").as("dn")), Seq("dst"), "left")
-      .withColumn("score", when(col("src").isNotNull,
-        round(cosineFromParts(col("sv"), col("sn"), col("dv"), col("dn")), 6)))
-      .filter(col("src").isNull || col("score") >= threshold)
-      .select(least(col("src_id"), col("dst_id")).as("src"),
-        greatest(col("src_id"), col("dst_id")).as("dst"), col("score"),
-        col("skipped"))
+    val cap = maxBucket
+    // codes from the ORIGINAL float vectors (sign bits unchanged);
+    // prenormed (v, nn) ride the code shuffle for the in-task verify
+    val rows = prenorm(
+        corpus.select(col(idCol).as("id0"), col(vecCol).as("v0")),
+        "id0", col("v0"), "v", "nn")
+      .select(col("id0").cast("string").as("ids"), col("v"), col("nn"),
+        posexplode(tableCodes(tables, bits, seed)(col("v0")))
+          .as(Seq("table_id", "code")))
+      .select(struct(col("table_id").as("_1"), col("code").as("_2")).as("_1"),
+        struct(col("ids").as("_1"), col("v").as("_2"), col("nn").as("_3")).as("_2"))
+      .as[((Int, Long), (String, Seq[Double], Double))]
+    val emit = emitVerified(cap, threshold) _
+    val raw =
+      if (salts > 1)
+        graft.functions.CappedGroups
+          .saltedDrain[(Int, Long), (String, Seq[Double], Double), (String, String, java.lang.Double, Long)](
+            rows, cap, salts,
+            m => scala.util.hashing.MurmurHash3.stringHash(m._1),
+            (_, nn, ms) => emit(nn, ms))
+      else rows
+        .groupByKey(_._1)
+        .flatMapGroups { (_, rs) =>
+          val (nn, ms) = graft.functions.CappedGroups.drain(rs.map(_._2), cap)
+          emit(nn, ms)
+        }
+    // dedupe pairs found in several tables (identical scores) AND
+    // collapse over-cap skip rows (null keys group together) in one
+    // small shuffle over the VERIFIED set
+    val fused = raw.toDF("src", "dst", "score", "skipped")
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("score")).as("score"), sum(col("skipped")).as("skipped"))
+    retypePairs(fused, corpus, idCol)
   }
 
   /** Pairs-only view of [[embeddingDupEdgesAndSkips]]:

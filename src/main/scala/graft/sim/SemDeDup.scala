@@ -46,55 +46,45 @@ object SemDeDup {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cap = maxCell
-    def emit(n: Long, ids0: collection.IndexedSeq[String]): Iterator[(String, String, Long)] =
-      if (n > cap) Iterator.single((null: String, null: String, n))
-      else if (ids0.length < 2) Iterator.empty
-      else {
-        val ids = ids0.sorted
-        for {
-          i <- ids.indices.iterator
-          j <- ((i + 1) until ids.length).iterator
-        } yield (ids(i), ids(j), 0L)
-      }
+    // r6: cosine verify runs INSIDE the bounded drain (guide §8 — move
+    // the heavy bytes once, decide in place): each vector rides the
+    // cell shuffle ONE time (bounded at cap·dim doubles per task by
+    // the same cap that bounds the drain), candidate pairs are
+    // generated, scored and filtered in-task — the previous shape
+    // shuffled the QUADRATIC (up to cap²/2 per cell) candidate id-pair
+    // set and then re-joined the vectors onto it twice (2 more
+    // shuffles of the pair set + 2 corpus scans). Only verified edges
+    // and skip rows leave the task. Arithmetic is bit-identical to
+    // round(Ann.cosineFromParts(...), 6): same prenormed doubles, same
+    // left-to-right dot, same HALF_UP round (SemDeDupSpec pins it).
+    val emit = Ann.emitVerified(cap, threshold) _
     // ONE argmax pass (k·dim per row against broadcast centroids);
-    // only (id, cell) rides the candidate shuffle
+    // assign's prenormed (v, nn) ride the cell shuffle directly
     val rows = Ivf.assign(corpus, centroids, idCol, vecCol)
-      .select(col("id").cast("string").as("id"), col("cell"))
-      .as[(String, Int)]
+      .select(col("cell").as("_1"),
+        struct(col("id").cast("string").as("_1"), col("v").as("_2"),
+          col("nn").as("_3")).as("_2"))
+      .as[(Int, (String, Seq[Double], Double))]
     val raw =
       if (salts > 1)
-        graft.functions.CappedGroups.saltedDrain[Int, String, (String, String, Long)](
-          rows.map(r => (r._2, r._1)), cap, salts,
-          id => scala.util.hashing.MurmurHash3.stringHash(id),
-          (_, n, ids) => emit(n, ids))
+        graft.functions.CappedGroups
+          .saltedDrain[Int, (String, Seq[Double], Double), (String, String, java.lang.Double, Long)](
+            rows, cap, salts,
+            m => scala.util.hashing.MurmurHash3.stringHash(m._1),
+            (_, n, ms) => emit(n, ms))
       else rows
-        .groupByKey(_._2)
+        .groupByKey(_._1)
         .flatMapGroups { (_, rs) =>
-          val (n, ids0) = graft.functions.CappedGroups.drain(rs.map(_._1), cap)
-          emit(n, ids0)
+          val (n, ms) = graft.functions.CappedGroups.drain(rs.map(_._2), cap)
+          emit(n, ms)
         }
-    // cells partition the corpus, so (src, dst) pairs are already
-    // distinct; the groupBy exists to collapse every over-cap cell's
-    // skip row into one summed row in the same small shuffle
-    val fused = raw.toDF("src", "dst", "skipped")
+    // cells partition the corpus, so verified (src, dst) pairs are
+    // already distinct; the groupBy only collapses over-cap cells'
+    // skip rows into one summed row — now over the SMALL verified set
+    val fused = raw.toDF("src", "dst", "score", "skipped")
       .groupBy(col("src"), col("dst"))
-      .agg(sum(col("skipped")).as("skipped"))
-    // verify joins vectors (prenormed, NO second argmax pass) onto the
-    // candidate set only; LEFT joins pass the skip row through
-    val pre = Ann.prenorm(corpus.select(col(idCol).as("id0"), col(vecCol).as("v0")),
-      "id0", col("v0"), "v", "nn").drop("v0")
-      .withColumn("ids", col("id0").cast("string"))
-    fused
-      .join(pre.select(col("ids").as("src"), col("id0").as("src_id"),
-        col("v").as("sv"), col("nn").as("sn")), Seq("src"), "left")
-      .join(pre.select(col("ids").as("dst"), col("id0").as("dst_id"),
-        col("v").as("dv"), col("nn").as("dn")), Seq("dst"), "left")
-      .withColumn("score", when(col("src").isNotNull,
-        round(Ann.cosineFromParts(col("sv"), col("sn"), col("dv"), col("dn")), 6)))
-      .filter(col("src").isNull || col("score") >= threshold)
-      .select(least(col("src_id"), col("dst_id")).as("src"),
-        greatest(col("src_id"), col("dst_id")).as("dst"), col("score"),
-        col("skipped"))
+      .agg(max(col("score")).as("score"), sum(col("skipped")).as("skipped"))
+    Ann.retypePairs(fused, corpus, idCol)
   }
 
   /** Pairs-only view of [[edgesAndSkips]]: (src, dst, score). */
