@@ -302,8 +302,12 @@ object SparkEntry {
       TextStats.fingerprintMd5(col("text")).as("fp"),
       concat_ws("|", col("lang"), col("n_chars")).as("ident"))
     def starEdges(key: Column) = {
-      val w = Window.partitionBy(key)
-      d.select(col("id"), min(col("id")).over(w).as("m"))
+      // groupBy+join min, not a doc-level window (r6: the same de-skew
+      // shape as ConnectedComponents.withMin — a hot fingerprint key
+      // would sort its whole group in one window task)
+      val keyed = d.select(col("id"), key.as("k"))
+      val mins = keyed.groupBy(col("k")).agg(min(col("id")).as("m"))
+      keyed.join(mins, Seq("k"))
         .filter(col("id") =!= col("m"))
         .select(col("id").as("src"), col("m").as("dst"))
     }
@@ -473,6 +477,20 @@ object SparkEntry {
     */
   private lazy val ivfCatalogRoot: String =
     java.nio.file.Files.createTempDirectory("graft-ivf-catalog-").toString
+
+  /** The doc_id-only frame spread over the session's default
+    * parallelism (r6, guide §2.5 input-split fix + §8 move-the-proxy):
+    * the sf documents parquet is ONE input split, so the CPU-heavy
+    * fixture-synthesis + decode chains (media/audio payloads built
+    * from doc_id) would otherwise run on ONE core. Repartitioning the
+    * 8-byte id rows BEFORE payload synthesis moves only ids through
+    * the exchange — payloads are generated post-shuffle — and the
+    * partition count adapts to the cluster (defaultParallelism), not
+    * a local constant.
+    */
+  private def docIds(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** The documents-table digest cascade used by the engine-backed
     * queries AND their DuckDB oracles: length → md5(first 64 chars) →
@@ -1707,7 +1725,7 @@ object SparkEntry {
           case _ => graft.multimodal.Media.jpegBytes(w, h)
         }
       })
-      val d = docs(s, dir).select(col("doc_id")).withColumn("bin", payloadUdf(col("doc_id")))
+      val d = docIds(s, dir).withColumn("bin", payloadUdf(col("doc_id")))
       val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
       // header-only query → pixels = false: skips the per-row
       // thrown-and-caught ImageIO attempt on the junk fixture bodies
@@ -1888,7 +1906,7 @@ object SparkEntry {
     // (MediaSpec pins this), so the decoded red-channel mean has a
     // pure-arithmetic oracle.
     "q_media_pixels" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id")).withColumn("bin", mediaFixtureUdf(col("doc_id")))
+      val d = docIds(s, dir).withColumn("bin", mediaFixtureUdf(col("doc_id")))
       val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
       graft.multimodal.Media.decode(s, media).toDF()
         .select(col("media_id").cast("long").as("doc_id"), col("kind"),
@@ -1902,7 +1920,7 @@ object SparkEntry {
     // closed-form (same fixture geometry as q_media_pixels)
     "q_media_resize" -> ((s, dir) => {
       import s.implicits._
-      val d = docs(s, dir).select(col("doc_id")).withColumn("bin", mediaFixtureUdf(col("doc_id")))
+      val d = docIds(s, dir).withColumn("bin", mediaFixtureUdf(col("doc_id")))
       val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
       val resized = graft.multimodal.Media.resize(s, media, maxDim = 32)
         .map(r => graft.multimodal.Media.MediaRow(r.media_id, r.kind, r.payload))
@@ -1916,7 +1934,7 @@ object SparkEntry {
     // fixture composites a half-canvas patch over frame 0, so its red
     // mean is the exact integer (g0+gk)/2 — closed-form oracle.
     "q_media_frames" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"))
+      val d = docIds(s, dir)
         .withColumn("bin", mediaAnimFixtureUdf(col("doc_id")))
       val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
       graft.multimodal.Media.frameFeatures(s, media).toDF()
@@ -1931,6 +1949,10 @@ object SparkEntry {
     // sf. least/greatest re-orders numerically (the engine pairs by
     // string id).
     "q_image_phash" -> ((s, dir) => {
+      // NO id repartition here (unlike the other fixture queries): the
+      // 9x8 payloads are trivial to decode and the 2000-row cap keeps
+      // the map stage sub-100ms — measured, the exchange costs more
+      // than the 1-core decode it parallelizes
       val d = docs(s, dir).filter(col("doc_id") < 2000)
         .select(col("doc_id")).withColumn("bin", imageHashFixtureUdf(col("doc_id")))
       val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
@@ -1949,7 +1971,7 @@ object SparkEntry {
     // parameters are closed forms of doc_id; all parsed fields are
     // integer arithmetic the oracle replays exactly.
     "q_av_meta" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"))
+      val d = docIds(s, dir)
         .withColumn("bin", avFixtureUdf(col("doc_id")))
       val media = graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin")
       graft.multimodal.AvMeta.parse(s, media).toDF()
@@ -1967,7 +1989,7 @@ object SparkEntry {
     // the closed-form amplitudes.
     "q_audio_fp" -> ((s, dir) => {
       import s.implicits._
-      val d = docs(s, dir).select(col("doc_id"))
+      val d = docIds(s, dir)
         .withColumn("bin", audioFixtureUdf(col("doc_id")))
       graft.multimodal.Media.fromBinaryColumn(s, d, "doc_id", "bin").map { m =>
         val f = graft.multimodal.AvMeta.audioFacts(m.payload).getOrElse(

@@ -119,8 +119,13 @@ object DedupPipeline {
     val canon = Report.dedupIdentity(valid)
     val aliasEdges = valid
       .select(Urls.normalize(col("url")).as("identity"), col("url"))
-      .withColumn("canonical", min(col("url")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("identity"))))
+      // groupBy+join min, not a window (r6 de-skew: the Report
+      // .dedupIdentity rationale — a hot identity would sort its
+      // whole alias group in one window task)
+      .join(valid
+        .select(Urls.normalize(col("url")).as("identity"), col("url"))
+        .groupBy(col("identity")).agg(min(col("url")).as("canonical")),
+        Seq("identity"))
       .filter(col("url") =!= col("canonical"))
       .select(col("url").as("src"), col("canonical").as("dst"), lit("alias").as("kind"))
 
@@ -239,8 +244,11 @@ object DedupPipeline {
     val staged = catalog.stage("edges", base) {
       val aliasEdges = valid
         .select(Urls.normalize(col("url")).as("identity"), col("url"))
-        .withColumn("canonical", min(col("url")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("identity"))))
+        // groupBy+join min, not a window (r6 de-skew — see run())
+        .join(valid
+          .select(Urls.normalize(col("url")).as("identity"), col("url"))
+          .groupBy(col("identity")).agg(min(col("url")).as("canonical")),
+          Seq("identity"))
         .filter(col("url") =!= col("canonical"))
         .select(col("url").as("src"), col("canonical").as("dst"), lit("alias").as("kind"))
       val exactEdges = exact.assignments

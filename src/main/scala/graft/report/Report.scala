@@ -40,11 +40,15 @@ object Report {
     * broadcast anti-join, so page bytes never enter a shuffle.
     */
   def dedupIdentity(docs: DataFrame, idCol: String = "url"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__identity"))
-    val losers = docs
+    // groupBy+join min, not a window (r6 de-skew: a hot identity —
+    // one url with millions of alias fetches — would sort its whole
+    // group in ONE window task; the aggregate partial-combines
+    // map-side and AQE splits the join)
+    val keyed = docs
       .select(col(idCol), Urls.normalize(col(idCol)).as("__identity"))
-      .withColumn("__min", min(col(idCol)).over(w))
+    val mins = keyed.groupBy(col("__identity"))
+      .agg(min(col(idCol)).as("__min"))
+    val losers = keyed.join(mins, Seq("__identity"))
       .filter(col(idCol) =!= col("__min"))
       .select(col(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
