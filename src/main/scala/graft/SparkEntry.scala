@@ -545,6 +545,39 @@ object SparkEntry {
   private val verifOphUdf = udf((toks: Seq[String]) =>
     graft.near.VerifMinHash.ophDensified(toks.toIndexedSeq, ophA, ophB, 32))
 
+  /** Compiled q_substring window hashes (r6): md5 hex of each 20-token
+    * window at stride 10 — exactly `md5(concat_ws(" ", slice(toks,
+    * i*10+1, 20)))` over `i < floor((n-20)/10)+1`, [] under 20 tokens.
+    */
+  private val winHashUdf = udf((toks: Seq[String]) => {
+    val n = toks.length
+    if (n < 20) Array.empty[String]
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = "0123456789abcdef".toCharArray
+      Array.tabulate((n - 20) / 10 + 1) { i =>
+        val sb = new java.lang.StringBuilder(256)
+        var j = i * 10
+        val end = j + 20
+        while (j < end) {
+          if (j > i * 10) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        md.reset()
+        val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val out = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          out(2 * b) = hex((d(b) >> 4) & 0xf)
+          out(2 * b + 1) = hex(d(b) & 0xf)
+          b += 1
+        }
+        new String(out)
+      }
+    }
+  })
+
   /** The ONE affine permutation of the OPH verification chain
     * (q_minhash_oph): same 2^31−1 ring as [[verifPerms]], different
     * seed so the two chains share no constants by accident.
@@ -1348,18 +1381,24 @@ object SparkEntry {
     // growing with corpus size cannot go quadratic — the oracle
     // applies the identical cap (r01 VERDICT scale-killer fix).
     "q_ngram_jaccard" -> ((s, dir) => {
-      // materialize toks as a column FIRST: a lambda body re-evaluates
-      // embedded expression trees per element, so an inlined split()
-      // would run O(tokens) regexes per doc
-      val toks = col("toks")
-      val bigrams = array_distinct(transform(
-        sequence(lit(1), greatest(size(toks) - 1, lit(0))),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      // compiled distinct-bigram builder (r6): the array_distinct/
+      // transform/concat_ws HOF chain was interpreted per element —
+      // identical first-occurrence-ordered strings
+      val bgUdf = udf((ts: Seq[String]) =>
+        if (ts.length < 2) Array.empty[String]
+        else {
+          val seen = new java.util.LinkedHashSet[String](ts.length * 2)
+          var i = 0
+          while (i < ts.length - 1) { seen.add(ts(i) + " " + ts(i + 1)); i += 1 }
+          val out = new Array[String](seen.size)
+          seen.toArray(out)
+          out
+        })
       val d0 = docs(s, dir).filter(trim(col("text")) =!= "")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           split(trim(col("text")), "\\s+").as("toks"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          when(size(toks) < 2, array().cast("array<string>")).otherwise(bigrams).as("bg"))
+          bgUdf(col("toks")).as("bg"))
       val inCap = d0.groupBy(col("lang"), col("n_chars")).count()
         .filter(col("count").between(2, 100)).select("lang", "n_chars")
       val d = d0.join(inCap, Seq("lang", "n_chars"), "left_semi")
@@ -1565,19 +1604,13 @@ object SparkEntry {
 
     // ---- duplicated-substring windows [EXT]: md5 of each 20-token
     // window (stride 10); per-doc window count + how many of its
-    // windows also occur in ≥1 other doc
+    // windows also occur in ≥1 other doc. Window hashing runs in the
+    // compiled winHashUdf (r6 — the transform/concat_ws/md5 HOF chain
+    // was interpreted per window; identical hex strings)
     "q_substring" -> ((s, dir) => {
-      val toks = col("toks") // materialized (see q_ngram_jaccard note)
-      val nWin = when(size(toks) < 20, 0)
-        .otherwise(floor((size(toks) - 20).cast("double") / 10).cast("int") + 1)
-      val winHashes = transform(
-        sequence(lit(0), nWin - 1),
-        i => md5(concat_ws(" ",
-          slice(toks, i * lit(10) + 1, lit(20))).cast("binary")))
       val d = docs(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-        .select(col("doc_id"), when(size(toks) < 20, array().cast("array<string>"))
-          .otherwise(winHashes).as("whs"))
+        .select(col("doc_id"), winHashUdf(col("toks")).as("whs"))
       val exploded = d.select(col("doc_id"), explode(col("whs")).as("wh"))
       val dupWin = exploded.groupBy("wh")
         .agg(countDistinct(col("doc_id")).as("nd"))

@@ -37,17 +37,28 @@ object Overlap {
     * shingle lambda (SCALE.md invariant 7).
     */
   def sourceShingles(docs: DataFrame, k: Int = 3, sourceCol: String = "source",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    // compiled shingle builder (r6): the transform/concat_ws HOF chain
+    // was interpreted per window — identical space-joined strings
+    val shUdf = udf((ts: Seq[String]) =>
+      Array.tabulate(ts.length - (k - 1)) { i =>
+        val sb = new java.lang.StringBuilder(64)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(ts(i + j))
+          j += 1
+        }
+        sb.toString
+      })
     docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(sourceCol).as("source"),
         graft.text.TextStats.tokens(lower(col(textCol))).as("ts"))
       .filter(size(col("ts")) >= k)
-      .select(col("source"), explode(transform(
-        sequence(lit(1), size(col("ts")) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(col("ts"), i + j)): _*)))
-        .as("sh"))
+      .select(col("source"), explode(shUdf(col("ts"))).as("sh"))
       .distinct()
+  }
 
   /** Exact pairwise overlap: one row per unordered source pair
     * (source_a < source_b) with distinct-shingle set sizes, the shared

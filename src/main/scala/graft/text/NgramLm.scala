@@ -46,14 +46,15 @@ object NgramLm {
   /** Per-occurrence bigram stream with the first token carried along
     * (so scoring never re-splits the bigram string).
     */
-  private[text] def bigramOccurrences(t: DataFrame, idCol: String): DataFrame =
+  private[text] def bigramOccurrences(t: DataFrame, idCol: String): DataFrame = {
+    // compiled bigram builder (r6): the transform/struct/concat_ws HOF
+    // chain was interpreted per element — identical (w1, "w1 w2") rows
+    val bgUdf = udf((ts: Seq[String]) =>
+      Array.tabulate(ts.length - 1)(i => (ts(i), ts(i) + " " + ts(i + 1))))
     t.filter(size(col("ts")) >= 2)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("ts")) - 1),
-        i => struct(element_at(col("ts"), i).as("w1"),
-          concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1))
-            .as("bigram")))).as("g"))
-      .select(col(idCol), col("g.w1").as("w1"), col("g.bigram").as("bigram"))
+      .select(col(idCol), explode(bgUdf(col("ts"))).as("g"))
+      .select(col(idCol), col("g._1").as("w1"), col("g._2").as("bigram"))
+  }
 
   /** Train the bigram model over `docs`. */
   def train(docs: DataFrame, idCol: String = "doc_id",
