@@ -114,20 +114,26 @@ object DedupPipeline {
 
     // F3 identity pre-pass: one canonical row per normalized url;
     // alias edges keep the dropped members clustered with the canonical.
-    // Not persisted: canon is a cheap broadcast-anti-join over the
-    // source scan — caching full pages would not survive 100 TB.
-    val canon = Report.dedupIdentity(valid)
+    // r6: the identity pass runs ONCE — aliasEdges (the small
+    // loser→canonical set) is materialized via localCheckpoint, and
+    // canon is a broadcast anti-join of the source scan against its
+    // src column. Previously every canon consumer (digest cascade,
+    // shingling, final cluster join) re-executed the full
+    // groupBy+join identity subtree; page bytes are still never
+    // cached (only alias urls are). groupBy+join min, not a window
+    // (de-skew: a hot identity would sort its whole alias group in
+    // one window task).
     val aliasEdges = valid
       .select(Urls.normalize(col("url")).as("identity"), col("url"))
-      // groupBy+join min, not a window (r6 de-skew: the Report
-      // .dedupIdentity rationale — a hot identity would sort its
-      // whole alias group in one window task)
       .join(valid
         .select(Urls.normalize(col("url")).as("identity"), col("url"))
         .groupBy(col("identity")).agg(min(col("url")).as("canonical")),
         Seq("identity"))
       .filter(col("url") =!= col("canonical"))
       .select(col("url").as("src"), col("canonical").as("dst"), lit("alias").as("kind"))
+      .localCheckpoint()
+    val canon = valid.join(
+      aliasEdges.select(col("src").as("url")), Seq("url"), "left_anti")
 
     // stage 1: exact content-hash cascade (reference semantics)
     val exact = DedupEngine.run(canon, "url", Digests.cascade(col("html"), cfg.algs))
@@ -231,7 +237,19 @@ object DedupPipeline {
     val quarantined = docsRaw.filter(col("text").isNull)
     val valid0 = docsRaw.filter(col("text").isNotNull)
     val valid = if (cfg.ignoreEmpty) valid0.filter(octet_length(col("html")) > 0) else valid0
-    val canon = Report.dedupIdentity(valid)
+    // identity pass ONCE (r6 — see run()): lazy localCheckpoint so a
+    // RESUMED run that never touches canon pays no identity job
+    lazy val aliasEdges = valid
+      .select(Urls.normalize(col("url")).as("identity"), col("url"))
+      .join(valid
+        .select(Urls.normalize(col("url")).as("identity"), col("url"))
+        .groupBy(col("identity")).agg(min(col("url")).as("canonical")),
+        Seq("identity"))
+      .filter(col("url") =!= col("canonical"))
+      .select(col("url").as("src"), col("canonical").as("dst"), lit("alias").as("kind"))
+      .localCheckpoint(false)
+    lazy val canon = valid.join(
+      aliasEdges.select(col("src").as("url")), Seq("url"), "left_anti")
     lazy val exact = DedupEngine.run(canon, "url", Digests.cascade(col("html"), cfg.algs))
 
     // stage 1: the full edge set (alias + exact + near-dup edges) PLUS
@@ -242,15 +260,6 @@ object DedupPipeline {
     // digesting/shingling entirely.
     var toRelease = Seq.empty[DataFrame]
     val staged = catalog.stage("edges", base) {
-      val aliasEdges = valid
-        .select(Urls.normalize(col("url")).as("identity"), col("url"))
-        // groupBy+join min, not a window (r6 de-skew — see run())
-        .join(valid
-          .select(Urls.normalize(col("url")).as("identity"), col("url"))
-          .groupBy(col("identity")).agg(min(col("url")).as("canonical")),
-          Seq("identity"))
-        .filter(col("url") =!= col("canonical"))
-        .select(col("url").as("src"), col("canonical").as("dst"), lit("alias").as("kind"))
       val exactEdges = exact.assignments
         .filter(col("id") =!= col("block_id"))
         .select(col("id").as("src"), col("block_id").as("dst"), lit("exact").as("kind"))
