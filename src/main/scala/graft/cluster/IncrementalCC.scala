@@ -47,7 +47,11 @@ object IncrementalCC {
     // batch-sized; materialized because the edge subtree (often a join
     // or window chain over the batch) feeds the graph AND both
     // endpoint derivations below
-    val deltaEdges = deltaEdges0.select(col("src"), col("dst")).localCheckpoint()
+    // lazy checkpoints (r6): cached on first use inside the first
+    // consuming job — three dedicated blocking jobs removed from the
+    // merge's serial path; reuse semantics unchanged (the CC-iteration
+    // localCheckpoint(false) pattern)
+    val deltaEdges = deltaEdges0.select(col("src"), col("dst")).localCheckpoint(false)
     val endpoints = deltaEdges.select(col("src").as("id"))
       .unionByName(deltaEdges.select(col("dst").as("id")))
       .distinct()
@@ -57,10 +61,10 @@ object IncrementalCC {
     // not re-scan the big table
     val touched = priorAssign.join(broadcast(endpoints), Seq("id"))
       .select(col("id"), col("component"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val g = deltaEdges
       .unionByName(touched.select(col("id").as("src"), col("component").as("dst")))
-    val cc = ConnectedComponents.run(g, maxIter).localCheckpoint()
+    val cc = ConnectedComponents.run(g, maxIter).localCheckpoint(false)
     val priorComps = touched.select(col("component").as("id")).distinct()
     val relabel = cc.join(priorComps, Seq("id"))
       .filter(col("component") =!= col("id"))
