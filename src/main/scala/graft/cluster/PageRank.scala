@@ -74,7 +74,12 @@ object PageRank {
       r = contrib.unionByName(baseRows)
         .groupBy(col("id"))
         .agg(sum(col("c")).as("rank"))
-      if (k % checkpointEvery == 0 && k < iters) r = r.localCheckpoint(true)
+      // lazy (r6): lineage still cut at the cache point, but the
+      // materialization folds into the next consuming job instead of
+      // a dedicated blocking job per checkpoint (the CC-iteration /
+      // IncrementalCC pattern — there is no per-iteration action here,
+      // so eager checkpoints were the loop's only mid-loop jobs)
+      if (k % checkpointEvery == 0 && k < iters) r = r.localCheckpoint(false)
     }
     val out = r.localCheckpoint(true) // materialize before unpersisting inputs
     e.unpersist(); nodes.unpersist(); e2.unpersist(); baseRows.unpersist()
