@@ -30,9 +30,16 @@ import graft.model.DigestSpec
   * Engine.pm:500-532; oracle fixture [6,3,3,0], Engine.t:235-271).
   */
 final class DedupResult(
-    val blockMeta: DataFrame,
+    blockMeta0: => DataFrame,
     val assignments: DataFrame,
     val numLevels: Int) {
+
+  /** Lazy (r6): building the meta frame needs the single-object probe
+    * (a blocking limit-2 job) only for its `nkeys` expression —
+    * assignments-only consumers (the pipeline's exact-edge stage)
+    * never pay that job. Same frame, same rows, on first access.
+    */
+  lazy val blockMeta: DataFrame = blockMeta0
 
   /** Total objects = Σ block sizes (computed from the aggregated
     * meta frame — never a second scan of the corpus).
@@ -168,8 +175,11 @@ object DedupEngine {
     val narrow0 = stringify(withId, cascade)
     // the single-object degenerate (keys=[], Engine.pm:351-364) only
     // needs to know whether ≥2 rows exist — a limit(2) probe, not a
-    // full count scan of the corpus
-    val single = narrow0.limit(2).count() < 2
+    // full count scan of the corpus. DEFERRED (r6): the probe result
+    // feeds only the nkeys expression of blockMeta, so it runs when
+    // blockMeta is first touched — assignments-only consumers skip
+    // the blocking job entirely.
+    lazy val single = narrow0.limit(2).count() < 2
     // ONE explicit exchange on the full key feeds BOTH the block
     // aggregation and the assignments probe side below: the two
     // subtrees canonicalize to the same Exchange, so the physical plan
@@ -195,15 +205,20 @@ object DedupEngine {
     }
     // nkeys = min k in [0..n] with (#rows under the k-prefix) == 1, else n.
     // s_0 = corpus total (degenerate single-row case), s_n = block size.
-    var nkeysExpr: Column = when(lit(single), 0)
-    for (k <- 1 until n) nkeysExpr = nkeysExpr.when(col(s"__s$k") === 1L, k)
-    nkeysExpr = nkeysExpr.otherwise(n)
-    val meta = g.withColumn("nkeys", nkeysExpr)
-    val blockMeta = meta.select(
-      slice(array(keyCols(n): _*), lit(1), col("nkeys")).as("keys"),
-      col("size"), col("nkeys"), col("block_id"))
+    // Built inside the lazy blockMeta thunk: constructing the nkeys
+    // expression forces the `single` probe, and the assignments join
+    // only needs the key columns + block_id (renameKeys prunes nkeys
+    // anyway — joining on g is the identical frame).
+    def blockMeta = {
+      var nkeysExpr: Column = when(lit(single), 0)
+      for (k <- 1 until n) nkeysExpr = nkeysExpr.when(col(s"__s$k") === 1L, k)
+      nkeysExpr = nkeysExpr.otherwise(n)
+      g.withColumn("nkeys", nkeysExpr).select(
+        slice(array(keyCols(n): _*), lit(1), col("nkeys")).as("keys"),
+        col("size"), col("nkeys"), col("block_id"))
+    }
     val assignments = narrow
-      .join(renameKeys(meta, n), nullSafeKeyCond(n))
+      .join(renameKeys(g, n), nullSafeKeyCond(n))
       .select(col("__id").as("id"), col("block_id"))
     new DedupResult(blockMeta, assignments, n)
   }
@@ -235,7 +250,10 @@ object DedupEngine {
       c.as(s"__k$i")
     }
     var cur = withId.withColumn("__k0", keyed(cascade.head, 0)).repartition(col("__k0"))
-    val single = cur.limit(2).count() < 2
+    // deferred single-object probe (see runEager) — forced only when
+    // blockMeta is first touched
+    val cur0 = cur
+    lazy val single = cur0.limit(2).count() < 2
     var metaParts = Vector.empty[DataFrame]
     var assignParts = Vector.empty[DataFrame]
     for (k <- 0 until n) {
@@ -263,7 +281,7 @@ object DedupEngine {
     // single-object corpus: the reference never computes any key
     // (lazy — no collider ever arrives); mirror it post-hoc.
     val allMeta = metaParts.reduce(_ unionByName _)
-    val blockMeta =
+    def blockMeta =
       if (single)
         allMeta.select(
           lit(Array.empty[String]).cast("array<string>").as("keys"),

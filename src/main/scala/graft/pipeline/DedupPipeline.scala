@@ -131,7 +131,10 @@ object DedupPipeline {
         Seq("identity"))
       .filter(col("url") =!= col("canonical"))
       .select(col("url").as("src"), col("canonical").as("dst"), lit("alias").as("kind"))
-      .localCheckpoint()
+      // lazy (r6): cached on first use inside the first consuming job
+      // (the broadcast build for canon's anti-join) instead of a
+      // dedicated blocking job on the serial path
+      .localCheckpoint(false)
     val canon = valid.join(
       aliasEdges.select(col("src").as("url")), Seq("url"), "left_anti")
 
@@ -201,13 +204,20 @@ object DedupPipeline {
     val allEdges = (Seq(Option(aliasEdges), Option(exactEdges), mh, sh, sub, lr).flatten
       .map(_.select("src", "dst", "kind")).reduce(_ unionByName _))
       .localCheckpoint()
-    def skipSum(o: DataFrame): Long = o.filter(col("src").isNull)
-      .agg(coalesce(sum(col("skipped")), lit(0L))).head().getLong(0)
-    val skippedCounts =
-      mhOut.map(o => "minhash" -> skipSum(o)).toMap ++
-        shOut.map(o => "simhash" -> skipSum(o)).toMap ++
-        subOut.map(o => "substring" -> skipSum(o)).toMap ++
-        lrOut.map(o => "longrun" -> skipSum(o)).toMap
+    // ONE driver action for all stages' skip sums (r6): the per-stage
+    // .head() jobs each paid a job-scheduling round trip on the serial
+    // path; the union of the (tiny, persisted-input) aggregates is one
+    // collect. Same Map, stage keys unchanged.
+    val skipFrames =
+      mhOut.map(o => ("minhash", o)).toSeq ++ shOut.map(o => ("simhash", o)) ++
+        subOut.map(o => ("substring", o)) ++ lrOut.map(o => ("longrun", o))
+    val skippedCounts = skipFrames
+      .map { case (k, o) => o.filter(col("src").isNull)
+        .agg(coalesce(sum(col("skipped")), lit(0L)).as("skipped"))
+        .select(lit(k).as("stage"), col("skipped")) }
+      .reduceOption(_ unionByName _)
+      .map(_.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty[String, Long])
     (sigsMh.toSeq ++ sigsSh.toSeq).distinct.foreach(_.unpersist())
     (mhOut.toSeq ++ shOut.toSeq ++ subOut.toSeq ++ lrOut.toSeq).foreach(_.unpersist())
 
