@@ -31,6 +31,9 @@ object ConnectedComponents {
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct()
+      // EAGER deliberately (r6 A/B): lazy was measured worse — both
+      // union branches of iteration 1's sym race to compute the
+      // uncached partitions, doubling the edge-prep work
       .localCheckpoint()
 
     // convergence check: (count, order-independent xor-of-hashes)

@@ -116,11 +116,13 @@ object HeavyHitters {
       d: Int = 4, w: Int = 1024): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // ONE eager materialization serves the count, the MG pass, the
-    // gated exact count, and the register grid; localCheckpoint (not
+    // ONE materialization serves the count, the MG pass, the gated
+    // exact count, and the register grid; localCheckpoint (not
     // persist) so no cached frame outlives the call (the pipeline
-    // discipline) and the upstream DAG executes exactly once
-    val keys = df.filter(keyCol.isNotNull).select(keyCol.as("key")).localCheckpoint()
+    // discipline) and the upstream DAG executes exactly once. Lazy
+    // (r6): the count() right below materializes it — eager was a
+    // redundant extra blocking job.
+    val keys = df.filter(keyCol.isNotNull).select(keyCol.as("key")).localCheckpoint(false)
     val n = keys.count()
     val cands = keys.as[String]
       .mapPartitions(it => misraGries(it, m).keysIterator)

@@ -151,7 +151,9 @@ object NgramLm {
       .select(col(idCol), col("n_bigrams"), col("sum_logp_micro"),
         floor(col("sum_logp_micro").cast("double") /
           greatest(col("n_bigrams"), lit(1L)).cast("double")).as("avg_micro"))
-      .localCheckpoint()
+      // lazy (r6): the threshold collect right below materializes it —
+      // an eager checkpoint was a redundant extra blocking job
+      .localCheckpoint(false)
     val thr = math.min((sampleFrac * 4294967296.0).toLong, 4294967296L)
     val vs = scored
       .filter(graft.corpus.Splits.bucket(col(idCol).cast("string"), salt) < thr)
