@@ -865,11 +865,13 @@ object SparkEntry {
     // materialized as a column FIRST (invariant 7: inlined trees
     // re-evaluate per lambda element)
     "q_repetition" -> ((s, dir) => {
-      val feats = TextStats.repetitionFeatures(col("bgs"))
+      // compiled kernel (r6): the tokens→bigrams→features HOF chain
+      // was interpreted per element; identical numbers, one pass
+      // (pinned by RepKernelSpec)
       docs(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TextStats.bigrams(col("toks")).as("bgs"))
-        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+        .select(col("doc_id"), TextStats.repetitionKernel(col("text")).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_bigrams"),
+          col("r._2").as("dup_bigram_frac"), col("r._3").as("top_bigram_frac"))
         .orderBy("doc_id")
     }),
 
@@ -879,8 +881,9 @@ object SparkEntry {
     // every 2 tokens within them (lines) — identical regexes in the
     // oracle; both grains show both outcomes at sf0.01
     "q_gopher_rep" -> ((s, dir) => {
-      val feats = TextStats.dupUnitFeatures(col("lns"), "lines") ++
-        TextStats.dupUnitFeatures(col("paras"), "paras")
+      // compiled kernels per grain (r6): the unitArray→dupUnitFeatures
+      // HOF chains were interpreted per element; identical numbers
+      // (pinned by RepKernelSpec). Restructuring regexes unchanged.
       docs(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"),
           regexp_replace(col("text"),
@@ -891,9 +894,13 @@ object SparkEntry {
             "((?:[^ \\t\\n\\x0B\\f\\r]+ ){1}[^ \\t\\n\\x0B\\f\\r]+) ",
             "$1\n").as("text"))
         .select(col("doc_id"),
-          TextStats.unitArray(col("text"), "\n").as("lns"),
-          TextStats.unitArray(col("text"), "\n\n").as("paras"))
-        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+          TextStats.dupUnitsKernel("\n")(col("text")).as("l"),
+          TextStats.dupUnitsKernel("\n\n")(col("text")).as("p"))
+        .select(col("doc_id"),
+          col("l._1").as("n_lines"), col("l._2").as("dup_lines_frac"),
+          col("l._3").as("dup_lines_char_frac"),
+          col("p._1").as("n_paras"), col("p._2").as("dup_paras_frac"),
+          col("p._3").as("dup_paras_char_frac"))
         .orderBy("doc_id")
     }),
 

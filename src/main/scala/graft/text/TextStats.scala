@@ -153,6 +153,92 @@ object TextStats {
         .otherwise(lit(0.0)), 6))
   }
 
+  // ---- compiled repetition kernels (r6) -------------------------
+  // The HOF forms above ([[repetitionFeatures]], [[dupUnitFeatures]])
+  // evaluate an interpreted lambda per array element (transform /
+  // array_sort / aggregate are not whole-stage-codegen'd); these
+  // kernels produce the IDENTICAL numbers in one tight primitive pass
+  // per document and are pinned bit-for-bit against the expression
+  // chains by RepKernelSpec. Exactness notes: Spark `trim` strips
+  // 0x20 only; `split` is Java-regex with limit -1; `length` counts
+  // code points; `round(x, 6)` is BigDecimal HALF_UP on the double.
+
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  private def round6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def trimSpaces(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** (n_bigrams, dup_bigram_frac, top_bigram_frac) of `text` — the
+    * [[repetitionFeatures]]∘[[bigrams]]∘[[tokens]] chain compiled.
+    * Null text yields the blank-doc row (callers filter nulls).
+    */
+  val repetitionKernel: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
+      val t = trimSpaces(if (text == null) "" else text)
+      val toks: Array[String] =
+        if (t.isEmpty) Array.empty[String] else wsPattern.split(t, -1)
+      if (toks.length < 2) (0L, 0.0, 0.0)
+      else {
+        val nb = toks.length - 1
+        val counts = new java.util.HashMap[String, Long](nb * 2)
+        var i = 0
+        while (i < nb) {
+          counts.merge(toks(i) + " " + toks(i + 1), 1L, (a, b) => a + b)
+          i += 1
+        }
+        var top = 0L
+        val it = counts.values.iterator()
+        while (it.hasNext) { val c = it.next(); if (c > top) top = c }
+        val total = nb.toDouble
+        (nb.toLong,
+          round6((total - counts.size.toDouble) / total),
+          round6(top.toDouble / total))
+      }
+    })
+
+  /** (n, dup_frac, dup_char_frac) of `text` split at regex `sep` with
+    * empty units dropped — the [[dupUnitFeatures]]∘[[unitArray]]
+    * chain compiled (one grain per call; char mass in code points).
+    */
+  def dupUnitsKernel(sep: String): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val p = java.util.regex.Pattern.compile(sep)
+    udf((text: String) => {
+      val units = p.split(if (text == null) "" else text, -1)
+      var n = 0
+      var chars = 0L
+      var disChars = 0L
+      val seen = new java.util.HashSet[String]()
+      var i = 0
+      while (i < units.length) {
+        val u = units(i)
+        if (!u.isEmpty) {
+          n += 1
+          val c = u.codePointCount(0, u.length).toLong
+          chars += c
+          if (seen.add(u)) disChars += c
+        }
+        i += 1
+      }
+      if (n == 0) (0L, 0.0, 0.0)
+      else {
+        val f1 = round6((n.toDouble - seen.size.toDouble) / n.toDouble)
+        val f2 =
+          if (chars > 0)
+            round6((chars.toDouble - disChars.toDouble) / chars.toDouble)
+          else 0.0
+        (n.toLong, f1, f2)
+      }
+    })
+  }
+
   /** Stopword tables for the n-gram-heuristic language ID. Small,
     * high-frequency, language-distinctive words.
     */
