@@ -872,6 +872,10 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.repetitionKernel(col("text")).as("r"))
         .select(col("doc_id"), col("r._1").as("n_bigrams"),
           col("r._2").as("dup_bigram_frac"), col("r._3").as("top_bigram_frac"))
+        // lazy checkpoint before the sort (r6, same as q_gopher):
+        // RangePartitioning samples its child with a separate job,
+        // re-executing the map-side subtree; the cache serves both
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
@@ -901,6 +905,10 @@ object SparkEntry {
           col("l._3").as("dup_lines_char_frac"),
           col("p._1").as("n_paras"), col("p._2").as("dup_paras_frac"),
           col("p._3").as("dup_paras_char_frac"))
+        // lazy checkpoint before the sort (r6, same as q_gopher):
+        // RangePartitioning samples its child with a separate job,
+        // re-executing the map-side subtree; the cache serves both
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
@@ -1141,7 +1149,9 @@ object SparkEntry {
           when(col("d") === 7,
             lit("User-agent: graftbot\nCrawl-delay: 4\nCrawl-delay: 8\n"))
             .otherwise(lit(""))).as("robots_txt"))
-      graft.extract.Robots.crawlDelays(robots, "graftbot").orderBy("domain")
+      // lazy checkpoint before the sort (r6, same as q_gopher)
+      graft.extract.Robots.crawlDelays(robots, "graftbot")
+        .localCheckpoint(false).orderBy("domain")
     }),
 
     // per-domain corpus hygiene report: docs / exact distinct texts /
@@ -2150,6 +2160,10 @@ object SparkEntry {
         .select(col("doc_id"), t5.as("t"))
         .select(col("doc_id"), col("t"), TextStats.tokens(lower(col("t"))).as("lt"))
         .select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
+        // lazy checkpoint before the sort (r6): RangePartitioning
+        // samples its child with a separate job, re-executing the
+        // regex-decoration subtree; the cache serves both passes
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
@@ -2171,6 +2185,10 @@ object SparkEntry {
           idCol = "doc_id", textCol = "text")
         .select(col("id").as("doc_id"), col("clean_text"),
           col("n_lines_kept"), col("page_kept"))
+        // lazy checkpoint before the sort (r6, same as q_gopher):
+        // RangePartitioning samples its child with a separate job,
+        // re-executing the map-side subtree; the cache serves both
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
@@ -2236,6 +2254,10 @@ object SparkEntry {
         lit("end</p><p>W"), (id % 7).cast("string"), lit("</p></body></html>"))
       graft.extract.ContentExtract.mainContent(
           docs(s, dir).select(col("doc_id"), html.as("h")), col("h"))
+        // lazy checkpoint before the sort (r6, same as q_gopher):
+        // RangePartitioning samples its child with a separate job,
+        // re-executing the map-side subtree; the cache serves both
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
