@@ -322,6 +322,20 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** The embeddings scan spread over the session's parallelism (r6,
+    * guide §2.5 input-skew fix — same rationale as docIds): the sf
+    * parquet is ONE input split, so per-pair dot products and
+    * per-vector code assignments otherwise run on ONE core. The
+    * exchange moves each (id, vec) row exactly once; results are
+    * partitioning-invariant (oracle-compared). Used by the queries
+    * where the spread measured faster (knn/ann/embedding-dup);
+    * q_semantic_dedup / q_prototypes measured FLAT-TO-WORSE with it
+    * (their operators re-shuffle by cell immediately) and keep the
+    * plain scan.
+    */
+  private def embeddingsSpread(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).repartition(s.sparkContext.defaultParallelism)
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
   private def lineitem(s: SparkSession, dir: String): DataFrame =
@@ -1369,7 +1383,7 @@ object SparkEntry {
     // ---- similarity search: exact brute-force cosine top-5 over
     // embeddings for query ids < 20
     "q_knn_bruteforce" -> ((s, dir) => {
-      val e = embeddings(s, dir)
+      val e = embeddingsSpread(s, dir)
       graft.sim.Ann.knnBruteForce(e, e.filter(col("vec_id") < 20), 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy("query_id", "rank")
@@ -1469,8 +1483,8 @@ object SparkEntry {
     // same bucket code ⇒ guaranteed candidate; cos ≈ 1): the check has
     // teeth — 50 planted pairs must come back exactly.
     "q_embedding_dup" -> ((s, dir) => {
-      val corpus = embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        .unionByName(plantedCopies(embeddings(s, dir), 50, 100000L))
+      val corpus = embeddingsSpread(s, dir).select(col("vec_id"), col("embedding"))
+        .unionByName(plantedCopies(embeddingsSpread(s, dir), 50, 100000L))
       graft.sim.Ann.embeddingDupEdges(corpus, 0.99,
           n = Some(parquetRowCount(s, s"$dir/embeddings.parquet") + 50))
         .select(col("src"), col("dst"), col("score"))
@@ -1753,7 +1767,7 @@ object SparkEntry {
     // the oracle is the exact SQL argmax. Recall@5 on raw data is
     // asserted ≥ 0.9 in AnnSpec.
     "q_ann_lsh" -> ((s, dir) => {
-      val e = embeddings(s, dir)
+      val e = embeddingsSpread(s, dir)
       graft.sim.Ann.knnLsh(e, plantedCopies(e, 20, 100000L), 1,
           n = Some(parquetRowCount(s, s"$dir/embeddings.parquet")))
         .select(col("query_id"), col("neighbor_id"))
@@ -1801,7 +1815,7 @@ object SparkEntry {
     // training job. Lineage carries the corpus dir, so sf0.001 warm-up
     // and sf0.1 timed runs never share a model.
     "q_ann_ivf" -> ((s, dir) => {
-      val e = embeddings(s, dir)
+      val e = embeddingsSpread(s, dir)
       val queries = e.filter(col("vec_id") < 20)
         .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
       val centroids = graft.sim.Ivf.trainCheckpointed(e,
@@ -1818,7 +1832,7 @@ object SparkEntry {
     // vectors read only in the refine join), exact top-1 after refine
     // — same planted-copy oracle as q_ann_ivf
     "q_ann_pq" -> ((s, dir) => {
-      val e = embeddings(s, dir)
+      val e = embeddingsSpread(s, dir)
       val queries = e.filter(col("vec_id") < 20)
         .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
       val cat = new graft.checkpoint.Catalog(ivfCatalogRoot, s)
