@@ -67,10 +67,52 @@ object LineDedup {
       .select(col("id"), col("idx"), md5(col("unit").cast("binary")).as("h"))
 
   /** Reassemble docs keeping unit i ⟺ it is blank OR `keep(i)`;
-    * null text passes through as null clean_text.
+    * null text passes through as null clean_text. Compiled (r6): the
+    * filter/array_contains/rlike HOF chain evaluated an interpreted
+    * lambda (with a regex and an O(|list|) scan) per unit; the kernel
+    * does one pass with a precompiled blank pattern and a hash set —
+    * identical strings (pinned by the expression-form compare in
+    * MiscSpec and the q_paragraph_dedup / q_boilerplate oracles).
     */
   private def reassemble(docs: DataFrame, idxLists: DataFrame, listCol: String,
       keepWhenListed: Boolean, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(idxLists, Seq("id"), "left")
+      .select(col("id"),
+        reassembleKernel(sep, keepWhenListed)(col("text"), col(listCol))
+          .as("clean_text"))
+
+  private[graft] def reassembleKernel(sep: String, keepWhenListed: Boolean) = {
+    val blank = java.util.regex.Pattern.compile(BlankClass)
+    val sp = java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(sep))
+    udf((text: String, ix: Seq[Int]) =>
+      if (text == null) null
+      else {
+        val listed: Set[Int] = if (ix == null) Set.empty else ix.toSet
+        val units = sp.split(text, -1)
+        val sb = new java.lang.StringBuilder
+        var first = true
+        var i = 0
+        while (i < units.length) {
+          val u = units(i)
+          if (blank.matcher(u).find() ||
+              (if (keepWhenListed) listed(i) else !listed(i))) {
+            if (!first) sb.append(sep)
+            sb.append(u)
+            first = false
+          }
+          i += 1
+        }
+        sb.toString
+      })
+  }
+
+  /** The ORIGINAL expression-chain reassembly, retained for the
+    * kernel-pinning compare in the test suite.
+    */
+  private[graft] def reassembleExpr(docs: DataFrame, idxLists: DataFrame,
+      listCol: String, keepWhenListed: Boolean, idCol: String, textCol: String,
       sep: String): DataFrame =
     docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .join(idxLists, Seq("id"), "left")

@@ -639,6 +639,36 @@ class SubstringSpec extends SparkSpec {
     assert(out("d5") == null)
   }
 
+  test("reassembly kernel == expression chain (both grains, both polarities)") {
+    import spark.implicits._
+    // boundary texts: null, blank-only units (\t, \x0B), trailing
+    // separators, astral chars, units equal to the separator run
+    val docs = Seq(
+      ("k1", "a\nb\n\nc\na"),
+      ("k2", "\t\n\nx"),
+      ("k3", "trail\n\n"),
+      ("k4", null),
+      ("k5", "🎉\nsame\nsame"),
+      ("k6", "")).toDF("url", "text")
+    val ix = Seq(("k1", Seq(1, 4)), ("k2", Seq(2)), ("k5", Seq(0)))
+      .toDF("id", "rm_idx")
+    for (sep <- Seq("\n", "\n\n"); keepListed <- Seq(true, false)) {
+      val viaExpr = graft.substring.LineDedup
+        .reassembleExpr(docs, ix, "rm_idx", keepListed, "url", "text", sep)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val viaKernel = docs
+        .select(org.apache.spark.sql.functions.col("url").as("id"),
+          org.apache.spark.sql.functions.col("text"))
+        .join(ix, Seq("id"), "left")
+        .select(org.apache.spark.sql.functions.col("id"),
+          graft.substring.LineDedup.reassembleKernel(sep, keepListed)(
+            org.apache.spark.sql.functions.col("text"),
+            org.apache.spark.sql.functions.col("rm_idx")).as("clean_text"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(viaKernel == viaExpr, s"sep len ${sep.length} keepListed $keepListed")
+    }
+  }
+
   test("whitespace-only units are structural: a tab line and a lone-newline paragraph survive") {
     import spark.implicits._
     // Spark/DuckDB default trim strips only spaces — a "\t" line (or a
