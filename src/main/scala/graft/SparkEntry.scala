@@ -1432,7 +1432,10 @@ object SparkEntry {
           bgUdf(col("toks")).as("bg"))
       val inCap = d0.groupBy(col("lang"), col("n_chars")).count()
         .filter(col("count").between(2, 100)).select("lang", "n_chars")
+      // lazy checkpoint (r6): both self-join sides otherwise re-run
+      // the bigram UDF over the one-split scan; cached on first use
       val d = d0.join(inCap, Seq("lang", "n_chars"), "left_semi")
+        .localCheckpoint(false)
       val l = d.select(col("lang"), col("n_chars"), col("doc_id").as("src"), col("bg").as("bg1"))
       val r = d.select(col("lang"), col("n_chars"), col("doc_id").as("dst"), col("bg").as("bg2"))
       l.join(r, Seq("lang", "n_chars"))
@@ -1642,6 +1645,10 @@ object SparkEntry {
       val d = docs(s, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
         .select(col("doc_id"), winHashUdf(col("toks")).as("whs"))
+        // lazy checkpoint (r6): the window-hash UDF pass fed both the
+        // explode subtree and the final per-doc n_windows select —
+        // computed twice over the one-split scan; cached on first use
+        .localCheckpoint(false)
       val exploded = d.select(col("doc_id"), explode(col("whs")).as("wh"))
       val dupWin = exploded.groupBy("wh")
         .agg(countDistinct(col("doc_id")).as("nd"))

@@ -68,7 +68,11 @@ object Overlap {
     */
   def exactPairs(docs: DataFrame, k: Int = 3, sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
-    val d = sourceShingles(docs, k, sourceCol, textCol)
+    // lazy checkpoint (r6): the shingle stream feeds two differently-
+    // keyed groupBys (per-source totals, per-shingle source sets) —
+    // unmaterialized, each exchange's map stage re-ran the tokenize+
+    // k-gram pass; cached on first use
+    val d = sourceShingles(docs, k, sourceCol, textCol).localCheckpoint(false)
     val tot = d.groupBy("source").agg(count(lit(1)).as("n"))
     // sources-per-shingle set (bounded by S), sorted, then the ordered
     // pair fan-out — flatten of per-prefix tails, no self-join back
