@@ -58,6 +58,49 @@ object ChunkDedup {
     // shifting every tile and silently cutting the wrong spans
     // (round-4 review finding #1). The char class is [\x00-\x20], not
     // \s, for exact String.trim parity on control-char edges.
+    // compiled (r6): the transform/slice/flatten HOF chain evaluated
+    // an interpreted lambda per kept tile; the kernel emits the
+    // identical string in one pass (pinned against the retained
+    // expression form by the suite)
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        reconstructKernel(w)(col("text"), col("kept_idx")).as("clean_text"))
+  }
+
+  private[graft] def reconstructKernel(w: Int) = {
+    val wsPattern = java.util.regex.Pattern.compile("\\s+")
+    udf((text: String, ki: Seq[Int]) =>
+      if (text == null) null
+      else {
+        // Java String.trim == the [\x00-\x20] edge strip above
+        val ft = text.trim
+        val toks: Array[String] =
+          if (ft.isEmpty) Array.empty[String] else wsPattern.split(ft, -1)
+        val nc = toks.length / w
+        val sb = new java.lang.StringBuilder
+        var first = true
+        def appendRange(from: Int, until: Int): Unit = {
+          var j = from
+          val e = math.min(until, toks.length)
+          while (j < e) {
+            if (!first) sb.append(' ')
+            sb.append(toks(j))
+            first = false
+            j += 1
+          }
+        }
+        if (ki != null) ki.foreach(i => appendRange(i * w, i * w + w))
+        appendRange(nc * w, toks.length)
+        sb.toString
+      })
+  }
+
+  /** The ORIGINAL expression-chain reconstruction, retained for the
+    * kernel-pinning compare in the test suite.
+    */
+  private[graft] def reconstructExpr(docs: DataFrame, kept: DataFrame, w: Int,
+      idCol: String, textCol: String): DataFrame = {
     val fullTrim = regexp_replace(coalesce(col(textCol), lit("")),
       "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
     val toks = when(fullTrim === "", array().cast("array<string>"))

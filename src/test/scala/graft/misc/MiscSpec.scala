@@ -639,6 +639,32 @@ class SubstringSpec extends SparkSpec {
     assert(out("d5") == null)
   }
 
+  test("chunk reconstruction kernel == expression chain") {
+    import spark.implicits._
+    val docs = Seq(
+      ("c1", ((1 to 47).map(i => s"t$i").mkString(" "))), // 2 full chunks + tail (w=20)
+      ("c2", "short doc only"),
+      ("c3", null),
+      ("c4", "  padded\tdoc with control edges "),
+      ("c5", "")).toDF("url", "text")
+    val kept = Seq(("c1", Seq(1)), ("c4", Seq[Int]())).toDF("id", "kept_idx")
+    for (w <- Seq(3, 20)) {
+      val viaExpr = graft.substring.ChunkDedup
+        .reconstructExpr(docs, kept, w, "url", "text")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val viaKernel = docs
+        .select(org.apache.spark.sql.functions.col("url").as("id"),
+          org.apache.spark.sql.functions.col("text"))
+        .join(kept, Seq("id"), "left")
+        .select(org.apache.spark.sql.functions.col("id"),
+          graft.substring.ChunkDedup.reconstructKernel(w)(
+            org.apache.spark.sql.functions.col("text"),
+            org.apache.spark.sql.functions.col("kept_idx")).as("clean_text"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(viaKernel == viaExpr, s"w $w")
+    }
+  }
+
   test("reassembly kernel == expression chain (both grains, both polarities)") {
     import spark.implicits._
     // boundary texts: null, blank-only units (\t, \x0B), trailing
