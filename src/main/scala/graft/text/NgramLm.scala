@@ -88,9 +88,12 @@ object NgramLm {
     * trained on) fall back to counts of 0 — the add-one floor.
     */
   def score(docs: DataFrame, model: LmModel, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val t = tokenized(docs, idCol, textCol)
-    val occ = bigramOccurrences(t, idCol)
+      textCol: String = "text"): DataFrame =
+    scoreFrom(docs, bigramOccurrences(tokenized(docs, idCol, textCol), idCol),
+      model, idCol)
+
+  private def scoreFrom(docs: DataFrame, occ: DataFrame, model: LmModel,
+      idCol: String): DataFrame = {
     val p = (coalesce(col("c_big"), lit(0L)) + lit(1.0)) /
       (coalesce(col("c_uni"), lit(0L)) + col("v"))
     val scored = occ
@@ -113,8 +116,15 @@ object NgramLm {
     * driver shape).
     */
   def scoreSelf(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    score(docs, train(docs, idCol, textCol), idCol, textCol)
+      textCol: String = "text"): DataFrame = {
+    // ONE tokenize + bigram-explode pass serves the unigram counts,
+    // the bigram counts AND the scoring stream (r6 — the DSIR shared-
+    // scan shape; score(docs, train(docs)) re-ran the explode per
+    // consumer over the one-split scan)
+    val t = tokenized(docs, idCol, textCol).localCheckpoint(false)
+    val occ = bigramOccurrences(t, idCol).localCheckpoint(false)
+    scoreFrom(docs, occ, trainFrom(t, occ), idCol)
+  }
 
   /** CCNet head/middle/tail quality buckets (Wenzek et al. 2020 §4.3:
     * CCNet cuts each language's corpus at the perplexity terciles;
