@@ -85,9 +85,14 @@ object BudgetSelect {
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)).as("class_offset"))
 
+    // lazy checkpoint (r6): the easy filter, the boundary filter, the
+    // bucket-offset aggregate and the flagged prefix sum each re-ran
+    // this subtree (scan + md5 ord + broadcast class join) otherwise;
+    // cached on first use
     val withCls = base.join(broadcast(classes), col("score") <=> col("cls_score"))
       .select(col("id"), col("score"), col("n_tokens"), col("ord"),
         col("class_tokens"), col("class_offset"))
+      .localCheckpoint(false)
 
     // whole classes: kept iff the class END fits; exactly one class
     // can satisfy offset <= budget < offset + tokens (the boundary)

@@ -52,10 +52,14 @@ object Bm25 {
   def scores(docs: DataFrame, query: Seq[String], idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(query.nonEmpty && query.size <= 64, "query must be 1..64 terms")
+    // lazy checkpoint (r6): the tokenized frame feeds the corpus-
+    // stats aggregate, the document-frequency broadcast build AND the
+    // main tf join — three executions of the tokenize pass otherwise
     val toks = docs
       .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
       .select(col(idCol), split(trim(lower(col(textCol))), "\\s+").as("toks"))
       .select(col(idCol), col("toks"), size(col("toks")).cast("long").as("dl"))
+      .localCheckpoint(false)
     // corpus constants as a broadcast 1-row frame (no driver collect):
     // avg_milli = floor(1000 * T / N) — an exact integer DEFINED as
     // the operator's average-length constant (both engines replay it)
