@@ -54,7 +54,13 @@ object IncrementalNearDup {
     */
   def bootstrap(prior: DataFrame, cfg: MinHashLSH.Config = MinHashLSH.Config(),
       idCol: String = "url", textCol: String = "text"): Snapshot = {
+    // lazy checkpoint (r6): both snapshot views (band rows, shingle
+    // sets) derive from one signature pass — unmaterialized, the
+    // probe scan and the keeper-shingle fetch each re-shingled the
+    // prior corpus. In production the snapshot IS a persisted table;
+    // materializing here models that contract.
     val sigs = MinHashLSH.signatures(prior, cfg, textCol, idCol)
+      .localCheckpoint(false)
     Snapshot(bandRows(sigs, cfg), sigs.select(col("id"), col("shingles")))
   }
 
