@@ -1713,7 +1713,10 @@ object SparkEntry {
         graft.near.Hashing.shingleHashes(graft.near.Hashing.tokenize(t), 5))
       val jac = udf((a: Seq[Long], b: Seq[Long]) =>
         graft.near.Hashing.jaccard(a.toArray, b.toArray))
+      // lazy checkpoint (r6): both verify-join sides otherwise re-run
+      // the shingle UDF over the one-split scan
       val shingled = d.select(col("url"), sh(col("text")).as("sh"))
+        .localCheckpoint(false)
       cand
         .join(shingled.select(col("url").as("src"), col("sh").as("sh1")), "src")
         .join(shingled.select(col("url").as("dst"), col("sh").as("sh2")), "dst")
