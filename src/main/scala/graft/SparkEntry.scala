@@ -956,7 +956,11 @@ object SparkEntry {
         .when(id % 5 === 3,
           concat(lit("http://example.com/q&r/s?x="), ids, lit("&utm_a1=z")))
         .otherwise(lit("https://www.example.com/"))
-      docs(s, dir).select(id, messy.as("url_raw"),
+      // id-spread scan (r6, the docIds media-query pattern): the
+      // fixture urls and their canonicalization derive from doc_id
+      // alone, so the regex chain parallelizes with only ids crossing
+      // the exchange
+      docIds(s, dir).select(id, messy.as("url_raw"),
         graft.text.UrlNorm.canonicalUrl(messy).as("url_canon"))
     }),
 
