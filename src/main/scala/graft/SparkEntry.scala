@@ -976,7 +976,9 @@ object SparkEntry {
       val url = concat(lit("https://WWW.Site"), (id % 10).cast("string"),
         lit(".example/p"), (id % 50).cast("string"),
         when(id % 3 === 0, lit("?utm_source=x")).otherwise(lit("")))
-      val d = docs(s, dir).select(id.as("doc_id"), url.as("url"),
+      // id-spread scan (r6, the q_url_canon pattern): the fixture and
+      // its canonicalization derive from doc_id alone
+      val d = docIds(s, dir).select(id.as("doc_id"), url.as("url"),
         timestamp_seconds(lit(1700000000L) + (id * 7919L) % 100000L).as("warc_ts"))
       graft.report.Report.latestRevisits(d, idCol = "doc_id")
         .select(col("url_canon"), col("keep_id").cast("long").as("keep_id"),
