@@ -871,7 +871,9 @@ object SparkEntry {
     // ---- text analysis: quality features + composite score
     "q_quality" -> ((s, dir) => {
       val feats = TextStats.qualityFeatures(col("text"))
-      docs(s, dir).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
     }),
 
     // ---- text analysis: within-doc repetition signals (Gopher-style
@@ -1384,7 +1386,8 @@ object SparkEntry {
 
     // ---- text analysis: n-gram-heuristic language id
     "q_lang_id" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))),
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))),
 
     // ---- similarity search: exact brute-force cosine top-5 over
     // embeddings for query ids < 20
@@ -2187,6 +2190,7 @@ object SparkEntry {
         concat(t4, lit(" and of"))).otherwise(t4)
       val rules = TextStats.gopherRules(col("t"), col("lt"))
       docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), t5.as("t"))
         .select(col("doc_id"), col("t"), TextStats.tokens(lower(col("t"))).as("lt"))
         .select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
@@ -2283,7 +2287,8 @@ object SparkEntry {
         lit("</a> "), expr("repeat('pad ', CAST(doc_id % 6 AS INT))"),
         lit("end</p><p>W"), (id % 7).cast("string"), lit("</p></body></html>"))
       graft.extract.ContentExtract.mainContent(
-          docs(s, dir).select(col("doc_id"), html.as("h")), col("h"))
+          docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+            .select(col("doc_id"), html.as("h")), col("h"))
         // lazy checkpoint before the sort (r6, same as q_gopher):
         // RangePartitioning samples its child with a separate job,
         // re-executing the map-side subtree; the cache serves both
