@@ -93,8 +93,11 @@ object Dsir {
     require(gumbelBeta >= 0.0, s"gumbelBeta must be >= 0: $gumbelBeta")
     // materialize ONCE (SCALE.md invariant 7): BudgetSelect's easy and
     // boundary branches deliberately re-read their input, and the kept
-    // flag joins back — three consumers of a two-LM scoring plan
-    val imp = importance(docs, targetDocs, idCol, textCol).localCheckpoint()
+    // flag joins back — three consumers of a two-LM scoring plan.
+    // Lazy (r6 continuation): BudgetSelect now caches its withCls
+    // frame internally, so the branch re-reads hit that cache and the
+    // dedicated blocking job here became redundant
+    val imp = importance(docs, targetDocs, idCol, textCol).localCheckpoint(false)
     val score: Column =
       if (gumbelBeta == 0.0) col("li_micro")
       else {
